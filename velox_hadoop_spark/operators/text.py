@@ -1,0 +1,139 @@
+"""Text pipeline operators: tokenize/explode, regex grep, wordcount.
+
+Re-expresses the reference's text benchmarks Spark-first:
+
+  * wordcount — reference: src/main/java/org/dicl/velox/benchmark/
+    WordCount.java:38-68 (TokenizerMapper + IntSumReducer with combiner).
+    Here: ``explode(split(...))`` + ``groupBy().count()`` — Tungsten's
+    hash aggregate does the partial (map-side) + final split the
+    combiner hand-wired.
+  * aggregate wordcount — reference: AggregateWordCount.java:47-64
+    (ValueAggregator LONG_VALUE_SUM plugin). Here: grouped sum.
+  * grep — reference: Grep.java:62-100 (two chained MR jobs: regex
+    extract+count, then single-reducer sort). Here: one lazy plan;
+    the sort is a parallel range-partitioned orderBy, not a
+    1-reducer bottleneck.
+
+Scale notes: tokenization is a generated-column explode inside
+whole-stage codegen (no Python); the groupBy shuffles only (token,
+partial_count) pairs after map-side combine, so shuffle volume is
+bounded by distinct-token cardinality per partition, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.plans.registry import register
+
+WS = r"\s+"
+
+
+def tokenize(df: DataFrame, col: str = "text", pattern: str = WS) -> DataFrame:
+    """Line -> one row per token (reference: WordCount.java:44-51).
+
+    Empty tokens (leading/trailing separators) are dropped, matching
+    ``StringTokenizer`` semantics.
+    """
+    return (
+        df.select(F.explode(F.split(F.col(col), pattern)).alias("word"))
+        .where(F.col("word") != "")
+    )
+
+
+def wordcount(df: DataFrame, col: str = "text") -> DataFrame:
+    """Grouped token counts with automatic partial+final aggregation."""
+    return tokenize(df, col).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+def grouped_wordcount(df: DataFrame, group_col: str, col: str = "text") -> DataFrame:
+    """Aggregate-wordcount semantics: long sums keyed by (group, token)."""
+    tokens = (
+        df.select(F.col(group_col), F.explode(F.split(F.col(col), WS)).alias("word"))
+        .where(F.col("word") != "")
+    )
+    return tokens.groupBy(group_col, "word").agg(
+        F.sum(F.lit(1)).cast("long").alias("total")
+    )
+
+
+def grep(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """Regex extract-all + count + order desc (reference: Grep.java:62-100).
+
+    Emits every match of ``pattern`` in ``col``, counts per distinct
+    match, and orders by count descending (ties broken by the match
+    string so the output is totally ordered — the reference relied on a
+    single reducer for this; Spark range-partitions the sort).
+    """
+    matches = (
+        df.select(F.explode(F.regexp_extract_all(F.col(col), F.lit(pattern), F.lit(0))).alias("match"))
+        .where(F.col("match") != "")
+    )
+    return (
+        matches.groupBy("match")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("match"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (documents table; oracles in DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+_GREP_PATTERN = "s[a-z]+"  # words/suffixes starting with 's' (char-class only: identical semantics in Java regex & RE2)
+
+
+@register(
+    "wordcount",
+    oracle=r"""
+        SELECT word, count(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    tags=("text", "reference:WordCount.java:38-68"),
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return wordcount(docs, "text")
+
+
+@register(
+    "aggregate_wordcount",
+    oracle=r"""
+        SELECT source, word, CAST(count(*) AS BIGINT) AS total
+        FROM (
+            SELECT source, unnest(string_split_regex(text, '\s+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY source, word
+    """,
+    tags=("text", "reference:AggregateWordCount.java:47-88"),
+)
+def q_aggregate_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return grouped_wordcount(docs, "source", "text")
+
+
+@register(
+    "grep",
+    oracle=rf"""
+        SELECT match, count(*) AS cnt
+        FROM (
+            SELECT unnest(regexp_extract_all(text, '{_GREP_PATTERN}')) AS match
+            FROM documents
+        )
+        WHERE match <> ''
+        GROUP BY match
+        ORDER BY cnt DESC, match ASC
+    """,
+    tags=("text", "reference:Grep.java:62-100"),
+)
+def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return grep(docs, "text", _GREP_PATTERN)

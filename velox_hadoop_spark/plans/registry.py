@@ -1,0 +1,85 @@
+"""Named-query registry — the engine's public query surface.
+
+Each operator family registers named queries here; ``__spark_entry__.py``
+re-exports the registry through the driver contract
+(``queries()`` / ``oracle_sql()``). A query is:
+
+  * ``fn(spark, sf_dir) -> DataFrame`` — the Spark plan, built from the
+    operator library (declarative DataFrame API, Catalyst-optimized).
+  * ``oracle`` — equivalent ANSI SQL for DuckDB over the same parquet
+    tables, or ``None`` for non-SQL-expressible ops (iterative /
+    stateful), which get a weaker rows-only check.
+
+Column names are part of the contract: every computed column is aliased
+identically in the Spark plan and the oracle SQL (the driver's compare
+sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a named query (and its DuckDB oracle) to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _ensure_loaded() -> None:
+    # Import every query-defining module exactly once; registration is a
+    # side effect of import.
+    import velox_hadoop_spark.operators.text  # noqa: F401
+    import velox_hadoop_spark.operators.agg  # noqa: F401
+    import velox_hadoop_spark.operators.join  # noqa: F401
+    import velox_hadoop_spark.operators.sort  # noqa: F401
+    import velox_hadoop_spark.operators.window  # noqa: F401
+    import velox_hadoop_spark.operators.setops  # noqa: F401
+    import velox_hadoop_spark.operators.graph  # noqa: F401
+    import velox_hadoop_spark.operators.dedup  # noqa: F401
+    import velox_hadoop_spark.operators.similarity  # noqa: F401
+    import velox_hadoop_spark.operators.textstats  # noqa: F401
+    import velox_hadoop_spark.operators.multimodal  # noqa: F401
+    import velox_hadoop_spark.streaming.events  # noqa: F401
+    import velox_hadoop_spark.sources.multisource  # noqa: F401
+
+
+def specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: s.fn for name, s in specs().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: s.oracle for name, s in specs().items() if s.oracle is not None}
