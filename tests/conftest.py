@@ -45,8 +45,9 @@ def _canon(v):
 
 def rows_to_multiset(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort by repr: mixed None/str/num cells aren't directly comparable
     return sorted(
-        tuple(_canon(row[i]) for i in idx) for row in rows
+        (tuple(_canon(row[i]) for i in idx) for row in rows), key=repr
     ), [cols[i] for i in idx]
 
 

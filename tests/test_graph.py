@@ -1,0 +1,58 @@
+"""PageRank + adjacency: unit semantics and oracle parity."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.operators.graph import adjacency, pagerank
+from tests.conftest import assert_parity
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_adjacency_builds_sorted_outlinks(spark):
+    adj = adjacency(_edges(spark, [(1, 3), (1, 2), (2, 3)]))
+    got = {r.src: (list(r.outlinks), r.rank) for r in adj.collect()}
+    assert got == {1: ([2, 3], 1.0), 2: ([3], 1.0)}
+
+
+def test_pagerank_star_graph(spark):
+    # 1,2,3 all point at 4; 4 points at 1. Hand-computed 1 iteration:
+    # r(4) = 0.15 + 0.85*(1+1+1) = 2.7 ; r(1) = 0.15+0.85*1 = 1.0
+    # r(2) = r(3) = 0.15 (no inlinks)
+    ranks = pagerank(
+        _edges(spark, [(1, 4), (2, 4), (3, 4), (4, 1)]), max_iters=1
+    )
+    got = {r.node: round(r.rank, 6) for r in ranks.collect()}
+    assert got == {1: 1.0, 2: 0.15, 3: 0.15, 4: 2.7}
+
+
+def test_pagerank_convergence_stops_early(spark):
+    # cycle 1->2->1: already at fixed point (rank 1.0 each); delta after
+    # one pass is 0 -> loop must exit on the first tolerance check
+    ranks = pagerank(_edges(spark, [(1, 2), (2, 1)]), max_iters=50, tol=1e-6)
+    got = {r.node: round(r.rank, 6) for r in ranks.collect()}
+    assert got == {1: 1.0, 2: 1.0}
+
+
+def test_dangling_nodes_get_base_rank(spark):
+    # node 9 has no outlinks (pure sink) and must still appear
+    ranks = pagerank(_edges(spark, [(1, 9)]), max_iters=2)
+    got = {r.node for r in ranks.collect()}
+    assert got == {1, 9}
+
+
+@pytest.mark.parametrize("name", ["adjacency_list", "pagerank_3iter"])
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_pagerank_converged_runs(spark):
+    from velox_hadoop_spark.plans import registry
+
+    df = registry.specs()["pagerank_converged"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["node", "rank"]

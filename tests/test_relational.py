@@ -1,0 +1,81 @@
+"""Sort/join/agg/window/setops: unit behavior + DuckDB oracle parity."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.operators.sort import global_rank, top_k
+from velox_hadoop_spark.operators.join import asof_join, semi_join, anti_join
+from tests.conftest import assert_parity
+
+PARITY_QUERIES = [
+    "sort_rank",
+    "topk_orders",
+    "sort_desc_suppliers",
+    "join_orders_customer",
+    "broadcast_region_rollup",
+    "semi_join_active_customers",
+    "anti_join_no_urgent_orders",
+    "asof_join_events",
+    "range_join_ship_window",
+    "collect_orderkeys",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "stats_per_segment",
+    "rollup_returnflag_status",
+    "damped_rank_formula",
+    "window_customer_orders",
+    "window_rank_in_nation",
+    "union_provenance",
+    "intersect_buyers",
+    "except_small_buyers",
+    "distinct_order_months",
+]
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_global_rank_is_total_and_distributed(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("v"), F.col("id").alias("tie")
+    )
+    ranked = global_rank(df, ["v", "tie"], "rank")
+    rows = ranked.orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, 1001))
+    vals = [(r.v, r.tie) for r in rows]
+    assert vals == sorted(vals)
+
+
+def test_top_k_matches_sort_limit(spark):
+    df = spark.range(500).select((F.col("id") * 7 % 101).alias("v"), "id")
+    got = [(r.v, r.id) for r in top_k(df, 5, F.desc("v"), F.asc("id")).collect()]
+    want = sorted([(i * 7 % 101, i) for i in range(500)], key=lambda t: (-t[0], t[1]))[:5]
+    assert got == want
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")], ["k", "ts"]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1.0), (1, "2024-01-01 11:00:00", 2.0),
+         (1, "2024-01-01 13:00:00", 3.0)],
+        ["k", "ts", "val"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "val")
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="ts", value_cols=["val"])
+    got = {str(r.ts): r.asof_val for r in out.collect()}
+    assert got == {"2024-01-01 10:00:00": 1.0, "2024-01-01 12:00:00": 2.0}
+
+
+def test_semi_anti_partition_left(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2,), (2,), (9,)], ["k"])
+    semi = {r.k for r in semi_join(left, right, "k").collect()}
+    anti = {r.k for r in anti_join(left, right, "k").collect()}
+    assert semi == {2} and anti == {1, 3}
+    assert semi | anti == {1, 2, 3}

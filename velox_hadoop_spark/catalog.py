@@ -34,9 +34,29 @@ BROADCASTABLE = frozenset({"region", "nation", "supplier", "part", "customer"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table; normalizes storage quirks.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright. We read it as a long (legacy conf) and
+    truncate to microseconds with integer division — the same
+    truncation DuckDB applies when it narrows ns → µs, so both engines
+    see identical timestamps.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return raw
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every catalog table from ``sf_dir`` as a DataFrame."""
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLES}
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
 
 
 class Catalog:

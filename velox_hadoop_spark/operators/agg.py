@@ -1,1 +1,304 @@
-"""(stub — filled in this round)"""
+"""Aggregation operators: grouped sums/counts, collect_list, TPC-H-style
+analytics, rollup/grouping sets, distinct aggregates.
+
+Re-expresses the reference's aggregation surface Spark-first:
+
+  * partial+final grouped sum — reference: src/main/java/org/dicl/velox/
+    benchmark/WordCount.java:54-82 (IntSumReducer as combiner AND
+    reducer). Tungsten's HashAggregateExec does partial/final splitting
+    automatically — shuffle carries pre-aggregated pairs only.
+  * collect_list / string_agg — reference: Step1Reducer.java:11-28
+    (outlinks gathered into a comma-joined string).
+  * post-aggregate expressions — reference: Step2Reducer.java:17-41
+    (damping formula applied after the grouped sum).
+
+The TPC-H-style queries go beyond the reference (SURVEY §2.4 "not
+present") — they cost nothing on Spark and define the benchmark corpus.
+
+Scale notes: every aggregate here is a hash aggregate with map-side
+combine; no collect, no single-task stage. Double-typed aggregates are
+rounded at the output boundary (both in the Spark plan and the oracle)
+so results are stable under any partition/reduction order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.plans.registry import register
+
+
+def grouped_sum(df: DataFrame, keys: list[str], value: str, out: str = "total") -> DataFrame:
+    return df.groupBy(*keys).agg(F.sum(value).alias(out))
+
+
+def collect_sorted_csv(df: DataFrame, key: str, value: str, out: str = "items") -> DataFrame:
+    """Gather group values into a deterministic comma-joined string
+    (reference Step1Reducer semantics, made order-stable)."""
+    return df.groupBy(key).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(value)), lambda x: x.cast("string")),
+            ",",
+        ).alias(out)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "collect_orderkeys",
+    oracle="""
+        SELECT o_custkey,
+               string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS items,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("agg", "reference:Step1Reducer.java:11-28"),
+)
+def q_collect_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list as deterministic csv per key (adjacency-list idiom)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("items"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(sum(l_quantity), 2) AS sum_qty,
+               ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+               ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(avg(l_quantity), 4) AS avg_qty,
+               ROUND(avg(l_extendedprice), 4) AS avg_price,
+               ROUND(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship wide aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+        SELECT o.o_orderkey,
+               ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("agg", "tpch", "join"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.where(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_volume",
+    oracle="""
+        SELECT n.n_name,
+               ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+    """,
+    tags=("agg", "tpch", "join"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume per nation."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("agg", "tpch", "filter-pushdown"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: tight-filter single-row aggregate (pushdown showcase)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "stats_per_segment",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n,
+               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+               ROUND(min(c_acctbal), 2) AS min_bal,
+               ROUND(max(c_acctbal), 2) AS max_bal,
+               ROUND(avg(c_acctbal), 4) AS avg_bal,
+               ROUND(stddev_samp(c_acctbal), 4) AS sd_bal
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("agg", "distinct"),
+)
+def q_stats_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate breadth: min/max/avg/stddev/count distinct per segment."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+    )
+
+
+@register(
+    "rollup_returnflag_status",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               ROUND(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (subtotals + grand total) — beyond-reference."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "damped_rank_formula",
+    oracle="""
+        SELECT l_suppkey AS node,
+               ROUND(0.15 + 0.85 * sum(l_quantity / 10.0), 6) AS rank
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+    tags=("agg", "reference:Step2Reducer.java:17-41"),
+)
+def q_damped_rank_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped float sum + post-aggregate damping expression (A5)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy(F.col("l_suppkey").alias("node"))
+        .agg(F.sum(F.col("l_quantity") / 10.0).alias("s"))
+        .select("node", F.round(F.lit(0.15) + F.lit(0.85) * F.col("s"), 6).alias("rank"))
+    )

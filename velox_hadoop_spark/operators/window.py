@@ -1,1 +1,99 @@
-"""(stub — filled in this round)"""
+"""Analytic window functions: running totals, lag/lead, moving averages,
+partitioned ranking.
+
+The reference's only windowing is the global rank counter in
+LeanSort.java:99-108 (covered by operators/sort.py); partitioned
+analytic windows are "not present" in SURVEY §2.5 and exposed here as
+first-class operators.
+
+Scale notes: every window below is partitioned (one shuffle on the
+partition key, then a per-key sort); none uses an unpartitioned global
+window, which would funnel all rows through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.plans.registry import register
+
+
+def running_total(df: DataFrame, key: str, order: list[str], value: str, out: str) -> DataFrame:
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, F.sum(value).over(w))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_customer_orders",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROUND(sum(o_totalprice) OVER w_cum, 2) AS running_total,
+               ROUND(lag(o_totalprice, 1) OVER w_ord, 2) AS prev_price,
+               ROUND(lead(o_totalprice, 1) OVER w_ord, 2) AS next_price,
+               ROUND(avg(o_totalprice) OVER w_ma3, 4) AS moving_avg3,
+               CAST(row_number() OVER w_ord AS BIGINT) AS order_seq
+        FROM orders
+        WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_ma3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def q_window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: running total, lag/lead, 3-row moving
+    average, sequence number — one shuffle on o_custkey serves all four."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_ma3 = w_ord.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w_cum), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice", 1).over(w_ord), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w_ord), 2).alias("next_price"),
+        F.round(F.avg("o_totalprice").over(w_ma3), 4).alias("moving_avg3"),
+        F.row_number().over(w_ord).cast("long").alias("order_seq"),
+    )
+
+
+@register(
+    "window_rank_in_nation",
+    oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               CAST(rank() OVER w AS BIGINT) AS bal_rank,
+               CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+               ROUND(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey), 4) AS bal_vs_nation_avg
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window", "rank"),
+)
+def q_window_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned rank/dense_rank + deviation from partition mean."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_all = Window.partitionBy("c_nationkey")
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.round(F.col("c_acctbal") - F.avg("c_acctbal").over(w_all), 4).alias(
+            "bal_vs_nation_avg"
+        ),
+    )
