@@ -1,0 +1,96 @@
+"""Dedup / similarity / textstats / multimodal: unit + oracle parity."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingle_set,
+    simhash64,
+)
+from velox_hadoop_spark.operators.multimodal import extract_features, MEDIA_SCHEMA
+from tests.conftest import assert_parity
+
+PARITY_QUERIES = [
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "ann_bruteforce_topk",
+    "knn_top1_all",
+    "embedding_lsh_buckets",
+    "token_stats",
+    "quality_score",
+    "lang_id_ngram",
+    "doc_fingerprint",
+    "multimodal_meta",
+]
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+
+def test_exact_dedup_finds_copies(spark):
+    df = _docs(spark, ["a b c", "a b c", "x y z"])
+    got = {r.keeper_id: r.n_copies for r in exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_identical_docs_share_full_signature_and_all_bands(spark):
+    df = _docs(spark, ["w1 w2 w3 w4 w5 w6", "w1 w2 w3 w4 w5 w6", "q1 q2 q3 q4 q5 q6"])
+    sig = minhash_signature(shingle_set(df, "doc_id", "text"), "doc_id")
+    rows = {r.doc_id: tuple(r)[1:] for r in sig.collect()}
+    assert rows[0] == rows[1] and rows[0] != rows[2]
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id").collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_jaccard_of_identical_is_one(spark):
+    df = _docs(spark, ["a b c d e f g", "a b c d e f g"])
+    rows = jaccard_pairs(shingle_set(df, "doc_id", "text"), "doc_id").collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_simhash_close_for_similar_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    df = _docs(spark, [base, base + " extra", "completely different words here now"])
+    got = {r.doc_id: r.simhash for r in simhash64(df, "doc_id", "text").collect()}
+    ham01 = bin(got[0] ^ got[1]).count("1")
+    ham02 = bin(got[0] ^ got[2]).count("1")
+    assert ham01 < ham02
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, "image", bytearray(b"\x10imagebytes\x20"), {}),
+        (2, "video", bytearray(b"vid" * 50), {}),
+        (3, "audio", bytearray(b"pcm" * 7), {}),
+        (4, "image", None, {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_features(media).collect()}
+    assert got[1].width == 16 + 0x10 % 64 and got[1].n_frames == 1
+    assert got[2].n_frames == 1 + 150 % 120
+    assert got[3].n_frames == 1 + 21 % 48000
+    assert got[4].n_bytes is None and got[4].digest is None
+    assert got[2].digest is not None and len(got[2].digest) == 64
+
+
+def test_resize_stub_raises(spark):
+    from velox_hadoop_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame([(1, "image", bytearray(b"x"), {})], MEDIA_SCHEMA)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        resize_images(media, 8, 8).collect()

@@ -1,0 +1,99 @@
+"""Streaming (batch parity + real Structured Streaming run) and sources."""
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.catalog import read_table
+from velox_hadoop_spark.sources.multisource import read_text_lines, write_tsv
+from velox_hadoop_spark.streaming.events import (
+    read_event_stream,
+    run_available_now,
+    stream_dedup,
+    stream_tumbling_counts,
+    tumbling_agg,
+)
+from tests.conftest import SF_DIR, assert_parity
+
+PARITY_QUERIES = [
+    "events_tumbling_1h",
+    "events_sliding_10m5m",
+    "events_session_10m",
+    "events_dedup_first",
+    "events_json_props",
+    "tsv_roundtrip_lineitem",
+]
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark):
+    """Materialize normalized events as a parquet dir for file-stream tests."""
+    d = tempfile.mkdtemp(prefix="vhs_events_")
+    read_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_tumbling_matches_batch(spark, event_stream_dir):
+    stream = read_event_stream(spark, event_stream_dir)
+    assert stream.isStreaming
+    q = run_available_now(
+        stream_tumbling_counts(stream), "tumbling_test", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    batch = read_table(spark, SF_DIR, "events")
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in tumbling_agg(batch).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_emits_unique_keys(spark, event_stream_dir):
+    stream = read_event_stream(spark, event_stream_dir)
+    q = run_available_now(stream_dedup(stream), "dedup_test", output_mode="append")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, event_type, count(*) c FROM dedup_test GROUP BY 1,2 HAVING count(*) > 1").collect()
+    assert rows == []
+    n_keys = spark.sql("SELECT count(*) c FROM dedup_test").first().c
+    n_expected = (
+        read_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert n_keys == n_expected
+
+
+def test_read_text_lines_provenance(spark):
+    d = tempfile.mkdtemp(prefix="vhs_text_")
+    for name, body in [("a.txt", "x1\nx2\n"), ("b.txt", "y1\n")]:
+        with open(os.path.join(d, name), "w") as f:
+            f.write(body)
+    df = read_text_lines(spark, [d])
+    rows = df.collect()
+    assert {r.value for r in rows} == {"x1", "x2", "y1"}
+    assert all(r.source_file.endswith((".txt",)) for r in rows)
+    by_file = df.groupBy(F.regexp_extract("source_file", r"([ab])\.txt$", 1).alias("f")).count()
+    assert {(r.f, r["count"]) for r in by_file.collect()} == {("a", 2), ("b", 1)}
+
+
+def test_tsv_sink_writes_tabs(spark):
+    d = tempfile.mkdtemp(prefix="vhs_tsv_") + "/out"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    write_tsv(df, d)
+    files = [f for f in os.listdir(d) if f.startswith("part-")]
+    assert files
+    body = "".join(open(os.path.join(d, f)).read() for f in files)
+    assert "1\ta" in body and "2\tb" in body

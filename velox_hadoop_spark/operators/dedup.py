@@ -1,1 +1,297 @@
-"""(stub — filled in this round)"""
+"""Deduplication operators for training-data pipelines. [extension]
+
+No reference implementation exists (SURVEY §2 flags these `[extension]`);
+the designs are the standard large-corpus dedup stack, built
+shuffle-bounded on DataFrames:
+
+  * exact dedup       — hash-groupBy on a content digest.
+  * MinHash + LSH     — shingle → k seeded minhashes → band buckets →
+                        candidate pairs via band self-join. Pairwise work
+                        happens strictly AFTER LSH pruning, never n².
+  * SimHash           — 64-bit signature by per-bit majority vote over
+                        token hashes; near-pairs via 4×16-bit band
+                        pigeonhole (hamming ≤ 3 ⇒ some band equal).
+  * n-gram Jaccard    — exact similarity, computed only for candidate
+                        pairs that share ≥ 1 shingle.
+
+Scale notes: every stage is explode → hash-agg → equi-join; the band
+self-join is the only quadratic-risk step and its blowup is bounded by
+bucket size (salt/AQE-skew handles hot buckets). All hashing is MD5-
+based JVM expressions (functions/hashing.py) — codegen'd, no Python,
+and bit-identical to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.functions import hashing as H
+from velox_hadoop_spark.plans.registry import register
+
+SHINGLE_K = 5          # words per shingle
+MINHASH_SEEDS = 8      # signature length
+LSH_BANDS = 4          # bands of r = MINHASH_SEEDS / LSH_BANDS rows
+_R = MINHASH_SEEDS // LSH_BANDS
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Group identical content by digest; keeper = min id (deterministic)."""
+    return (
+        df.select(F.expr(H.spark_md5(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word k-gram shingles per document."""
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(H.spark_shingles(text_col, k))).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signature(shingles: DataFrame, id_col: str, n_seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """Per-doc MinHash signature: for each seed, min seeded-MD5 over shingles.
+
+    Min over lexicographic MD5 strings is a valid min-wise hash family
+    and is engine-portable (string min is unambiguous everywhere).
+    """
+    aggs = [
+        F.min(F.expr(H.spark_md5(H.seeded("shingle", s)))).alias(f"mh{s}")
+        for s in range(n_seeds)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS, r: int = _R) -> DataFrame:
+    """Signature → (id, band_id, band_key) rows; equal band_key ⇒ candidate."""
+    out = []
+    for b in range(bands):
+        cols = [f"mh{b * r + j}" for j in range(r)]
+        out.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct id pairs (a < b) sharing at least one band bucket."""
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, id_col: str) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥ 1 shingle.
+
+    |A∩B| from the shingle equi-join; |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over distinct whitespace tokens.
+
+    Majority vote per bit: Σ(±1) over token hashes; bit set iff Σ ≥ 0.
+    Expressed as explode → 64-way conditional sums → bit-pack, all in
+    codegen. (At extreme scale the 64 sums can be fused into a single
+    array-typed aggregate; the row form keeps oracle parity trivial.)
+    """
+    tokens = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+        .select(F.col(id_col), F.expr(H.spark_md5_int60("tok")).alias("h"))
+    )
+    vote = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(60)
+    ]
+    votes = tokens.groupBy(id_col).agg(*vote)
+    packed = F.expr(
+        " + ".join(
+            f"(CASE WHEN s{i} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(60)
+        )
+    )
+    return votes.select(F.col(id_col), packed.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (documents table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keeper_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    tags=("dedup", "extension"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+def _duck_minhash_cte() -> str:
+    mh = ",\n               ".join(
+        f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(MINHASH_SEEDS)
+    )
+    return f"""
+        WITH sh AS ({H.duck_shingle_cte('documents', 'doc_id', 'text', SHINGLE_K)}),
+        sig AS (
+            SELECT doc_id,
+               {mh}
+            FROM sh GROUP BY doc_id
+        )
+    """
+
+
+@register(
+    "minhash_signatures",
+    oracle=_duck_minhash_cte()
+    + """
+        SELECT doc_id, """
+    + ", ".join(f"mh{s}" for s in range(MINHASH_SEEDS))
+    + """
+        FROM sig
+    """,
+    tags=("dedup", "minhash", "extension"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (8 seeded min-wise hashes)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signature(shingle_set(docs, "doc_id", "text"), "doc_id")
+
+
+_BAND_KEYS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, mh{b * _R} || '|' || mh{b * _R + 1} AS band_key FROM sig"
+    for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "lsh_candidate_pairs",
+    oracle=_duck_minhash_cte()
+    + f""",
+        bands AS ({_BAND_KEYS})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "extension"),
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (4 bands × 2 rows)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = minhash_signature(shingle_set(docs, "doc_id", "text"), "doc_id")
+    return lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+        WITH sh AS ({H.duck_shingle_cte('documents', 'doc_id', 'text', SHINGLE_K)}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.id_a, i.id_b, i.n_shared,
+               ROUND(i.n_shared / (sa.n + sb.n - i.n_shared), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.doc_id
+        JOIN sizes sb ON i.id_b = sb.doc_id
+    """,
+    tags=("dedup", "jaccard", "extension"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard for pairs sharing at least one shingle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs(shingle_set(docs, "doc_id", "text"), "doc_id")
+
+
+def _duck_simhash_sql() -> str:
+    h = H.duck_md5_int60("tok")
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(60)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM toks WHERE tok <> '' GROUP BY doc_id
+        )
+        SELECT doc_id, {packed} AS simhash FROM votes
+    """
+
+
+@register(
+    "simhash_docs",
+    oracle=_duck_simhash_sql(),
+    tags=("dedup", "simhash", "extension"),
+)
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit (60 used) SimHash signature."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash64(docs, "doc_id", "text")

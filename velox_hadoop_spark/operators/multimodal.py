@@ -1,1 +1,137 @@
-"""(stub — filled in this round)"""
+"""Multimodal (image/audio/video) column plumbing. [extension]
+
+Media lives in DataFrames as opaque ``binary`` payload columns + typed
+metadata, the standard lakehouse layout for multimodal training data.
+The Spark-side plumbing here is real and tested — schemas, Arrow-batched
+``mapInPandas`` pipelines, partition-safe batch shapes; the actual
+codec work (JPEG decode, resampling, frame extraction) is STUBBED with
+deterministic fakes because no media libraries exist in this
+environment. Each stub raises or fakes behind a clearly-marked seam:
+swap ``_decode_stub`` for PIL/ffmpeg calls and nothing else changes.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches, so payload
+bytes never materialize more than a batch at a time per task;
+``spark.sql.files.maxPartitionBytes`` (or explicit repartition on a
+content-hash) bounds per-task memory for large blobs. Metadata-only
+queries (the oracle-checked one below) never touch Python at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from velox_hadoop_spark.plans.registry import register
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
+    """Deterministic fake decoder. REPLACE with PIL/soundfile/ffmpeg.
+
+    Derives fake dimensions from payload bytes so tests are stable and
+    the full pipeline (schema, batching, null handling) is exercised.
+    """
+    if payload is None:
+        return {"width": None, "height": None, "n_frames": None}
+    if media_type == "image":
+        return {"width": 16 + payload[0] % 64, "height": 16 + payload[-1] % 64, "n_frames": 1}
+    if media_type == "video":
+        return {"width": 64, "height": 48, "n_frames": 1 + len(payload) % 120}
+    if media_type == "audio":
+        return {"width": None, "height": None, "n_frames": 1 + len(payload) % 48000}
+    raise NotImplementedError(f"unknown media_type: {media_type}")
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """binary payload → feature rows via Arrow-batched mapInPandas."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"]
+                d = _decode_stub(payload, r["media_type"])
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "media_type": r["media_type"],
+                        "n_bytes": None if payload is None else len(payload),
+                        "digest": None
+                        if payload is None
+                        else hashlib.sha256(payload).hexdigest(),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_frames": d["n_frames"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize pipeline shape — decode/resize/encode is stubbed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "media codecs unavailable in this environment; "
+            "plug PIL.Image.resize into this mapInPandas body"
+        )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Registered query — metadata path (JVM-only, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS digest,
+               substr(sha256(text), 1, 8) AS magic
+        FROM documents
+    """,
+    tags=("multimodal", "extension"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column (documents.text cast
+    to binary stands in for a media payload — byte-identical path)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+        F.substring(F.sha2(payload, 256), 1, 8).alias("magic"),
+    )

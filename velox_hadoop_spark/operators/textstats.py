@@ -1,1 +1,254 @@
-"""(stub — filled in this round)"""
+"""Text analysis for training-data curation. [extension]
+
+Language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all pure
+JVM expressions over the ``documents`` table; no Python in the hot path.
+
+Scale notes: each query is scan → per-row expressions → (optional)
+hash-agg. No shuffles except the final aggregate; all regex/count work
+happens inside whole-stage codegen where the corpus streams through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.functions import hashing as H
+from velox_hadoop_spark.plans.registry import register
+
+# Tiny per-language marker lexicons (function words). The heuristic is
+# the classic stopword-profile vote; lists are deliberately small and
+# hard-coded so the oracle replicates them exactly.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "le", "shi", "he", "zai"],
+}
+
+BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9 ]"  # lowercase words, digits, punct singles
+_EN_STOP = LANG_MARKERS["en"]
+
+
+def _marker_count_expr(lang: str) -> str:
+    """Count of marker-word occurrences among whitespace tokens (Spark SQL)."""
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"size(filter(split(text, '\\\\s+'), t -> t IN ({markers})))"
+    )
+
+
+def _duck_marker_count(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(text, '\\s+'), t -> t IN ({markers})))"
+    )
+
+
+def token_stats(df: DataFrame) -> DataFrame:
+    """Whitespace and BPE-ish token counts + mean token length."""
+    words = F.expr("filter(split(text, '\\\\s+'), t -> t <> '')")
+    return df.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.round(
+            F.aggregate(words, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(words), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Composite quality score: stopword ratio, alpha ratio, length band.
+
+    score = 0.4·stopword_ratio + 0.4·alpha_ratio + 0.2·len_ok — an
+    explicit, engine-portable stand-in for perplexity-style filters.
+    """
+    words = F.expr("filter(split(text, '\\\\s+'), t -> t <> '')")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    stop_ratio = F.expr(_marker_count_expr("en")) / n_words
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    len_ok = F.when((F.size(words) >= 20) & (F.size(words) <= 1000), 1.0).otherwise(0.0)
+    return df.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        len_ok.alias("len_ok"),
+        F.round(0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_ok, 6).alias(
+            "quality"
+        ),
+    )
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Argmax over per-language marker hits; ties break alphabetically.
+
+    Scores stack via explode, argmax via per-doc window rank — one
+    shuffle on doc_id, no UDF.
+    """
+    langs = sorted(LANG_MARKERS)
+    scores = df.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(_marker_count_expr(lg)).cast("long").alias(f"hits_{lg}")
+            for lg in langs
+        ],
+    )
+    stacked = scores.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"hits_{lg}").alias("hits"), F.lit(lg).alias("cand")
+                    )
+                    for lg in langs
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "lang", F.col("s.hits").alias("hits"), F.col("s.cand").alias("cand"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand"))
+    return (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cand").alias("pred_lang"),
+            F.col("hits").alias("marker_hits"),
+            (F.col("cand") == F.col("lang")).alias("matches_label"),
+        )
+    )
+
+
+def fingerprint(df: DataFrame) -> DataFrame:
+    """Shingle-set fingerprint: min/max hash + cardinality (winnowing-lite)."""
+    sh = df.select(
+        "doc_id", F.explode(F.expr(H.spark_shingles("text", 5))).alias("shingle")
+    ).distinct()
+    return sh.groupBy("doc_id").agg(
+        F.min(F.expr(H.spark_md5("shingle"))).alias("fp_min"),
+        F.max(F.expr(H.spark_md5("shingle"))).alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS words
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_measured,
+               ROUND(list_aggregate(list_transform(words, t -> CAST(length(t) AS DOUBLE)), 'sum')
+                     / greatest(len(words), 1), 4) AS avg_token_len
+        FROM w
+    """,
+    tags=("textstats", "extension"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_stats(docs)
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS words
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, text, words,
+                   greatest(len(words), 1) AS n_words_div,
+                   {_duck_marker_count('en')} AS stop_hits,
+                   CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS alpha_ratio,
+                   CAST(CASE WHEN len(words) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS len_ok
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               ROUND(CAST(stop_hits AS DOUBLE) / n_words_div, 6) AS stopword_ratio,
+               ROUND(alpha_ratio, 6) AS alpha_ratio,
+               len_ok,
+               ROUND(0.4 * (CAST(stop_hits AS DOUBLE) / n_words_div)
+                     + 0.4 * alpha_ratio + 0.2 * len_ok, 6) AS quality
+        FROM m
+    """,
+    tags=("textstats", "quality", "extension"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs)
+
+
+def _duck_lang_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    branches = " UNION ALL ".join(
+        f"SELECT doc_id, lang, '{lg}' AS cand, CAST({_duck_marker_count(lg)} AS BIGINT) AS hits FROM documents"
+        for lg in langs
+    )
+    return f"""
+        WITH stacked AS ({branches}),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY hits DESC, cand ASC
+            ) AS rn
+            FROM stacked
+        )
+        SELECT doc_id, cand AS pred_lang, hits AS marker_hits,
+               (cand = lang) AS matches_label
+        FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "lang_id_ngram",
+    oracle=_duck_lang_sql(),
+    tags=("textstats", "langid", "extension"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs)
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        WITH sh AS ({H.duck_shingle_cte('documents', 'doc_id', 'text', 5)})
+        SELECT doc_id,
+               min(md5(shingle)) AS fp_min,
+               max(md5(shingle)) AS fp_max,
+               count(*) AS n_shingles
+        FROM sh GROUP BY doc_id
+    """,
+    tags=("textstats", "fingerprint", "extension"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs)

@@ -1,1 +1,91 @@
-"""(stub — filled in this round)"""
+"""Sources & sinks: text/CSV/parquet readers, provenance-tagged scans,
+partitioned and TSV writers.
+
+Re-expresses the reference's I/O layer Spark-first:
+
+  * text scan with line records — reference: src/main/java/org/dicl/
+    velox/mapreduce/LeanRecordReader.java:98-146 (byte-buffered line
+    splitting over DFS chunks) → ``spark.read.text``; Spark's task
+    scheduler + maxPartitionBytes replace chunk-pull work stealing.
+  * multi-path scan with provenance — reference: LeanJoin.java:85-86 +
+    PreMapper.java:19-48 (table identity sniffed from the file path)
+    → ``input_file_name()`` captured as an explicit column.
+  * TSV sink — reference: TextOutputFormat `key\\tvalue` files
+    (LeanSort.java:150) → ``df.write.csv(sep='\\t')``.
+  * partitioned/bucketed sinks — absent in the reference; exposed
+    because hive-partitioned parquet layout is how 100 TB tables get
+    partition pruning on read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from velox_hadoop_spark.plans.registry import register
+
+
+def read_text_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Line-record scan over one or more paths with file provenance."""
+    return spark.read.text(paths).withColumn("source_file", F.input_file_name())
+
+
+def write_tsv(df: DataFrame, path: str) -> None:
+    """Tab-separated text sink (TextOutputFormat semantics)."""
+    df.write.mode("overwrite").option("sep", "\t").option("header", "false").csv(path)
+
+
+def read_tsv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.option("sep", "\t").schema(schema).csv(path)
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-layout parquet: readers prune partitions from the path."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Registered query — sink/source roundtrip (S11 + S9 semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tsv_roundtrip_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               ROUND(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("sources", "sink", "reference:LeanSort.java:150"),
+)
+def q_tsv_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem keys to a TSV sink, read back, aggregate.
+
+    Validates the text sink+source pair end-to-end: the aggregate over
+    the roundtripped data must equal the oracle's aggregate over the
+    original table (Spark's CSV writer emits round-trippable doubles).
+    """
+    import hashlib
+    import tempfile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/velox_hadoop_spark_tsv_{tag}"
+    write_tsv(li, path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    back = read_tsv(spark, path, schema)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

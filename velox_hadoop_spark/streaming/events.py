@@ -1,1 +1,240 @@
-"""(stub — filled in this round)"""
+"""Event-stream surface: tumbling/sliding/session windows, watermarked
+dedup, JSON prop extraction. [extension — reference is batch-only]
+
+The reference has no streaming (SURVEY §2.10). Spark's window
+expressions are batch/stream agnostic, so each operator here is
+registered as a batch query (oracle-checkable by the driver) AND usable
+under Structured Streaming via the ``stream_*`` helpers (exercised with
+an availableNow trigger in tests).
+
+Scale notes: watermarks bound state for unbounded streams; session
+windows shuffle once on the user key; dedup-by-key keeps one row of
+state per key within the watermark horizon
+(``dropDuplicatesWithinWatermark``). In batch form every query is a
+single hash-agg or window over one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from velox_hadoop_spark.catalog import read_table
+from velox_hadoop_spark.plans.registry import register
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+# --------------------------- batch/stream transforms ---------------------------
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). Output uses min/max event
+    times (not the gap-padded window end) for engine portability."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+def dedup_first_per_key(events: DataFrame) -> DataFrame:
+    """Batch twin of dropDuplicatesWithinWatermark: deterministic first
+    event per (user, type) — earliest ts, then lowest event_id."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+# --------------------------- streaming runners ---------------------------
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event parquet (micro-batch per file group)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def stream_tumbling_counts(
+    stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    return tumbling_agg(stream.withWatermark("ts", watermark), width)
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
+    """Drain the source with an availableNow trigger into a memory sink."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------- registered queries ---------------------------
+
+
+@register(
+    "events_tumbling_1h",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n,
+               ROUND(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "extension"),
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sliding_10m5m",
+    oracle="""
+        WITH expanded AS (
+            SELECT time_bucket(INTERVAL '5 minutes', ts)
+                       - k * INTERVAL '5 minutes' AS window_start,
+                   value
+            FROM events
+            CROSS JOIN UNNEST([0, 1]) AS t(k)
+        )
+        SELECT window_start, count(*) AS n, ROUND(sum(value), 2) AS total_value
+        FROM expanded
+        GROUP BY window_start
+    """,
+    tags=("streaming", "window", "extension"),
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2 windows."""
+    return sliding_agg(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_10m",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL '10 minutes' OR
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               ROUND(sum(value), 2) AS total_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session", "extension"),
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-minute inactivity closes a session)."""
+    return session_agg(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_dedup_first",
+    oracle="""
+        SELECT event_id, user_id, event_type, ts, value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    tags=("streaming", "dedup", "extension"),
+)
+def q_events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_first_per_key(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_json_props",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               count(*) AS n,
+               ROUND(sum(value), 2) AS total_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("streaming", "json", "extension"),
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + grouped aggregate (F.get_json_object)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            # sum/min/max of 2-dp doubles round-trip exactly; avg at 4 dp
+            # can land on a half-boundary where engines' rounding diverges
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
