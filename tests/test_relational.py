@@ -32,6 +32,12 @@ PARITY_QUERIES = [
     "intersect_buyers",
     "except_small_buyers",
     "distinct_order_months",
+    "full_outer_orders_events",
+    "override_join_balances",
+    "min_per_group_suppliers",
+    "cube_priority_status",
+    "orders_by_weekday",
+    "pandas_udf_normalize",
 ]
 
 

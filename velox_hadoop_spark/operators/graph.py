@@ -70,6 +70,7 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
+    prev_persisted = None
 
     for i in range(max_iters):
         contribs = (
@@ -91,12 +92,18 @@ def pagerank(
             # cut lineage: without this the plan doubles in depth per pass
             new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol is not None:
+            # persist: new_ranks feeds BOTH the delta scalar and the next
+            # iteration — without this the whole pass recomputes twice
+            new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
             delta = (
                 new_ranks.withColumnRenamed("rank", "new_rank")
                 .join(ranks, "node")
                 .agg(F.sum(F.abs(F.col("new_rank") - F.col("rank"))).alias("d"))
                 .first()["d"]
             )
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = new_ranks
             ranks = new_ranks
             if delta is not None and delta < tol:
                 break

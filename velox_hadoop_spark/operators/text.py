@@ -121,6 +121,32 @@ def q_aggregate_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pandas_udf_normalize",
+    oracle=r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+               CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        FROM documents
+    """,
+    tags=("udf", "pandas", "reference:§2.11"),
+)
+def q_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization through the Arrow/pandas UDF boundary.
+
+    Intentionally ALSO expressible as builtins (see oracle) so the
+    Python boundary itself is correctness-checked.
+    """
+    from velox_hadoop_spark.functions.udfs import normalize_text as norm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        norm(F.col("text")).alias("norm_text"),
+        F.length(norm(F.col("text"))).cast("long").alias("n_chars_norm"),
+    )
+
+
+@register(
     "grep",
     oracle=rf"""
         SELECT match, count(*) AS cnt
