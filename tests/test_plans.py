@@ -1,0 +1,137 @@
+"""Plan-shape regression tests: the optimizations the engine promises
+must be visible in the physical plan, not just hoped for.
+
+Guards: parquet filter pushdown + column pruning, broadcast-hash join
+selection, partial/final hash aggregation, bucketed co-located joins
+(no shuffle exchange), partition pruning on hive-layout writes, and
+salted-join semantics.
+"""
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.plans import registry
+from tests.conftest import SF_DIR
+
+
+def _formatted_plan(df) -> str:
+    je = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return je.explainString(mode)
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark):
+    df = registry.queries()["tpch_q6_forecast_revenue"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # projection pruning: only 4 of 11 lineitem columns reach the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q3_uses_broadcast_joins(spark):
+    df = registry.queries()["tpch_q3_shipping_priority"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_wordcount_has_partial_final_agg(spark):
+    df = registry.queries()["wordcount"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Pre-bucketed tables co-locate on the join key: SMJ without any
+    Exchange — the 100 TB co-located join pattern (replaces the
+    reference's KeyPartition.java hash co-partitioning)."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a previous aborted run may leave orphaned managed-table dirs behind
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    # force the shuffle-join path (broadcast would sidestep bucketing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _formatted_plan(j)
+        assert "Exchange" not in plan, plan  # no shuffle: buckets co-locate
+        assert "Bucketed: true" in plan
+        n = j.count()
+        assert n == li.count()  # every lineitem has its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partition_pruning_on_hive_layout(spark):
+    from velox_hadoop_spark.sources.multisource import write_partitioned_parquet
+
+    d = tempfile.mkdtemp(prefix="vhs_part_") + "/orders_p"
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    write_partitioned_parquet(orders, d, ["o_orderpriority"])
+    assert len([p for p in os.listdir(d) if p.startswith("o_orderpriority=")]) >= 2
+    pruned = spark.read.parquet(d).where(F.col("o_orderpriority") == "1-URGENT")
+    plan = _formatted_plan(pruned)
+    assert "PartitionFilters: [" in plan and "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
+    want = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert pruned.count() == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    from velox_hadoop_spark.operators.skew import salted_join, salted_agg
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    plain = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    salted = (
+        salted_join(li, orders, "l_orderkey", "o_orderkey", salt_src="l_linenumber")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    s = salted_agg(li, "l_returnflag", "l_quantity")
+    p = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("total"), F.count("*").alias("n")
+    )
+    got = {r.l_returnflag: (round(r.total, 6), r.n) for r in s.collect()}
+    want = {r.l_returnflag: (round(r.total, 6), r.n) for r in p.collect()}
+    assert got == want

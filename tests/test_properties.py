@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis): operator laws that must hold for
+any input, not just the fixtures — SURVEY §5.4.
+
+Spark-side properties use one shared session; data sizes are kept small
+(≤60 rows) so each example is a sub-second job. Settings cap example
+counts to keep the suite fast.
+"""
+
+from collections import Counter
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.operators.sort import global_rank
+from velox_hadoop_spark.operators.dedup import exact_dedup_groups
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.integers(min_value=-100, max_value=100)
+
+
+@given(rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_global_rank_is_a_permutation_of_sorted_order(spark, rows):
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], ["k", "v", "uid"]
+    )
+    ranked = global_rank(df, ["v", "uid"], "rank").collect()
+    assert sorted(r.rank for r in ranked) == list(range(1, len(rows) + 1))
+    by_rank = sorted(ranked, key=lambda r: r.rank)
+    assert [(r.v, r.uid) for r in by_rank] == sorted((r.v, r.uid) for r in ranked)
+
+
+@given(
+    left=st.lists(keys, min_size=0, max_size=30),
+    right=st.lists(keys, min_size=0, max_size=30),
+)
+@settings(**SETTINGS)
+def test_join_cardinality_is_product_of_key_multiplicities(spark, left, right):
+    lc, rc = Counter(left), Counter(right)
+    want = sum(lc[k] * rc[k] for k in lc)
+    ldf = spark.createDataFrame([(k,) for k in left], "k int")
+    rdf = spark.createDataFrame([(k,) for k in right], "k int")
+    got = ldf.join(rdf, "k").count()
+    assert got == want
+
+
+@given(rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_grouped_sum_matches_duckdb_on_random_frames(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {(r.k): (r.total, r.n) for r in df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count("*").alias("n")
+    ).collect()}
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["k", "v"]))
+    want = {
+        k: (total, n)
+        for k, total, n in con.sql(
+            "SELECT k, CAST(sum(v) AS BIGINT), count(*) FROM t GROUP BY k"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+@given(texts=st.lists(st.text(alphabet="abc ", min_size=0, max_size=12), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_ids(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    groups = exact_dedup_groups(df, "doc_id", "text").collect()
+    assert sum(g.n_copies for g in groups) == len(texts)
+    assert len(groups) == len(set(texts))
+    keepers = {g.keeper_id for g in groups}
+    firsts = {min(i for i, t2 in enumerate(texts) if t2 == t) for t in set(texts)}
+    assert keepers == firsts

@@ -38,6 +38,7 @@ PARITY_QUERIES = [
     "cube_priority_status",
     "orders_by_weekday",
     "pandas_udf_normalize",
+    "salted_join_lineitem_orders",
 ]
 
 

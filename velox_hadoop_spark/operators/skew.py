@@ -1,0 +1,100 @@
+"""Skew mitigation: salted joins and two-stage salted aggregation.
+
+The reference's answer to skew was work-stealing chunk scheduling
+(LeanInputFormat.java:30-76 + ZooKeeper) — it balances *input* skew but
+nothing downstream. Spark's AQE skew-join handles most shuffle skew at
+runtime; explicit salting remains the tool when one key dominates so
+hard that even split sub-partitions overwhelm a task (the classic
+null-key / power-law fact table at 100 TB).
+
+  * salted_join: fact rows get a random-ish salt in [0, S); the small
+    side is replicated S× with every salt value; join key becomes
+    (key, salt) so the hot key spreads over S tasks. Result set is
+    IDENTICAL to the unsalted join (oracle-checked below).
+  * salted_agg: two-stage aggregate — partial agg on (key, salt), final
+    agg on key. Tungsten's partial agg usually makes this redundant,
+    but it is the pattern for high-cardinality DISTINCT-style state
+    where map-side combine can't compress.
+
+The salt is deterministic (hash-mod of a unique column), so plans stay
+reproducible; a random salt (`F.rand`) works identically when
+reproducibility doesn't matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.plans.registry import register
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Inner equi-join with the fact side salted over ``n_salts`` buckets.
+
+    ``salt_src``: unique-ish fact column used to derive a deterministic
+    salt (defaults to the join key itself, which spreads only multi-row
+    keys — pass a row-unique column for true hot-key spreading).
+    """
+    src = salt_src or fact_key
+    f = fact.withColumn("__salt", F.pmod(F.xxhash64(F.col(src)), F.lit(n_salts)))
+    d = dim.crossJoin(
+        F.broadcast(
+            dim.sparkSession.range(n_salts).select(F.col("id").alias("__salt"))
+        )
+    )
+    cond = (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"])
+    return f.join(d, cond, "inner").drop(d["__salt"]).drop(f["__salt"])
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    n_salts: int = 8,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Two-stage sum: partial on (key, salt), final on key."""
+    src = salt_src or agg_col
+    partial = (
+        df.withColumn("__salt", F.pmod(F.xxhash64(F.col(src)), F.lit(n_salts)))
+        .groupBy(key, "__salt")
+        .agg(F.sum(agg_col).alias("__partial"), F.count("*").alias("__n"))
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__partial").alias("total"),
+        F.sum("__n").cast("long").alias("n"),
+    )
+
+
+@register(
+    "salted_join_lineitem_orders",
+    oracle="""
+        SELECT o.o_orderpriority, count(*) AS n,
+               ROUND(sum(l.l_extendedprice), 2) AS total_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join — result identical to the plain join (the
+    oracle IS the plain join), proving salting preserves semantics."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, "l_orderkey", "o_orderkey", n_salts=8, salt_src="l_linenumber"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

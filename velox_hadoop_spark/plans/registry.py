@@ -61,6 +61,7 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.agg  # noqa: F401
     import velox_hadoop_spark.operators.join  # noqa: F401
     import velox_hadoop_spark.operators.join2  # noqa: F401
+    import velox_hadoop_spark.operators.skew  # noqa: F401
     import velox_hadoop_spark.operators.sort  # noqa: F401
     import velox_hadoop_spark.operators.window  # noqa: F401
     import velox_hadoop_spark.operators.setops  # noqa: F401
