@@ -1,0 +1,61 @@
+"""TPC-H breadth + ranking/string functions + stateful streaming."""
+
+import tempfile
+
+import pytest
+
+from velox_hadoop_spark.catalog import read_table
+from tests.conftest import SF_DIR, assert_parity
+
+PARITY_QUERIES = [
+    "tpch_q4_priority_with_late_items",
+    "tpch_q10_returned_revenue",
+    "tpch_q12_priority_by_flag",
+    "tpch_q14_promo_revenue",
+    "exact_percentiles",
+    "ranking_breadth",
+    "string_functions",
+]
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_stateful_running_totals_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from velox_hadoop_spark.streaming.events import read_event_stream
+    from velox_hadoop_spark.streaming.stateful import stream_running_user_totals
+
+    d = tempfile.mkdtemp(prefix="vhs_state_")
+    events = read_table(spark, SF_DIR, "events")
+    events.write.mode("overwrite").parquet(d)
+
+    q = (
+        stream_running_user_totals(read_event_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per key per micro-batch; the final
+    # (max n_events) row per key is the lifetime total
+    final = spark.sql(
+        """
+        SELECT user_id, max_by(total_value, n_events) AS total_value,
+               max(n_events) AS n_events
+        FROM running_totals GROUP BY user_id
+        """
+    )
+    got = {r.user_id: (r.n_events, r.total_value) for r in final.collect()}
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got == want
