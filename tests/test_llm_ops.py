@@ -25,6 +25,7 @@ PARITY_QUERIES = [
     "ann_bruteforce_topk",
     "knn_top1_all",
     "embedding_lsh_buckets",
+    "ann_lsh_topk",
     "token_stats",
     "quality_score",
     "lang_id_ngram",

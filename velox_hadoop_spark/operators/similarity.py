@@ -209,13 +209,14 @@ def q_knn_top1_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_numpy(emb, k=1).drop("rnk")
 
 
-def _duck_bucket_sql() -> str:
+def _duck_bucket_ctes() -> str:
+    """CTE chain ``dims, proj, buckets`` shared by the bucket queries."""
     w = (
         "CASE WHEN CAST(('0x' || substr(md5(concat(plane, '|', pos)), 1, 15)) AS BIGINT) % 2 = 1 "
         "THEN 1.0 ELSE -1.0 END"
     )
     return f"""
-        WITH dims AS (
+        dims AS (
             SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
             FROM embeddings
             CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS t(i)
@@ -225,12 +226,18 @@ def _duck_bucket_sql() -> str:
             FROM dims d
             CROSS JOIN (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p
             GROUP BY d.vec_id, p.plane
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN proj >= 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj
+            GROUP BY vec_id
         )
-        SELECT vec_id,
-               CAST(sum(CASE WHEN proj >= 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
-        FROM proj
-        GROUP BY vec_id
     """
+
+
+def _duck_bucket_sql() -> str:
+    return f"WITH {_duck_bucket_ctes()} SELECT vec_id, bucket FROM buckets"
 
 
 @register(
@@ -242,3 +249,65 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection bucket id per vector (ANN scale path)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return hyperplane_buckets(emb)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+        WITH {_duck_bucket_ctes()},
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (
+            SELECT qb.vec_id AS query_id, nb.vec_id AS neighbor_id,
+                   qb.bucket AS bucket,
+                   {_DUCK_COS} AS cos
+            FROM buckets qb
+            JOIN buckets nb ON qb.bucket = nb.bucket AND nb.vec_id <> qb.vec_id
+            JOIN e q ON q.vec_id = qb.vec_id
+            JOIN e n ON n.vec_id = nb.vec_id
+        ),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS BIGINT) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, bucket, cos, rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    tags=("similarity", "ann", "lsh", "extension"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path end-to-end: candidates restricted to the query's
+    LSH bucket, then exact cosine re-ranking within the bucket.
+
+    At 100 TB this is the shape that survives: the all-pairs join is
+    replaced by a per-bucket equi-join whose fan-out is bucket size,
+    with AQE splitting any hot bucket."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    buckets = hyperplane_buckets(emb)
+    qb = buckets.select(F.col("vec_id").alias("query_id"), "bucket")
+    nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    cand = qb.join(nb, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
+    e_q = emb.select(F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv"))
+    e_n = emb.select(F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("nv"))
+    from velox_hadoop_spark.functions.vectors import dot, norm
+
+    scored = (
+        cand.join(e_q, "query_id")
+        .join(e_n, "neighbor_id")
+        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("nn", norm(F.col("nv")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round(dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
