@@ -24,6 +24,7 @@ PARITY_QUERIES = [
     "events_session_10m",
     "events_dedup_first",
     "events_json_props",
+    "events_from_json_struct",
     "tsv_roundtrip_lineitem",
 ]
 
@@ -97,3 +98,35 @@ def test_tsv_sink_writes_tabs(spark):
     assert files
     body = "".join(open(os.path.join(d, f)).read() for f in files)
     assert "1\ta" in body and "2\tb" in body
+
+
+def test_streaming_parquet_sink_with_checkpoint(spark, event_stream_dir):
+    """File sink + checkpoint dir: the exactly-once production topology
+    (memory sinks are test-only)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="vhs_sink_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="vhs_ckpt_")
+    stream = read_event_stream(spark, event_stream_dir)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).count()
+    want = read_table(spark, SF_DIR, "events").count()
+    assert got == want
+    # restart with same checkpoint: no new data -> no duplicates
+    q2 = (
+        read_event_stream(spark, event_stream_dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == want

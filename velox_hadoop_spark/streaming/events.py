@@ -211,6 +211,29 @@ def q_events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_from_json_struct",
+    oracle="""
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "json", "from_json", "extension"),
+)
+def q_events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: from_json into a typed struct column
+    (vs the path-extraction form in events_json_props)."""
+    events = read_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "p", F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    )
+    return parsed.groupBy(
+        "event_type", (F.col("p.k") % 10).alias("k_bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
     "events_json_props",
     oracle="""
         SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
