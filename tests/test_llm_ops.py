@@ -26,6 +26,8 @@ PARITY_QUERIES = [
     "knn_top1_all",
     "embedding_lsh_buckets",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
     "token_stats",
     "quality_score",
     "lang_id_ngram",

@@ -295,3 +295,68 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit (60 used) SimHash signature."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash64(docs, "doc_id", "text")
+
+
+def cosine_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
+    round(cos, 6) ≥ threshold, scored with the Arrow/numpy kernel.
+
+    The normalized corpus matrix is broadcast once; each Arrow batch of
+    rows is scored against it with one dgemm and only the ≥-threshold
+    upper-triangle pairs are emitted — output is |near-dup pairs|, never
+    n². At 100 TB the exact same kernel runs per LSH bucket (see
+    similarity.hyperplane_buckets) instead of against the full corpus;
+    this operator is the in-bucket scorer of that pipeline.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    pdf = corpus.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat_n))
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_n = bc.value
+        for pdf_q in batches:
+            q = np.array(pdf_q["embedding"].tolist(), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            cos = np.round(qn @ c_n.T, 6)
+            qids = pdf_q["vec_id"].to_numpy()
+            # upper triangle only (a < b) + threshold
+            keep = (cos >= threshold) & (qids[:, None] < c_ids[None, :])
+            qi, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "a_id": qids[qi],
+                    "b_id": c_ids[ci],
+                    "cos": cos[qi, ci],
+                }
+            )
+
+    out_schema = "a_id long, b_id long, cos double"
+    return corpus.select("vec_id", "embedding").mapInPandas(pairs, out_schema)
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   ROUND(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.45
+    """,
+    tags=("dedup", "embedding", "ann", "extension"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate document pairs (cos ≥ 0.45)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dup_pairs(emb, threshold=0.45)

@@ -151,6 +151,44 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     )
 
 
+def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the ``n_centroids`` lowest vec_ids — a deterministic
+    stand-in for a trained k-means codebook (at 100 TB you would train
+    centroids offline and broadcast them identically; the assignment
+    plan below — broadcast cross join + per-vector argmax — is the same
+    either way, and determinism keeps the DuckDB oracle exact).
+
+    One broadcast nested-loop (K rows) + one window per vector: no
+    shuffle of the corpus beyond the window's hash partition on vec_id.
+    """
+    from pyspark.sql import Window
+
+    from velox_hadoop_spark.functions.vectors import dot, norm
+
+    e = emb.select("vec_id", to_double(F.col("embedding")).alias("v")).withColumn(
+        "n", norm(F.col("v"))
+    )
+    cents = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        F.round(dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "v")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries (embeddings table)
 # ---------------------------------------------------------------------------
@@ -249,6 +287,79 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection bucket id per vector (ANN scale path)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return hyperplane_buckets(emb)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        scored AS (
+            SELECT e.vec_id, c.centroid_id,
+                   ROUND(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+            FROM e CROSS JOIN cents c
+        ),
+        assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, centroid_id
+                ) AS rn FROM scored
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT qa.vec_id AS query_id, na.vec_id AS neighbor_id,
+                   qa.centroid_id AS centroid_id, {_DUCK_COS} AS cos
+            FROM assign qa
+            JOIN assign na ON na.centroid_id = qa.centroid_id AND na.vec_id <> qa.vec_id
+            JOIN e q ON q.vec_id = qa.vec_id
+            JOIN e n ON n.vec_id = na.vec_id
+        ),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS BIGINT) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, centroid_id, cos, rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    tags=("similarity", "ann", "ivf", "extension"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1): coarse-quantize every vector to its nearest
+    centroid cell, then exact cosine top-3 within the query's own cell.
+
+    The 100 TB shape: centroid assignment is a broadcast of K centroids
+    (never a corpus shuffle); candidate generation is an equi-join on
+    centroid_id whose fan-out is cell size, with AQE splitting hot
+    cells. Raising nprobe = unioning the next-nearest cells."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = ivf_assign(emb, n_centroids=8)
+    qa = assign.select(F.col("vec_id").alias("query_id"), "centroid_id", F.col("v").alias("qv"))
+    na = assign.select(F.col("vec_id").alias("neighbor_id"), "centroid_id", F.col("v").alias("nv"))
+    from pyspark.sql import Window
+
+    from velox_hadoop_spark.functions.vectors import dot, norm
+
+    scored = (
+        qa.join(na, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "centroid_id",
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (norm(F.col("qv")) * norm(F.col("nv"))), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "centroid_id", "cos", "rnk")
+    )
 
 
 @register(
