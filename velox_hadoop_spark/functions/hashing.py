@@ -53,6 +53,22 @@ def spark_shingles(text_col: str, k: int) -> str:
     )
 
 
+def spark_shingles_from_words(words_col: str, k: int) -> str:
+    """Shingles from a pre-split words-array column.
+
+    Split the text into ``words_col`` in a SEPARATE upstream projection:
+    referencing the array column keeps the tokenizer evaluated once per
+    row, where inlining ``split()`` into the slice lambda would re-split
+    the text once per shingle (O(words²) per document). CollapseProject
+    leaves the two projections apart because split() is non-cheap.
+    """
+    return (
+        f"CASE WHEN size({words_col}) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size({words_col}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({words_col}, i, {k}))) END"
+    )
+
+
 def duck_shingle_cte(table: str, id_col: str, text_col: str, k: int) -> str:
     """DuckDB CTE body producing (id, shingle) distinct pairs."""
     joined = " || ' ' || ".join(f"words[i+{j}]" for j in range(k))

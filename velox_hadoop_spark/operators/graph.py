@@ -36,9 +36,13 @@ DAMPING = 0.85
 
 
 def adjacency(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Edge list → per-node sorted outlink array + initial rank 1.0."""
+    """Edge list → per-node sorted distinct-outlink array + initial rank 1.0.
+
+    ``collect_set`` dedups inside the aggregate, so a raw (possibly
+    duplicated) edge list needs only ONE shuffle — no upstream
+    ``distinct()`` exchange."""
     return edges.groupBy(src).agg(
-        F.array_sort(F.collect_list(dst)).alias("outlinks"),
+        F.array_sort(F.collect_set(dst)).alias("outlinks"),
         F.lit(1.0).alias("rank"),
     )
 
@@ -142,10 +146,12 @@ def _pagerank_oracle(iters: int, damping: float = DAMPING) -> str:
 
 
 def _lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Raw (duplicated) edges; consumers dedup where it matters —
+    # adjacency() via collect_set, pagerank() via its internal distinct.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.select(
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
-    ).distinct()
+    )
 
 
 @register(

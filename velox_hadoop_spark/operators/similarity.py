@@ -119,36 +119,48 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def hyperplane_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+def _plane_weights(n_planes: int, dims: int) -> list[list[float]]:
+    """±1 hyperplane weights from MD5 parity of "plane|pos" — computed
+    once on the driver with the exact same formula the DuckDB oracle
+    evaluates (md5 hex → first 15 chars → int → parity)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15], 16) % 2 == 1
+            else -1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_buckets(
+    emb: DataFrame, n_planes: int = N_PLANES, dims: int = 64
+) -> DataFrame:
     """Sign-random-projection LSH bucket per vector.
 
     Plane weights w(p,d) ∈ {±1} derive from MD5 parity of "p|d" — a
-    deterministic constant both engines (and every executor) recompute
-    locally. Bucket = Σₚ (Σ_d w(p,d)·v[d] ≥ 0) << p.
+    deterministic constant baked into the plan as literal arrays, so
+    the bucket is pure per-row math: for each plane a zip_with dot
+    product, then Σₚ (proj ≥ 0) << p. Zero shuffles, zero joins — the
+    corpus streams through whole-stage codegen once. (The previous
+    shape — posexplode dims × cross-join planes — built 512 rows per
+    vector and shuffled twice.)
     """
-    dims = emb.select(
-        "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
-    )
-    planes = dims.crossJoin(
-        F.broadcast(
-            dims.sparkSession.range(n_planes).select(F.col("id").alias("plane"))
+    w = _plane_weights(n_planes, dims)
+    v = to_double(F.col("embedding"))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        wlit = F.array(*[F.lit(x) for x in w[p]])
+        proj = F.aggregate(
+            F.zip_with(F.slice(wlit, F.lit(1), F.size(F.col("embedding"))), v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-    )
-    w = F.expr(
-        "CASE WHEN CAST(conv(substr(md5(concat(cast(plane AS STRING), '|', cast(pos AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 1 "
-        "THEN 1.0 ELSE -1.0 END"
-    )
-    sums = (
-        planes.select("vec_id", "plane", (w * F.col("x")).alias("wx"))
-        .groupBy("vec_id", "plane")
-        .agg(F.sum("wx").alias("proj"))
-    )
-    bit = F.when(F.col("proj") >= 0, F.lit(1)).otherwise(F.lit(0))
-    return (
-        sums.select("vec_id", (bit * F.expr("shiftleft(1, cast(plane AS INT))")).alias("b"))
-        .groupBy("vec_id")
-        .agg(F.sum("b").cast("long").alias("bucket"))
-    )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return emb.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
 def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
@@ -334,32 +346,39 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a corpus shuffle); candidate generation is an equi-join on
     centroid_id whose fan-out is cell size, with AQE splitting hot
     cells. Raising nprobe = unioning the next-nearest cells."""
+    import numpy as np
+    import pandas as pd
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assign = ivf_assign(emb, n_centroids=8)
-    qa = assign.select(F.col("vec_id").alias("query_id"), "centroid_id", F.col("v").alias("qv"))
-    na = assign.select(F.col("vec_id").alias("neighbor_id"), "centroid_id", F.col("v").alias("nv"))
-    from pyspark.sql import Window
 
-    from velox_hadoop_spark.functions.vectors import dot, norm
-
-    scored = (
-        qa.join(na, "centroid_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "centroid_id",
-            F.round(
-                dot(F.col("qv"), F.col("nv")) / (norm(F.col("qv")) * norm(F.col("nv"))), 6
-            ).alias("cos"),
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One dgemm per cell instead of |cell|² expression-tree cosines.
+        n_rows = len(pdf)
+        k = min(3, n_rows - 1)
+        if k < 1:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "centroid_id": [], "cos": [], "rnk": []}
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy())  # id-order ⇒ tie-break
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = np.round(nrm @ nrm.T, 6)
+        np.fill_diagonal(cos, -np.inf)  # ids unique ⇒ diagonal is self
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, k),
+                "neighbor_id": ids[top].ravel(),
+                "centroid_id": int(pdf["centroid_id"].iloc[0]),
+                "cos": np.take_along_axis(cos, top, axis=1).ravel(),
+                "rnk": np.tile(np.arange(1, k + 1), n_rows),
+            }
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 3)
-        .select("query_id", "neighbor_id", "centroid_id", "cos", "rnk")
-    )
+
+    out_schema = "query_id long, neighbor_id long, centroid_id long, cos double, rnk long"
+    return assign.groupBy("centroid_id").applyInPandas(cell_topk, out_schema)
 
 
 @register(

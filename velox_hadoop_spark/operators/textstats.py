@@ -135,14 +135,31 @@ def lang_id(df: DataFrame) -> DataFrame:
 
 
 def fingerprint(df: DataFrame) -> DataFrame:
-    """Shingle-set fingerprint: min/max hash + cardinality (winnowing-lite)."""
-    sh = df.select(
-        "doc_id", F.explode(F.expr(H.spark_shingles("text", 5))).alias("shingle")
-    ).distinct()
-    return sh.groupBy("doc_id").agg(
-        F.min(F.expr(H.spark_md5("shingle"))).alias("fp_min"),
-        F.max(F.expr(H.spark_md5("shingle"))).alias("fp_max"),
-        F.count("*").alias("n_shingles"),
+    """Shingle-set fingerprint: min/max hash + cardinality (winnowing-lite).
+
+    One row per document in, one out — so the whole fingerprint is
+    per-row array expressions (array_distinct → transform(md5) →
+    array_min/max): zero shuffles, fully inside whole-stage codegen.
+    Docs shorter than the shingle width produce no fingerprint (same as
+    the oracle's UNNEST of an empty set).
+    """
+    # Filter on word count, not on size(sh) — a size(sh) predicate gets
+    # pushed below the projections and re-inlines split() inside the
+    # slice lambda (one split per shingle). size(words) >= k is exactly
+    # "shingle set non-empty" and costs one split per row at the scan.
+    words = df.select("doc_id", F.split("text", r"\s+").alias("words")).where(
+        F.size(F.split("text", r"\s+")) >= 5
+    )
+    d = words.select(
+        "doc_id",
+        F.expr(f"array_distinct({H.spark_shingles_from_words('words', 5)})").alias("sh"),
+    )
+    hs = F.expr("transform(sh, s -> md5(s))")
+    return d.select(
+        "doc_id",
+        F.array_min(hs).alias("fp_min"),
+        F.array_max(hs).alias("fp_max"),
+        F.size("sh").cast("long").alias("n_shingles"),
     )
 
 

@@ -19,8 +19,8 @@ from velox_hadoop_spark.plans.registry import register
     oracle="""
         SELECT o.o_orderpriority, count(*) AS n_orders
         FROM orders o
-        WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
           AND EXISTS (
               SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
@@ -30,12 +30,12 @@ from velox_hadoop_spark.plans.registry import register
     tags=("tpch", "semi-join"),
 )
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 analog: orders (in 1994) having a late-shipping item."""
+    """TPC-H Q4 analog: orders (in 1996) having a late-shipping item."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     o94 = orders.where(
-        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     late = o94.join(
         li,
@@ -93,8 +93,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                         THEN 1 ELSE 0 END) AS low_line_count
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE l.l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND l.l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY l.l_returnflag
     """,
     tags=("tpch", "conditional-agg"),
@@ -106,8 +106,8 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
