@@ -15,6 +15,14 @@ PARITY_QUERIES = [
     "exact_percentiles",
     "ranking_breadth",
     "string_functions",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_count_distribution",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_rich_customers",
 ]
 
 

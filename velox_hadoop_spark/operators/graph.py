@@ -64,8 +64,14 @@ def pagerank(
     edges = edges.select(F.col("src"), F.col("dst")).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Pre-join degree onto the (static) edge list ONCE — the loop then
+    # does a single join per pass instead of two; the persisted frame
+    # keeps its hash partitioning on src across iterations.
+    edges_deg = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", "deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -78,8 +84,7 @@ def pagerank(
 
     for i in range(max_iters):
         contribs = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("deg")).alias("contrib"),
