@@ -20,6 +20,7 @@ PARITY_QUERIES = [
     "dedup_exact",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "dedup_clusters",
     "ngram_jaccard_pairs",
     "simhash_docs",
     "ann_bruteforce_topk",

@@ -28,6 +28,7 @@ PARITY_QUERIES = [
     "damped_rank_formula",
     "window_customer_orders",
     "window_rank_in_nation",
+    "window_trailing_30d_spend",
     "union_provenance",
     "intersect_buyers",
     "except_small_buyers",

@@ -26,6 +26,8 @@ PARITY_QUERIES = [
     "events_json_props",
     "events_from_json_struct",
     "tsv_roundtrip_lineitem",
+    "jsonl_roundtrip_orders",
+    "events_segment_enriched",
 ]
 
 
@@ -130,3 +132,23 @@ def test_streaming_parquet_sink_with_checkpoint(spark, event_stream_dir):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == want
+
+
+def test_stream_static_join_matches_batch(spark, event_stream_dir):
+    from velox_hadoop_spark.streaming.events import enrich_with_segment
+
+    customer = read_table(spark, SF_DIR, "customer")
+    stream = read_event_stream(spark, event_stream_dir)
+    q = run_available_now(
+        enrich_with_segment(stream, customer), "seg_test", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        r.c_mktsegment: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM seg_test").collect()
+    }
+    want = {
+        r.c_mktsegment: (r.n_events, r.total_value)
+        for r in enrich_with_segment(read_table(spark, SF_DIR, "events"), customer).collect()
+    }
+    assert got == want

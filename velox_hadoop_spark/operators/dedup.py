@@ -372,3 +372,109 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate document pairs (cos ≥ 0.45)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_near_dup_pairs(emb, threshold=0.45)
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair list → (node, lbl)
+    where lbl = min node id in the component.
+
+    Iterative min-label propagation (the standard Spark shape for CC):
+    each pass joins labels to neighbors and takes the min — label space
+    only shrinks, so the fixed point is exact. The driver pulls ONE
+    scalar per pass (did anything change?); labels are localCheckpointed
+    to keep lineage flat. Pass count is bounded by graph diameter, and
+    near-dup graphs are shallow (clusters are near-cliques), so 2-4
+    passes in practice.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(F.col("node").alias("v"), F.col("lbl").alias("vlbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+            .select(F.col("u").alias("node"), "nlbl")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.select("node", F.col("lbl").alias("old_lbl")), "node")
+            .where(F.col("lbl") != F.col("old_lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle=_duck_minhash_cte().replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + f""",
+        bands AS ({_BAND_KEYS}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_keeper
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    tags=("dedup", "lsh", "connected-components", "extension"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash-LSH candidate pairs → connected
+    components → per-document cluster id + keeper flag (keeper = min
+    doc_id of the cluster; singletons keep themselves).
+
+    This is the full 100 TB dedup pipeline shape: shingle → signature →
+    band join → CC label propagation, all shuffle-bounded; the oracle is
+    the same fixed point via a recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = minhash_signature(shingle_set(docs, "doc_id", "text"), "doc_id")
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    labels = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(labels.select(F.col("node").alias("doc_id"), "lbl"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lbl"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("lbl"), F.col("doc_id")) == F.col("doc_id")).alias("is_keeper"),
+        )
+    )

@@ -97,3 +97,37 @@ def q_window_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal_vs_nation_avg"
         ),
     )
+
+
+@register(
+    "window_trailing_30d_spend",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROUND(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ), 2) AS spend_30d
+        FROM orders
+    """,
+    tags=("window", "range-frame", "extension"),
+)
+def q_window_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: per-customer trailing-30-day spend.
+
+    Spark has no INTERVAL range frames, so the idiomatic equivalent is
+    rangeBetween over epoch seconds — value-based (all rows within 30
+    days, not 30 ROWS), identical to the oracle's INTERVAL frame
+    including duplicate-date handling (range frames include peers).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )

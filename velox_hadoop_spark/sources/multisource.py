@@ -89,3 +89,52 @@ def q_tsv_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink — one JSON object per line, splittable on read."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-enforced JSON-lines source (no inference pass at scale)."""
+    return spark.read.schema(schema).json(path)
+
+
+@register(
+    "jsonl_roundtrip_orders",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               ROUND(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("sources", "sink", "jsonl", "extension"),
+)
+def q_jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders to a JSON-lines sink, read back with an explicit
+    schema, aggregate — the semi-structured sibling of the TSV
+    roundtrip. Explicit schema on read avoids the inference scan
+    (a full extra pass at 100 TB)."""
+    import hashlib
+    import tempfile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/velox_hadoop_spark_jsonl_{tag}"
+    write_jsonl(orders, path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = read_jsonl(spark, path, schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -261,3 +261,42 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: events joined to the customer dimension
+    (broadcast — the static side ships once per executor, the stream
+    never shuffles), rolled up per market segment.
+
+    Works identically on a batch frame and a readStream frame — the
+    standard Spark pattern for dimension enrichment of an event feed.
+    """
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_segment_enriched",
+    oracle="""
+        SELECT c.c_mktsegment,
+               count(*) AS n_events,
+               ROUND(sum(e.value), 2) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "stream-static-join", "extension"),
+)
+def q_events_segment_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event feed enriched with the customer dimension, per-segment
+    rollup (batch form; the streaming runner joins the same dim against
+    readStream — see test_stream_static_join_matches_batch)."""
+    return enrich_with_segment(
+        read_table(spark, sf_dir, "events"), read_table(spark, sf_dir, "customer")
+    )
