@@ -81,25 +81,30 @@ def minhash_signature(shingles: DataFrame, id_col: str, n_seeds: int = MINHASH_S
 
 
 def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS, r: int = _R) -> DataFrame:
-    """Signature → (id, band_id, band_key) rows; equal band_key ⇒ candidate."""
-    out = []
-    for b in range(bands):
-        cols = [f"mh{b * r + j}" for j in range(r)]
-        out.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                F.concat_ws("|", *cols).alias("band_key"),
-            )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+    """Signature → (id, band_id, band_key) rows; equal band_key ⇒ candidate.
+
+    One posexplode over an array of band keys — a single pass over the
+    signatures. (A union of per-band projections re-evaluates the whole
+    upstream signature pipeline once per band.)
+    """
+    keys = [
+        F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.posexplode(F.array(*keys)).alias("band_id", "band_key")
+    )
 
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
-    """Distinct id pairs (a < b) sharing at least one band bucket."""
+    """Distinct id pairs (a < b) sharing at least one band bucket.
+
+    The band table is persisted before the self-join so the signature
+    pipeline (shingle → minhash → band) runs ONCE, not once per side.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    bands_df = bands_df.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_id", "band_key"
     )
@@ -375,20 +380,56 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (node, lbl)
     where lbl = min node id in the component.
 
-    Iterative min-label propagation (the standard Spark shape for CC):
-    each pass joins labels to neighbors and takes the min — label space
-    only shrinks, so the fixed point is exact. The driver pulls ONE
-    scalar per pass (did anything change?); labels are localCheckpointed
-    to keep lineage flat. Pass count is bounded by graph diameter, and
-    near-dup graphs are shallow (clusters are near-cliques), so 2-4
-    passes in practice.
+    Two regimes, picked by pair count:
+
+    * pairs ≤ ``driver_threshold``: union-find on the driver. After LSH
+      pruning the candidate-pair set is a small fraction of the corpus
+      (it is the whole point of the pruning), so even a 100 TB corpus
+      usually lands here — a few million pairs is tens of MB, and the
+      result returns as a DataFrame for the (distributed) join back to
+      the corpus.
+    * larger: iterative min-label propagation (the standard Spark CC
+      shape) — each pass joins labels to neighbors and takes the min;
+      label space only shrinks, so the fixed point is exact. One scalar
+      per pass leaves the executors; lineage is cut every 3 passes.
+      Pass count is bounded by graph diameter, and near-dup graphs are
+      shallow (clusters are near-cliques).
     """
     from pyspark.storagelevel import StorageLevel
+
+    pairs = pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    id_a, id_b = "id_a", "id_b"
+    if pairs.count() <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in pairs.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the label deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        pairs.unpersist()
+        return pairs.sparkSession.createDataFrame(rows, "node long, lbl long")
 
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = (
@@ -399,7 +440,8 @@ def connected_components(
     labels = (
         edges.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     )
-    for _ in range(max_iters):
+    prev_persisted = None
+    for i in range(max_iters):
         neigh = (
             edges.join(
                 labels.select(F.col("node").alias("v"), F.col("lbl").alias("vlbl")), "v"
@@ -408,20 +450,26 @@ def connected_components(
             .agg(F.min("vlbl").alias("nlbl"))
             .select(F.col("u").alias("node"), "nlbl")
         )
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
+        new_labels = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
         )
+        # Every few passes cut lineage with an eager checkpoint; in
+        # between, persist — the changed-count action below materializes
+        # the cache, so each pass runs exactly ONE job.
+        if (i + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_labels.join(labels.select("node", F.col("lbl").alias("old_lbl")), "node")
             .where(F.col("lbl") != F.col("old_lbl"))
             .limit(1)
             .count()
         )
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
             break
