@@ -135,3 +135,44 @@ def test_salted_join_matches_plain_join(spark):
     got = {r.l_returnflag: (round(r.total, 6), r.n) for r in s.collect()}
     want = {r.l_returnflag: (round(r.total, 6), r.n) for r in p.collect()}
     assert got == want
+
+
+def test_q19_pushes_disjunctive_brand_filter(spark):
+    """The OR-of-ANDs arms share brand/size conjuncts Catalyst can lift
+    into the part scan (Or pushed filter) instead of post-join filtering
+    everything."""
+    df = registry.queries()["tpch_q19_disjunctive_revenue"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("Or(" in l and "p_brand" in l for l in pushed), pushed
+
+
+def test_q9_broadcasts_nation(spark):
+    df = registry.queries()["tpch_q9_profit_by_nation_year"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_buckets_plan_has_no_shuffle(spark):
+    """Hyperplane bucketing is per-row literal math — a shuffle in this
+    plan means the explode/join shape regressed."""
+    df = registry.queries()["embedding_lsh_buckets"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "Exchange" not in plan
+
+
+def test_fingerprint_plan_has_no_shuffle_and_single_split(spark):
+    """Fingerprint is one pass of array expressions: no Exchange, and
+    the tokenizer must appear in ONE projection (re-inlined split()
+    inside the slice lambda is the O(words²) regression)."""
+    df = registry.queries()["doc_fingerprint"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") <= 2, plan.count("split(")
+    phys = _formatted_plan(df)
+    assert "Exchange" not in phys
+
+
+def test_q22_uses_anti_join(spark):
+    df = registry.queries()["tpch_q22_idle_rich_customers"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "LeftAnti" in plan

@@ -23,6 +23,7 @@ PARITY_QUERIES = [
     "tpch_q18_large_volume_orders",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_rich_customers",
+    "array_functions",
 ]
 
 
@@ -67,3 +68,28 @@ def test_stateful_running_totals_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL estimate within 3×rsd of the exact distinct count per group."""
+    from velox_hadoop_spark.plans import registry
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.s_nationkey: r.approx_parts
+        for r in registry.queries()["approx_distinct_parts_per_supplier"](
+            spark, SF_DIR
+        ).collect()
+    }
+    li = read_table(spark, SF_DIR, "lineitem")
+    supp = read_table(spark, SF_DIR, "supplier")
+    exact = {
+        r.s_nationkey: r.n
+        for r in li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(3, 0.15 * exact[k]), (k, est, exact[k])

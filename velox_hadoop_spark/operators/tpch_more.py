@@ -226,3 +226,69 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("c_name", "0").cast("long").alias("first_zero"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
     )
+
+
+@register(
+    "array_functions",
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               CAST(len(qs) AS BIGINT) AS n_items,
+               qs[1] AS q_min,
+               qs[-1] AS q_max,
+               ROUND(list_aggregate(qs, 'sum'), 2) AS q_sum,
+               qs[1:3] AS first3,
+               list_contains(qs, 1.0) AS has_one,
+               CAST(len(list_distinct(qs)) AS BIGINT) AS n_uniq
+        FROM per_order
+    """,
+    tags=("functions", "arrays", "extension"),
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over per-order quantity lists: sort,
+    element access, slice, fold-sum, membership, distinct cardinality —
+    all JVM array expressions after one grouped collect.
+
+    The sorted array makes the fold-sum's addition order identical in
+    both engines, so the double compares exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_quantity")).alias("qs")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("qs").cast("long").alias("n_items"),
+        F.element_at("qs", 1).alias("q_min"),
+        F.element_at("qs", -1).alias("q_max"),
+        F.round(
+            F.aggregate("qs", F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("q_sum"),
+        F.slice("qs", 1, 3).alias("first3"),
+        F.array_contains("qs", 1.0).alias("has_one"),
+        F.size(F.array_distinct("qs")).cast("long").alias("n_uniq"),
+    )
+
+
+@register(
+    "approx_distinct_parts_per_supplier",
+    oracle=None,  # HLL sketch values are engine-specific; rows-only check
+    tags=("sketch", "approx", "extension"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-part estimate per supplier nation.
+
+    The sketch aggregate is partial+final like any Tungsten agg — at
+    100 TB this replaces a shuffle of (nation, partkey) pairs with
+    fixed-size sketch merges. Accuracy is asserted against the exact
+    count in tests (rsd 5%); values are engine-specific so the driver
+    records a rows-only check."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"))
+    )
