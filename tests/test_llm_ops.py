@@ -98,3 +98,21 @@ def test_resize_stub_raises(spark):
     media = spark.createDataFrame([(1, "image", bytearray(b"x"), {})], MEDIA_SCHEMA)
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         resize_images(media, 8, 8).collect()
+
+
+def test_sample_frames_shape(spark):
+    from velox_hadoop_spark.operators.multimodal import sample_frames, _decode_stub
+
+    rows = [
+        (1, "video", bytearray(b"x" * 95), None),   # 96 frames -> idx 0,30,60,90
+        (2, "image", bytearray(b"img"), None),      # skipped
+        (3, "video", None, None),                   # null payload skipped
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sample_frames(media, every_k=30).collect()
+    n_frames = _decode_stub(b"x" * 95, "video")["n_frames"]
+    assert {r.media_id for r in got} == {1}
+    assert [r.frame_idx for r in sorted(got, key=lambda r: r.frame_idx)] == list(
+        range(0, n_frames, 30)
+    )
+    assert all(len(r.frame_digest) == 64 for r in got)

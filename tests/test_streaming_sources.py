@@ -28,6 +28,7 @@ PARITY_QUERIES = [
     "tsv_roundtrip_lineitem",
     "jsonl_roundtrip_orders",
     "events_segment_enriched",
+    "events_click_to_purchase",
 ]
 
 
@@ -150,5 +151,38 @@ def test_stream_static_join_matches_batch(spark, event_stream_dir):
     want = {
         r.c_mktsegment: (r.n_events, r.total_value)
         for r in enrich_with_segment(read_table(spark, SF_DIR, "events"), customer).collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, event_stream_dir):
+    """Watermarked stream-stream interval join drains to the same pairs
+    as the batch join (append mode — interval joins emit once closed)."""
+    from velox_hadoop_spark.streaming.events import click_to_purchase
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purch = split(read_event_stream(spark, event_stream_dir))
+    q = run_available_now(
+        click_to_purchase(
+            s_clicks.withWatermark("ts", "1 hour"),
+            s_purch.withWatermark("ts", "1 hour"),
+        ),
+        "ss_join_test",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+    b_clicks, b_purch = split(read_table(spark, SF_DIR, "events"))
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in click_to_purchase(b_clicks, b_purch).collect()
     }
     assert got == want

@@ -24,6 +24,7 @@ PARITY_QUERIES = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_rich_customers",
     "array_functions",
+    "sql_q8_market_share",
 ]
 
 

@@ -135,3 +135,40 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("digest"),
         F.substring(F.sha2(payload, 256), 1, 8).alias("magic"),
     )
+
+
+def sample_frames(media: DataFrame, every_k: int = 30) -> DataFrame:
+    """Video frame sampling: one output row per kept frame index — the
+    1-row→N-rows mapInPandas shape for frame extraction pipelines.
+
+    Frame count comes from the (stubbed) decoder; the actual pixel
+    extraction seam is ``_decode_stub``. Output is (media_id, frame_idx,
+    frame_digest) — at scale the digest column becomes the frame
+    payload and maxPartitionBytes bounds per-task memory.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["media_type"] != "video" or r["payload"] is None:
+                    continue
+                d = _decode_stub(r["payload"], "video")
+                for idx in range(0, d["n_frames"], every_k):
+                    out.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": idx,
+                            "frame_digest": hashlib.sha256(
+                                bytes(r["payload"]) + idx.to_bytes(4, "big")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_digest"]
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, frame_idx int, frame_digest string"
+    )

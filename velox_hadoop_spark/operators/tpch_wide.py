@@ -307,3 +307,40 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# One SQL text, two engines: the query below is executed verbatim by
+# spark.sql() (over catalog temp views) AND as the DuckDB oracle —
+# demonstrating that the engine exposes a full ANSI-SQL surface, not
+# just the DataFrame API.
+_Q8_SQL = """
+    SELECT o_year,
+           ROUND(sum(CASE WHEN nation = 'NATION_5' THEN revenue ELSE 0 END)
+                 / sum(revenue), 4) AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS revenue,
+               n.n_name AS nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ) AS t
+    GROUP BY o_year
+"""
+
+
+@register(
+    "sql_q8_market_share",
+    oracle=_Q8_SQL,
+    tags=("sql-interface", "tpch", "extension"),
+)
+def q_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analog (one nation's revenue share per year) executed as raw
+    SQL text through spark.sql over registered catalog views — the
+    identical string is the DuckDB oracle, so this also pins the SQL
+    dialect subset the engine promises to be portable."""
+    from velox_hadoop_spark.catalog import Catalog
+
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_Q8_SQL)

@@ -300,3 +300,52 @@ def q_events_segment_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_with_segment(
         read_table(spark, sf_dir, "events"), read_table(spark, sf_dir, "customer")
     )
+
+
+def click_to_purchase(clicks: DataFrame, purchases: DataFrame, horizon: str = "10 minutes") -> DataFrame:
+    """Event-to-event interval join: each click paired with the same
+    user's purchases within ``horizon`` after it.
+
+    Works on batch frames directly; on streams, add ``withWatermark`` to
+    BOTH sides (see test_stream_stream_join_matches_batch) and Spark
+    bounds the join state to the watermark+interval horizon — the
+    stream-stream join shape for funnel/attribution at scale.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (c["user_id"] == p["user_id"])
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("click_id", "purchase_id", c["user_id"].alias("user_id"), "click_ts", "purchase_ts")
+
+
+@register(
+    "events_click_to_purchase",
+    oracle="""
+        SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+               a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTES
+    """,
+    tags=("streaming", "stream-stream-join", "interval-join", "extension"),
+)
+def q_events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs within a 10-minute horizon
+    (batch form of the watermarked stream-stream interval join)."""
+    ev = read_table(spark, sf_dir, "events")
+    return click_to_purchase(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
