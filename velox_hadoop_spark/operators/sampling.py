@@ -1,0 +1,161 @@
+"""Deterministic sampling & dataset-split operators. [extension]
+
+Training-data curation needs sampling that is (a) reproducible across
+runs and engines, (b) stable under repartitioning, and (c) cheap at
+100 TB. ``df.sample()`` satisfies none of these (seeded per-partition
+RNG — results change with partitioning), so every operator here keys
+off the cross-engine 60-bit MD5 hash (``functions/hashing.py``): a row
+is sampled iff ``hash(seed|key) % N < threshold``. That is a pure
+narrow projection + filter — no shuffle, no state, pushed into the
+scan — and the DuckDB oracle evaluates the identical formula.
+
+Not in the reference (its only row-dropping is malformed-line skips,
+reference: src/main/java/org/dicl/velox/benchmark/PreMapper.java:22-25).
+
+Scale notes: percent/stratified/split sampling are shuffle-free map
+operators. ``capped_per_group`` ranks by hash within each group — one
+shuffle on the group key; for bounded caps at 100 TB this is the
+standard "max k docs per domain" balancing pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.functions.hashing import duck_md5_int60, spark_md5_int60, seeded
+from velox_hadoop_spark.plans.registry import register
+
+SEED = "split42"
+
+
+def _bucket_expr_spark(key: str, seed: str = SEED, n: int = 100) -> F.Column:
+    """0..n-1 bucket from the cross-engine hash (JVM-side, codegen)."""
+    return F.expr(spark_md5_int60(seeded(key, seed))) % n
+
+
+def _bucket_expr_duck(key: str, seed: str = SEED, n: int = 100) -> str:
+    return f"{duck_md5_int60(seeded(key, seed))} % {n}"
+
+
+def deterministic_sample(df: DataFrame, key: str, pct: int, seed: str = SEED) -> DataFrame:
+    """Keep ~pct% of rows, chosen by hash bucket of ``key``.
+
+    Partitioning-independent and repeatable: the same row is kept in
+    every run on every engine (unlike ``df.sample``)."""
+    return df.where(_bucket_expr_spark(key, seed) < pct)
+
+
+def assign_split(df: DataFrame, key: str, train_pct: int = 80, seed: str = SEED) -> DataFrame:
+    """Label each row train/test by hash bucket — a disjoint,
+    exhaustive, reproducible split (the leakage-safe way to split a
+    corpus: membership depends only on the key, never on row order)."""
+    return df.withColumn(
+        "split",
+        F.when(_bucket_expr_spark(key, seed) < train_pct, F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata: str, key: str, fractions: dict[str, int], seed: str = SEED
+) -> DataFrame:
+    """Per-stratum sampling rates (percent per stratum value), e.g.
+    downsample dominant languages while keeping the tail whole."""
+    # nested CASE of per-value thresholds, default 0 (unlisted strata drop)
+    pct_col = F.lit(0)
+    for value, p in fractions.items():
+        pct_col = F.when(F.col(strata) == value, p).otherwise(pct_col)
+    return df.where(_bucket_expr_spark(key, seed) < pct_col)
+
+
+def capped_per_group(df: DataFrame, group: str, key: str, cap: int, seed: str = SEED) -> DataFrame:
+    """At most ``cap`` rows per group, chosen by hash order (determin-
+    istic, unbiased within the group). The balancing pass that stops a
+    single domain/language from dominating a training mix."""
+    order = F.expr(spark_md5_int60(seeded(key, seed)))
+    rn = F.row_number().over(Window.partitionBy(group).orderBy(order, F.col(key)))
+    return df.withColumn("_rn", rn).where(F.col("_rn") <= cap).drop("_rn")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@register(
+    "sample_documents_10pct",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE {_bucket_expr_duck("doc_id")} < 10
+    """,
+    tags=("sampling", "deterministic", "extension"),
+)
+def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% hash-sample of documents — shuffle-free, engine-portable."""
+    return deterministic_sample(_docs(spark, sf_dir), "doc_id", 10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "train_test_split_counts",
+    oracle=f"""
+        SELECT CASE WHEN {_bucket_expr_duck("doc_id")} < 80
+                    THEN 'train' ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM documents GROUP BY split
+    """,
+    tags=("sampling", "split", "extension"),
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 hash split of the corpus, counted per side."""
+    return (
+        assign_split(_docs(spark, sf_dir), "doc_id", 80)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_STRATA = {"en": 20, "de": 100, "fr": 100, "es": 100, "zh": 50}
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {_bucket_expr_duck("doc_id")} <
+              CASE lang {" ".join(f"WHEN '{v}' THEN {p}" for v, p in _STRATA.items())}
+                   ELSE 0 END
+    """,
+    tags=("sampling", "stratified", "extension"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified sample: downsample dominant 'en' to 20%,
+    'zh' to 50%, keep the tail languages whole."""
+    return stratified_sample(_docs(spark, sf_dir), "lang", "doc_id", _STRATA).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "capped_docs_per_source",
+    oracle=f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {duck_md5_int60(seeded("doc_id", SEED))}, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 40
+    """,
+    tags=("sampling", "balancing", "extension"),
+)
+def q_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance the corpus: at most 40 docs per source, hash-ordered."""
+    return capped_per_group(_docs(spark, sf_dir), "source", "doc_id", 40).select(
+        "doc_id", "source"
+    )
