@@ -116,3 +116,28 @@ def test_sample_frames_shape(spark):
         range(0, n_frames, 30)
     )
     assert all(len(r.frame_digest) == 64 for r in got)
+
+
+def test_inline_minhash_matches_exploded_and_is_shuffle_free(spark):
+    """The in-row signature (array_min over transform) must produce the
+    exact rows of the exploded groupBy form, with no Exchange in the
+    physical plan (the whole point of the rewrite)."""
+    from velox_hadoop_spark.operators.dedup import minhash_signature_inline
+
+    df = _docs(
+        spark,
+        [
+            "w1 w2 w3 w4 w5 w6 w7",
+            "w1 w2 w3 w4 w5 w6 w7",
+            "a b c d e f g h i j",
+            "too short",  # < k words: dropped by both forms
+        ],
+    )
+    exploded = {
+        tuple(r) for r in minhash_signature(shingle_set(df, "doc_id", "text"), "doc_id").collect()
+    }
+    inline_df = minhash_signature_inline(df, "doc_id", "text")
+    inline = {tuple(r) for r in inline_df.collect()}
+    assert inline == exploded and len(inline) == 3
+    plan = inline_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -28,6 +28,15 @@ from pyspark.sql import functions as F
 
 from velox_hadoop_spark.functions import hashing as H
 from velox_hadoop_spark.plans.registry import register
+from velox_hadoop_spark.session import parallelize_if_narrow_input
+
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Signature/shingle pipelines are per-row compute heavy; make sure
+    # an under-partitioned scan doesn't serialize them (no-op at scale).
+    return parallelize_if_narrow_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 SHINGLE_K = 5          # words per shingle
 MINHASH_SEEDS = 8      # signature length
@@ -78,6 +87,41 @@ def minhash_signature(shingles: DataFrame, id_col: str, n_seeds: int = MINHASH_S
         for s in range(n_seeds)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature_inline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_seeds: int = MINHASH_SEEDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """MinHash signature computed entirely in-row: ``array_min`` over a
+    ``transform`` of the shingle array — the shuffle-free form.
+
+    Equivalent to ``minhash_signature(shingle_set(...))`` (min is
+    duplicate-insensitive, so skipping the distinct changes nothing)
+    but compiles to scan → project → project with ZERO exchanges, where
+    the exploded form shuffles (id, shingle) twice (distinct + groupBy).
+    At 100 TB that is the difference between a map-only pass and two
+    all-to-all shuffles of the shingle multiset (~10× the corpus size).
+    Docs with fewer than ``k`` words have no shingles and are dropped,
+    matching the exploded/oracle behavior.
+    """
+    words = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("words"))
+    shing = words.where(F.size("words") >= k).select(
+        F.col(id_col),
+        F.expr(H.spark_shingles_from_words("words", k)).alias("shingles"),
+    )
+    return shing.select(
+        F.col(id_col),
+        *[
+            F.expr(f"array_min(transform(shingles, x -> md5(concat('{s}|', x))))").alias(
+                f"mh{s}"
+            )
+            for s in range(n_seeds)
+        ],
+    )
 
 
 def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS, r: int = _R) -> DataFrame:
@@ -227,8 +271,8 @@ def _duck_minhash_cte() -> str:
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (8 seeded min-wise hashes)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_signature(shingle_set(docs, "doc_id", "text"), "doc_id")
+    docs = _docs_par(spark, sf_dir)
+    return minhash_signature_inline(docs, "doc_id", "text")
 
 
 _BAND_KEYS = " UNION ALL ".join(
@@ -251,8 +295,8 @@ _BAND_KEYS = " UNION ALL ".join(
 )
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (4 bands × 2 rows)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sig = minhash_signature(shingle_set(docs, "doc_id", "text"), "doc_id")
+    docs = _docs_par(spark, sf_dir)
+    sig = minhash_signature_inline(docs, "doc_id", "text")
     return lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
 
 
@@ -276,7 +320,7 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard for pairs sharing at least one shingle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_par(spark, sf_dir)
     return jaccard_pairs(shingle_set(docs, "doc_id", "text"), "doc_id")
 
 
@@ -311,6 +355,8 @@ def _duck_simhash_sql() -> str:
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit (60 used) SimHash signature."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # (plain read: simhash redistributes at the token-distinct shuffle, so
+    # the heavy post-shuffle hashing is already parallel)
     return simhash64(docs, "doc_id", "text")
 
 
@@ -513,8 +559,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the full 100 TB dedup pipeline shape: shingle → signature →
     band join → CC label propagation, all shuffle-bounded; the oracle is
     the same fixed point via a recursive CTE."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sig = minhash_signature(shingle_set(docs, "doc_id", "text"), "doc_id")
+    docs = _docs_par(spark, sf_dir)
+    sig = minhash_signature_inline(docs, "doc_id", "text")
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
     labels = connected_components(pairs)
     return (

@@ -71,6 +71,34 @@ def get_spark(
     return spark
 
 
+def parallelize_if_narrow_input(df, min_partitions: int | None = None):
+    """Round-robin repartition ONLY when the scan under-parallelizes.
+
+    Compute-heavy narrow pipelines (MinHash, SimHash, fingerprinting,
+    per-row UDF featurization) inherit the scan's partition count. On a
+    real deployment (100 TB = thousands of parquet row groups) that is
+    ample and this helper is a no-op — the check costs one metadata
+    call, no job. On few-file/single-row-group inputs (small SFs, or a
+    badly compacted table) the scan yields fewer partitions than cores
+    and the whole pipeline runs near-serial; one cheap shuffle of the
+    raw input then unlocks full parallelism. This is the input-side
+    analog of the reference's chunk over-provisioning
+    (reference: src/main/java/org/dicl/velox/mapreduce/
+    LeanInputFormat.java:54-64 over-splits blocks so every map slot
+    gets work) — expressed as a conditional repartition instead of a
+    custom scheduler.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    target = min_partitions or (
+        spark.sparkContext.defaultParallelism if spark is not None else 8
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
