@@ -25,6 +25,8 @@ def test_grep_orders_desc(spark):
     assert {r.match for r in rows} == {"sort", "scan", "sun"}
 
 
-@pytest.mark.parametrize("name", ["wordcount", "aggregate_wordcount", "grep"])
+@pytest.mark.parametrize(
+    "name", ["wordcount", "aggregate_wordcount", "grep", "udaf_geomean_price"]
+)
 def test_oracle_parity(spark, duck, name):
     assert_parity(spark, duck, name)

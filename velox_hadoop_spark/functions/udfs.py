@@ -20,3 +20,18 @@ from pyspark.sql.functions import pandas_udf
 def normalize_text(s: pd.Series) -> pd.Series:
     """Lowercase + squeeze runs of whitespace + strip."""
     return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+@pandas_udf("double")
+def geomean(v: pd.Series) -> float:
+    """Grouped-aggregate (UDAF) pandas UDF: geometric mean of a positive
+    series. Spark feeds each group's column as one Arrow batch; the
+    return is the group's scalar. Partial aggregation does NOT apply to
+    grouped-agg UDFs — the whole group ships to Python — so reserve
+    this surface for aggregates SQL can't express; geomean itself has
+    the exp(avg(ln)) identity, which is what the DuckDB oracle uses to
+    cross-check the UDF path end-to-end.
+    """
+    import numpy as np
+
+    return float(np.exp(np.log(v.to_numpy()).mean()))

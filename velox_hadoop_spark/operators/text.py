@@ -163,3 +163,25 @@ def q_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return grep(docs, "text", _GREP_PATTERN)
+
+
+@register(
+    "udaf_geomean_price",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf", "pandas", "reference:§2.11"),
+)
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF surface): geometric mean of
+    extended price per return flag, cross-checked against the
+    exp(avg(ln)) builtin identity in the oracle."""
+    from velox_hadoop_spark.functions.udfs import geomean
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 4).alias("geomean_price")
+    )

@@ -1,0 +1,103 @@
+"""Time-series operators: spine generation, gap-fill, forward-fill.
+[extension]
+
+The hypertable/rollup pattern: aggregate events to a fixed grain, then
+densify the result so every (entity, bucket) exists — missing buckets
+get zero counts and a forward-filled carry of the last observed value.
+The reference has no time semantics at all (its only timestamps are
+profiling counters, reference: src/main/java/org/dicl/velox/mapreduce/
+LeanRecordReader.java:88-91); this is the batch face of the streaming
+windows in ``streaming/events.py``.
+
+Scale notes: the spine is ``users × days`` — built from a broadcast
+1-row min/max aggregate and an exploded ``sequence()``, so its size is
+bounded by entity-count × grain and never by event volume. The dense
+join is an equi-join on (entity, bucket) and the forward-fill is one
+window shuffle on the entity key. Nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.catalog import read_table
+from velox_hadoop_spark.plans.registry import register
+
+
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """Events → one row per (user, day) with count and rounded value sum."""
+    return events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+
+
+def gap_fill_daily(events: DataFrame) -> DataFrame:
+    """Densified per-user daily series over the global [min, max] day
+    range: absent days appear with ``n_events = 0`` and ``day_value``
+    NULL, and ``filled_value`` carries the last observed day_value
+    forward (leading gaps stay NULL).
+    """
+    daily = daily_rollup(events)
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    spine = events.select("user_id").distinct().crossJoin(F.broadcast(days))
+    ffill = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(ffill).alias("filled_value"),
+        )
+    )
+
+
+@register(
+    "events_gap_fill_daily",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('day', min(ts)) AS d0,
+                   date_trunc('day', max(ts)) AS d1
+            FROM events
+        ),
+        days AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ),
+        spine AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days d
+        ),
+        daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   count(*) AS n_events, ROUND(sum(value), 2) AS day_value
+            FROM events GROUP BY user_id, day
+        )
+        SELECT s.user_id, s.day,
+               coalesce(d.n_events, 0) AS n_events,
+               d.day_value,
+               last_value(d.day_value IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    tags=("timeseries", "gap-fill", "extension"),
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily event series with forward-filled values."""
+    return gap_fill_daily(read_table(spark, sf_dir, "events"))
