@@ -141,3 +141,41 @@ def test_inline_minhash_matches_exploded_and_is_shuffle_free(spark):
     assert inline == exploded and len(inline) == 3
     plan = inline_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_chunking_parity(spark, duck):
+    assert_parity(spark, duck, "chunk_documents_overlap")
+
+
+def test_redact_pii_parity(spark, duck):
+    assert_parity(spark, duck, "redact_pii_docs")
+
+
+def test_chunk_boundaries_and_overlap(spark):
+    from velox_hadoop_spark.operators.textstats import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=60, overlap=15).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # starts at 0, 45, 90 → 3 chunks of 60, 55, 10 tokens
+    assert [(r.chunk_id, r.n_tokens) for r in d1] == [(0, 60), (1, 55), (2, 10)]
+    # overlap: chunk 1 begins 15 tokens before chunk 0 ends
+    assert d1[1].chunk_text.split()[0] == "t45"
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert [(r.chunk_id, r.n_tokens) for r in d2] == [(0, 2)]
+
+
+def test_redaction_masks_emails_and_numbers(spark):
+    from velox_hadoop_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b@x.org or call 123456789 now"), (2, "clean text")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.redacted_text, r.was_redacted) for r in redact_pii(df).collect()}
+    assert got[1] == ("mail me at <EMAIL> or call <NUM> now", True)
+    assert got[2] == ("clean text", False)

@@ -269,3 +269,112 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# Chunking + redaction (context-window prep for LLM pipelines)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 60      # whitespace tokens per chunk
+CHUNK_OVERLAP = 15     # tokens shared between consecutive chunks
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-count chunks.
+
+    tokens → sliding window starts (``sequence`` with the stride) →
+    ``slice`` + ``concat_ws`` per start → explode. One narrow pass, all
+    in codegen: the natural prep step for context-window-bounded
+    training samples. Output: (id, chunk_id, n_tokens, chunk_text);
+    ``chunk_id`` is the 0-based window index, last chunk may be short.
+    Only the final window that still contains new tokens is emitted
+    (starts stop at the text length).
+    """
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be smaller than chunk_tokens"
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("w")
+    )
+    return words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(w), 1), {stride}), "
+                f"s -> concat_ws(' ', slice(w, s, {chunk_tokens})))"
+            )
+        ).alias("chunk_id", "chunk_text"),
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).alias("n_tokens"),
+        "chunk_text",
+    )
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+        SELECT doc_id, CAST(s.i AS INTEGER) AS chunk_id,
+               CAST(len(string_split_regex(chunk_text, '\\s+')) AS INTEGER) AS n_tokens,
+               chunk_text
+        FROM (
+            SELECT doc_id, i,
+                   array_to_string(w[1 + i * {_STRIDE} : i * {_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+                  FROM documents)
+            CROSS JOIN UNNEST(generate_series(0,
+                CAST(ceil(greatest(len(w), 1) / {_STRIDE}.0) AS BIGINT) - 1)) AS s(i)
+            WHERE 1 + i * {_STRIDE} <= greatest(len(w), 1)
+        ) AS s
+    """,
+    tags=("llm", "chunking", "extension"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping {CHUNK_TOKENS}-token chunks (stride {_STRIDE}) per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs)
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_DIGITS9_RE = "[0-9]{9,}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask email addresses and long digit runs — the regex-scrub shape
+    of a PII pass (real deployments add NER models via mapInPandas;
+    the plan shape is identical). Pure codegen regexp_replace."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), _EMAIL_RE, "<EMAIL>"),
+        _DIGITS9_RE,
+        "<NUM>",
+    )
+    return df.withColumn("redacted_text", cleaned).withColumn(
+        "was_redacted", F.col("redacted_text") != F.col(text_col)
+    )
+
+
+@register(
+    "redact_pii_docs",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_DIGITS9_RE}', '<NUM>', 'g') AS redacted_text,
+               regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_DIGITS9_RE}', '<NUM>', 'g') <> text AS was_redacted
+        FROM documents
+    """,
+    tags=("llm", "pii", "extension"),
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/long-number redaction over the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return redact_pii(docs).select("doc_id", "redacted_text", "was_redacted")
