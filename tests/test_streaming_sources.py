@@ -186,3 +186,20 @@ def test_stream_stream_join_matches_batch(spark, event_stream_dir):
         for r in click_to_purchase(b_clicks, b_purch).collect()
     }
     assert got == want
+
+
+def test_compact_parquet_reduces_files_preserving_rows(spark, tmp_path):
+    import glob
+
+    from velox_hadoop_spark.sources.multisource import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    li = read_table(spark, SF_DIR, "lineitem")
+    li.repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 40
+
+    n = compact_parquet(spark, src, dst, target_file_mb=128)
+    out_files = glob.glob(f"{dst}/part-*")
+    assert len(out_files) == n and n < 5  # few MB of data -> ~1 file
+    assert spark.read.parquet(dst).count() == li.count()

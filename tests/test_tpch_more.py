@@ -94,3 +94,25 @@ def test_approx_distinct_within_tolerance(spark):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(3, 0.15 * exact[k]), (k, est, exact[k])
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """Sketch percentiles within 1% relative error of exact ones."""
+    from pyspark.sql import functions as F
+
+    from velox_hadoop_spark.plans import registry
+
+    approx = {
+        r.l_returnflag: (r.p50, r.p95, r.p99)
+        for r in registry.queries()["approx_percentiles_price"](spark, SF_DIR).collect()
+    }
+    li = read_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.l_returnflag: r.ps
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("ps"))
+        .collect()
+    }
+    for flag, (a50, a95, a99) in approx.items():
+        for a, e in zip((a50, a95, a99), exact[flag]):
+            assert abs(a - e) / e < 0.01, (flag, a, e)

@@ -292,3 +292,29 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"))
     )
+
+
+@register(
+    "approx_percentiles_price",
+    oracle=None,  # t-digest/GK sketch results are engine-specific; rows-only
+    tags=("sketch", "approx", "percentile", "extension"),
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of extended price per return flag via
+    Spark's GK-sketch ``approx_percentile`` (accuracy 10_000 ≈ 0.01%).
+
+    Like the HLL query, the sketch is a partial+final aggregate: at
+    100 TB each partition condenses to a fixed-size summary and only
+    sketches merge at the shuffle — exact percentiles would instead
+    sort-shuffle the full value column per group. Accuracy is asserted
+    against the exact percentiles in tests; the driver records a
+    rows-only check (sketch values are engine-specific)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(pcts[0], 2).alias("p50"),
+        F.round(pcts[1], 2).alias("p95"),
+        F.round(pcts[2], 2).alias("p99"),
+    )

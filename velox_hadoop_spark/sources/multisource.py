@@ -138,3 +138,31 @@ def q_jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files.
+
+    The table-maintenance pass for the small-files problem: thousands
+    of tiny files (streaming sinks, over-parallel writers) destroy scan
+    parallelism planning and NameNode/listing performance at 100 TB.
+    Sizing comes from the filesystem's content summary (works on any
+    Hadoop FS — HDFS, S3A, local), not from a driver-side collect;
+    ``coalesce`` (narrow, no shuffle) reduces partition count when
+    we're shrinking the file count, which is the compaction direction.
+    Returns the target file count.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = path.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(path).getLength()
+    n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files
