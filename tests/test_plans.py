@@ -176,3 +176,41 @@ def test_q22_uses_anti_join(spark):
     df = registry.queries()["tpch_q22_idle_rich_customers"](spark, SF_DIR)
     plan = _formatted_plan(df)
     assert "LeftAnti" in plan
+
+
+def test_q20_semi_join_and_date_pushdown(spark):
+    """Q20: the IN-subquery compiles to a semi join against the HAVING
+    aggregate, and the ship-date window reaches the lineitem scan."""
+    df = registry.queries()["tpch_q20_bulk_shippers"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q21_single_fact_aggregation_no_cartesian(spark):
+    """Q21: both EXISTS are decorrelated into ONE per-order aggregation
+    (two countDistinct over the same grouping) — no nested-loop or
+    cartesian join anywhere in the plan."""
+    df = registry.queries()["tpch_q21_waiting_suppliers"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the two countDistincts compile to Spark's Expand+gid distinct
+    # rewrite inside one aggregation chain
+    assert "Expand" in plan and "FILTER (WHERE (gid" in plan
+
+
+def test_q15_broadcasts_scalar_max(spark):
+    """Q15: the max-revenue scalar arrives via a broadcast join, never
+    a driver collect."""
+    df = registry.queries()["tpch_q15_top_supplier"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gap_fill_spine_is_broadcast(spark):
+    """Gap-fill: the day spine (users x days) is built from a broadcast
+    1-row bounds aggregate — the event table is scanned, never crossed
+    row-by-row."""
+    df = registry.queries()["events_gap_fill_daily"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

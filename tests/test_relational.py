@@ -87,3 +87,19 @@ def test_semi_anti_partition_left(spark):
     anti = {r.k for r in anti_join(left, right, "k").collect()}
     assert semi == {2} and anti == {1, 3}
     assert semi | anti == {1, 2, 3}
+
+
+def test_latest_per_key_parity(spark, duck):
+    assert_parity(spark, duck, "latest_event_per_user")
+
+
+def test_latest_per_key_is_partial_final_aggregate(spark):
+    """CDC compaction must be a partial+final max_by aggregate (only
+    one candidate per key per partition crosses the shuffle), never a
+    row_number window (which shuffles every row)."""
+    from tests.conftest import SF_DIR
+    from velox_hadoop_spark.plans import registry
+
+    df = registry.queries()["latest_event_per_user"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "partial_max_by" in plan, plan

@@ -131,3 +131,47 @@ def q_window_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     )
+
+
+def latest_per_key(df: DataFrame, key: str, order: str, tiebreak: str) -> DataFrame:
+    """Latest row per key — the CDC/SCD-1 compaction primitive.
+
+    Expressed as ``max_by(struct(payload), struct(order, tiebreak))``:
+    a partial+final aggregate (SortAggregate — struct buffers aren't
+    hash-aggregatable), so each partition contributes a single
+    candidate row per key before the shuffle. The window formulation
+    (``row_number() = 1``) must instead shuffle EVERY row to its key
+    partition and sort — strictly worse at 100 TB. The tiebreak column
+    makes the winner total-ordered, hence deterministic across engines.
+    """
+    others = [c for c in df.columns if c != key]
+    packed = F.max_by(
+        F.struct(*[F.col(c) for c in others]),
+        F.struct(F.col(order), F.col(tiebreak)),
+    ).alias("w")
+    out = df.groupBy(key).agg(packed)
+    return out.select(key, *[F.col(f"w.{c}").alias(c) for c in others])
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+        SELECT user_id, event_id, ts, event_type, ROUND(value, 2) AS value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    tags=("window", "cdc", "latest-per-key", "extension"),
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most recent event (ties broken by event_id) — the
+    one-aggregate CDC compaction, not a row_number window."""
+    from velox_hadoop_spark.catalog import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 2).alias("value")
+    )
+    return latest_per_key(ev, "user_id", "ts", "event_id")
