@@ -203,3 +203,29 @@ def test_compact_parquet_reduces_files_preserving_rows(spark, tmp_path):
     out_files = glob.glob(f"{dst}/part-*")
     assert len(out_files) == n and n < 5  # few MB of data -> ~1 file
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_stream_upsert_latest_matches_batch(spark, event_stream_dir, tmp_path):
+    """After draining the stream through the foreachBatch upsert sink,
+    the state table holds exactly the batch latest-per-key result."""
+    from velox_hadoop_spark.operators.window import latest_per_key
+    from velox_hadoop_spark.streaming.upsert import stream_upsert_latest
+
+    state = str(tmp_path / "user_state")
+    q = stream_upsert_latest(
+        read_event_stream(spark, event_stream_dir),
+        state,
+        "upsert_test",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.event_id, r.ts) for r in spark.read.parquet(state).collect()
+    }
+    ev = read_table(spark, SF_DIR, "events")
+    want = {
+        (r.user_id, r.event_id, r.ts)
+        for r in latest_per_key(ev, "user_id", "ts", "event_id").collect()
+    }
+    assert got == want and len(got) > 0
