@@ -179,3 +179,7 @@ def test_redaction_masks_emails_and_numbers(spark):
     got = {r.doc_id: (r.redacted_text, r.was_redacted) for r in redact_pii(df).collect()}
     assert got[1] == ("mail me at <EMAIL> or call <NUM> now", True)
     assert got[2] == ("clean text", False)
+
+
+def test_embedding_norms_arrow_parity(spark, duck):
+    assert_parity(spark, duck, "embedding_norms_arrow")

@@ -441,3 +441,51 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
     )
+
+
+def embedding_norms_arrow(emb: DataFrame) -> DataFrame:
+    """Per-vector L2 norm through ``mapInArrow`` — the zero-copy Arrow
+    RecordBatch surface (the lowest-overhead Python boundary Spark
+    offers: no pandas materialization, numpy views straight over Arrow
+    buffers). The JVM builtins in ``functions/vectors.py`` stay the
+    default for this math; this operator pins the mapInArrow plumbing
+    (batch iteration, list-array handling, schema contract) for kernels
+    that genuinely need Python, and the oracle cross-checks the
+    boundary end-to-end.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            tbl = pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "l2_norm": [
+                        round(float(np.sqrt(np.dot(v, v))), 4)
+                        for v in batch.column("embedding").to_pylist()
+                    ],
+                }
+            )
+            for out in tbl.to_batches():
+                yield out
+
+    return emb.select(
+        "vec_id", to_double(F.col("embedding")).alias("embedding")
+    ).mapInArrow(kernel, "vec_id long, l2_norm double")
+
+
+@register(
+    "embedding_norms_arrow",
+    oracle="""
+        SELECT vec_id,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        FROM embeddings
+    """,
+    tags=("similarity", "mapInArrow", "udf", "extension"),
+)
+def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding via the Arrow RecordBatch boundary."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_norms_arrow(emb)
