@@ -183,3 +183,21 @@ def test_redaction_masks_emails_and_numbers(spark):
 
 def test_embedding_norms_arrow_parity(spark, duck):
     assert_parity(spark, duck, "embedding_norms_arrow")
+
+
+def test_curation_pipeline_parity(spark, duck):
+    assert_parity(spark, duck, "curation_pipeline_stats")
+
+
+def test_curation_pipeline_monotone(spark):
+    """The pipeline only ever drops documents: sampled docs <= deduped
+    <= quality-gated <= corpus."""
+    from velox_hadoop_spark.plans import registry
+
+    from tests.conftest import SF_DIR
+    from velox_hadoop_spark.catalog import read_table
+
+    stats = registry.queries()["curation_pipeline_stats"](spark, SF_DIR).collect()
+    n_docs = sum(r.n_docs for r in stats)
+    corpus = read_table(spark, SF_DIR, "documents").count()
+    assert 0 < n_docs < corpus
