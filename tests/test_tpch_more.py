@@ -116,3 +116,11 @@ def test_approx_percentiles_close_to_exact(spark):
     for flag, (a50, a95, a99) in approx.items():
         for a, e in zip((a50, a95, a99), exact[flag]):
             assert abs(a - e) / e < 0.01, (flag, a, e)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["histogram_order_totals", "corr_quantity_price", "funnel_click_to_purchase"],
+)
+def test_profiling_and_funnel_parity(spark, duck, name):
+    assert_parity(spark, duck, name)

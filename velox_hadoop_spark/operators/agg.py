@@ -302,3 +302,70 @@ def q_damped_rank_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity") / 10.0).alias("s"))
         .select("node", F.round(F.lit(0.15) + F.lit(0.85) * F.col("s"), 6).alias("rank"))
     )
+
+
+@register(
+    "histogram_order_totals",
+    oracle="""
+        WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS INTEGER) AS bucket,
+               count(*) AS n_orders,
+               ROUND(min(o_totalprice), 2) AS bucket_min,
+               ROUND(max(o_totalprice), 2) AS bucket_max
+        FROM orders, b
+        GROUP BY bucket
+    """,
+    tags=("agg", "histogram", "extension"),
+)
+def q_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order totals.
+
+    The global min/max arrive as a broadcast 1-row aggregate (never a
+    driver collect); binning is a pure projection, so at 100 TB this is
+    two scans (bounds + bin) — or one, if bounds are known from table
+    stats — and one partial+final count agg. The same shape backs
+    approximate quantile sketches and data-profiling passes.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20)
+            ),
+            F.lit(19),
+        )
+        .cast("int")
+        .alias("bucket"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+    )
+
+
+@register(
+    "corr_quantity_price",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "statistics", "extension"),
+)
+def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of quantity vs price per
+    return flag — the statistical-profiling aggregates, partial+final
+    like any Tungsten agg (each partition keeps (n, Σx, Σy, Σxy, ...)
+    moments; only moments merge at the shuffle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )

@@ -349,3 +349,46 @@ def q_events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "purchase"),
     )
+
+
+@register(
+    "funnel_click_to_purchase",
+    oracle="""
+        SELECT count(*) AS n_users,
+               sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS n_clicked,
+               sum(CASE WHEN first_click IS NOT NULL AND first_purchase > first_click
+                        THEN 1 ELSE 0 END) AS n_converted
+        FROM (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events GROUP BY user_id
+        )
+    """,
+    tags=("funnel", "behavioral", "extension"),
+)
+def q_funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users → clicked → purchased-after-first-click.
+
+    The behavioral-analytics shape: per-user conditional-min milestones
+    in ONE aggregation pass (no joins, no windows), then a 1-row
+    summary. At 100 TB: a single shuffle on user_id with map-side
+    partial mins."""
+    ev = read_table(spark, sf_dir, "events")
+    milestones = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return milestones.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("first_click").isNotNull(), 1).otherwise(0)).alias("n_clicked"),
+        F.sum(
+            F.when(
+                F.col("first_click").isNotNull()
+                & (F.col("first_purchase") > F.col("first_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
