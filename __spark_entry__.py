@@ -7,15 +7,46 @@ its queries (Spark plan + DuckDB oracle SQL) there.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
 
 from velox_hadoop_spark.plans import registry  # noqa: E402
+
+
+def _verified_names() -> set[str]:
+    """Query names with a fully-green row in any committed CORRECTNESS_r*.json.
+
+    The driver verifies a bounded prefix of ``queries()`` per round, so we
+    order never-verified queries first: across rounds every query gets a
+    hash-verified row without dropping already-green ones from the surface.
+    """
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                green.add(name)
+    return green
+
+
+def _priority_order(names: list[str]) -> list[str]:
+    """Never-verified queries first (registration order preserved within
+    each group) so the driver's per-round verification budget lands on
+    the queries that still lack a green CORRECTNESS row."""
+    green = _verified_names()
+    return [n for n in names if n not in green] + [n for n in names if n in green]
 
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -41,10 +72,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _utc(fn) for name, fn in registry.queries().items()}
+    qs = registry.queries()
+    return {name: _utc(qs[name]) for name in _priority_order(list(qs))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted for
     non-SQL-expressible iterative/stateful ops)."""
-    return registry.oracles()
+    oracles = registry.oracles()
+    return {name: oracles[name] for name in _priority_order(list(oracles))}
