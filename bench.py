@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Per-query timings go to BENCH_TIMINGS.json (and stderr progress lines);
+stdout's FINAL line is one SHORT JSON summary the driver can always
+parse even when it captures only the output tail:
+{"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+ "queries": {<10 slowest>}, "n_queries": N}.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collect). One tiny warmup query amortizes JVM/codegen
@@ -40,16 +44,23 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_TIMINGS.json"), "w") as f:
+        json.dump({"sf": sf, "total_sec": total, "queries": timings}, f, indent=1, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "n_queries": len(timings),
             }
         )
     )
