@@ -44,15 +44,18 @@ def test_dangling_nodes_get_base_rank(spark):
     assert got == {1, 9}
 
 
-@pytest.mark.parametrize("name", ["adjacency_list", "pagerank_3iter"])
+@pytest.mark.parametrize(
+    "name", ["adjacency_list", "pagerank_3iter", "pagerank_converged"]
+)
 def test_oracle_parity(spark, duck, name):
     assert_parity(spark, duck, name)
 
 
-def test_pagerank_converged_runs(spark):
+def test_pagerank_converged_emits_pass_count(spark):
     from velox_hadoop_spark.plans import registry
 
     df = registry.specs()["pagerank_converged"].fn(spark, "/root/testdata/sf0.001")
     rows = df.collect()
     assert len(rows) > 0
-    assert df.columns == ["node", "rank"]
+    assert df.columns == ["node", "iters", "rank"]
+    assert {r.iters for r in rows} == {5}

@@ -53,6 +53,7 @@ def pagerank(
     max_iters: int = 20,
     tol: float | None = None,
     checkpoint_every: int = 5,
+    with_iters: bool = False,
 ) -> DataFrame:
     """PageRank over a (src, dst) edge DataFrame.
 
@@ -60,6 +61,11 @@ def pagerank(
     nothing, every node — including pure sinks — gets `(1-d) + d*Σ`).
     If ``tol`` is set, stops early when Σ|Δrank| < tol (the driver
     fetches one scalar per iteration, nothing else).
+
+    With ``with_iters=True`` the result carries a constant ``iters``
+    column — the number of propagation passes actually executed — so a
+    convergence-controlled run can be hash-checked against the
+    fixed-iteration oracle unrolled at that count.
     """
     edges = edges.select(F.col("src"), F.col("dst")).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
@@ -81,6 +87,7 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     prev_persisted = None
+    iters_run = 0
 
     for i in range(max_iters):
         contribs = (
@@ -97,6 +104,7 @@ def pagerank(
                 F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("rank"),
         )
+        iters_run = i + 1
         if (i + 1) % checkpoint_every == 0:
             # cut lineage: without this the plan doubles in depth per pass
             new_ranks = new_ranks.localCheckpoint(eager=True)
@@ -118,6 +126,8 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
+    if with_iters:
+        return ranks.withColumn("iters", F.lit(iters_run))
     return ranks
 
 
@@ -193,14 +203,32 @@ def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+# The convergence loop (Σ|Δ| < 0.01) reaches tol at pass 5 on both the
+# sf0.001 (tests) and sf0.01 (driver gate) lineitem graphs — at sf0.01
+# the per-pass Σ|Δ| is 1615, 68.6, 2.92, 0.124, 0.0053: orders of
+# magnitude around the threshold, so the stopping pass is robust to FP
+# summation order. The oracle is the same unrolled-SQL PageRank fixed at
+# that pass count, carrying the count as a constant `iters` column: if
+# the Spark loop ever stops at a different pass, the emitted `iters`
+# (and the ranks) hash-mismatch the oracle.
+_CONVERGED_ITERS_SF001 = 5
+
+
 @register(
     "pagerank_converged",
-    oracle=None,  # driver-side convergence loop isn't single-statement SQL
+    oracle=_pagerank_oracle(_CONVERGED_ITERS_SF001).replace(
+        "ROUND(rank, 6) AS rank",
+        f"{_CONVERGED_ITERS_SF001} AS iters, ROUND(rank, 6) AS rank",
+        1,
+    ),
     tags=("graph", "iterative", "reference:PageRank.java:65-82"),
 )
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Convergence-controlled PageRank (Σ|Δ| < 0.01), ranked descending."""
-    ranks = pagerank(_lineitem_edges(spark, sf_dir), max_iters=20, tol=0.01)
-    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy(
-        F.desc("rank"), F.asc("node")
+    """Convergence-controlled PageRank (Σ|Δ| < 0.01), ranked descending,
+    with the executed pass count as a checkable constant column."""
+    ranks = pagerank(
+        _lineitem_edges(spark, sf_dir), max_iters=20, tol=0.01, with_iters=True
     )
+    return ranks.select(
+        "node", "iters", F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), F.asc("node"))
