@@ -201,3 +201,36 @@ def test_curation_pipeline_monotone(spark):
     n_docs = sum(r.n_docs for r in stats)
     corpus = read_table(spark, SF_DIR, "documents").count()
     assert 0 < n_docs < corpus
+
+
+def test_knn_blocked_matches_broadcast(spark):
+    """Force the distributed block-matrix regime (driver budget 0) and
+    check it is bit-identical to the broadcast single-dgemm path."""
+    from velox_hadoop_spark.operators.similarity import knn_exact, knn_numpy
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    fast = {tuple(r) for r in knn_numpy(emb, k=3).collect()}
+    blocked = {
+        tuple(r)
+        for r in knn_exact(emb, k=3, driver_broadcast_rows=0, block_rows=16).collect()
+    }
+    assert blocked == fast
+
+
+def test_near_dup_blocked_matches_broadcast(spark):
+    from velox_hadoop_spark.operators.dedup import cosine_near_dup_pairs
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    fast = {tuple(r) for r in cosine_near_dup_pairs(emb, 0.45).collect()}
+    blocked = {
+        tuple(r)
+        for r in cosine_near_dup_pairs(
+            emb, 0.45, driver_broadcast_rows=0, block_rows=16
+        ).collect()
+    }
+    assert len(fast) > 0
+    assert blocked == fast

@@ -30,3 +30,17 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def round_half_away(x, decimals: int = 6):
+    """Round half away from zero — the mode Spark ``F.round`` and DuckDB
+    ``ROUND`` share. numpy's ``np.round`` / Python's ``round`` use
+    banker's rounding, a latent parity flake for values landing exactly
+    on a .5 tie at the rounded digit; every numpy/Arrow kernel in the
+    repo must round through this helper instead. Accepts scalars or
+    ndarrays; preserves ±inf.
+    """
+    import numpy as np
+
+    m = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m

@@ -360,21 +360,16 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "doc_id", "text")
 
 
-def cosine_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
-    round(cos, 6) ≥ threshold, scored with the Arrow/numpy kernel.
-
-    The normalized corpus matrix is broadcast once; each Arrow batch of
-    rows is scored against it with one dgemm and only the ≥-threshold
-    upper-triangle pairs are emitted — output is |near-dup pairs|, never
-    n². At 100 TB the exact same kernel runs per LSH bucket (see
-    similarity.hyperplane_buckets) instead of against the full corpus;
-    this operator is the in-bucket scorer of that pipeline.
-    """
+def _near_dup_broadcast(corpus: DataFrame, threshold: float) -> DataFrame:
+    """Small-corpus near-dup kernel: normalized matrix broadcast once,
+    one dgemm per Arrow batch, only ≥-threshold upper-triangle pairs
+    emitted — output is |near-dup pairs|, never n²."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
+
+    from velox_hadoop_spark.functions.vectors import round_half_away
 
     spark = corpus.sparkSession
     pdf = corpus.select("vec_id", "embedding").toPandas()
@@ -388,7 +383,7 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
         for pdf_q in batches:
             q = np.array(pdf_q["embedding"].tolist(), dtype=np.float64)
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            cos = np.round(qn @ c_n.T, 6)
+            cos = round_half_away(qn @ c_n.T, 6)
             qids = pdf_q["vec_id"].to_numpy()
             # upper triangle only (a < b) + threshold
             keep = (cos >= threshold) & (qids[:, None] < c_ids[None, :])
@@ -403,6 +398,36 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
 
     out_schema = "a_id long, b_id long, cos double"
     return corpus.select("vec_id", "embedding").mapInPandas(pairs, out_schema)
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    driver_broadcast_rows: int | None = None,
+    block_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
+    round(cos, 6) ≥ threshold — EXACT at any scale.
+
+    Physical strategy is size-guarded: corpora within the driver budget
+    take the broadcast single-dgemm path; larger corpora route through
+    the distributed block-matrix kernel
+    (``similarity.cosine_pairs_blocked``), so no input can OOM the
+    driver. The one count() is the plan-choice probe (parquet metadata,
+    not data), taken before any collect happens.
+    """
+    import math
+
+    from velox_hadoop_spark.operators import similarity as S
+
+    budget = S.DRIVER_BROADCAST_ROWS if driver_broadcast_rows is None else driver_broadcast_rows
+    blk = S.BLOCK_ROWS if block_rows is None else block_rows
+    n = corpus.count()
+    if n <= budget:
+        return _near_dup_broadcast(corpus, threshold)
+    return S.cosine_pairs_blocked(
+        corpus, threshold, n_blocks=max(2, math.ceil(n / blk))
+    )
 
 
 @register(
