@@ -45,6 +45,9 @@ def main() -> None:
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"{name}: {timings[name]}s", file=sys.stderr)
+        # queries own their persists for the duration of one run; the
+        # harness releases them so 100+ queries can't evict each other
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     repo_dir = os.path.dirname(os.path.abspath(__file__))

@@ -234,3 +234,39 @@ def test_near_dup_blocked_matches_broadcast(spark):
     }
     assert len(fast) > 0
     assert blocked == fast
+
+
+def test_hot_key_cap_bounds_pair_fanout(spark):
+    """Adversarial fixture: a stop-phrase shingle shared by every doc.
+    Without the df-cap the self-join would emit O(n²) pairs for it; with
+    the cap those docs pair only through their genuinely-shared rare
+    shingles."""
+    from velox_hadoop_spark.operators.dedup import jaccard_pairs, shingle_set
+
+    boiler = "the quick brown fox jumps"  # one 5-gram shared by ALL docs
+    texts = [f"{boiler} unique{i} a{i} b{i} c{i} d{i}" for i in range(20)]
+    # docs 0 and 1 additionally share a rare 5-word tail -> one genuine pair
+    texts[0] = f"{boiler} unique0 s1 s2 s3 s4 s5"
+    texts[1] = f"{boiler} unique1 s1 s2 s3 s4 s5"
+    docs = _docs(spark, texts)
+    sh = shingle_set(docs, "doc_id", "text")
+    capped = jaccard_pairs(sh, "doc_id", max_doc_freq=5).collect()
+    uncapped = jaccard_pairs(sh, "doc_id", max_doc_freq=10**6).collect()
+    # every doc shares the boilerplate shingle -> full clique uncapped
+    assert len(uncapped) == 20 * 19 // 2
+    # capped: only the genuinely near-dup pair survives
+    assert [(r.id_a, r.id_b) for r in capped] == [(0, 1)]
+
+
+def test_lsh_band_cap_drops_hot_bucket(spark):
+    from velox_hadoop_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature_inline,
+    )
+
+    # 12 identical docs: every band bucket has 12 members
+    docs = _docs(spark, ["a b c d e f g h" for _ in range(12)])
+    bands = lsh_bands(minhash_signature_inline(docs, "doc_id", "text"), "doc_id")
+    assert lsh_candidate_pairs(bands, "doc_id", max_bucket=11).count() == 0
+    assert lsh_candidate_pairs(bands, "doc_id", max_bucket=12).count() == 12 * 11 // 2

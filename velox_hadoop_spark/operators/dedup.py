@@ -43,6 +43,17 @@ MINHASH_SEEDS = 8      # signature length
 LSH_BANDS = 4          # bands of r = MINHASH_SEEDS / LSH_BANDS rows
 _R = MINHASH_SEEDS // LSH_BANDS
 
+# Self-join fanout guard: a shingle (or LSH band key) shared by f docs
+# produces O(f²) pair rows, and a stop-phrase shingle shared by 1M docs
+# is ~10¹² rows from one key. Keys hotter than this carry no near-dup
+# signal (they are corpus-wide boilerplate), so they are dropped BEFORE
+# the self-join — the standard MinHash-LSH df-cap. AQE skew-split can
+# spread a hot bucket across tasks but cannot shrink its quadratic
+# output; only the cap can. Far above the max observed doc-frequency at
+# the verification scales (4 at sf0.001, 3 at sf0.01), so test/driver
+# results are unchanged.
+MAX_KEY_DOC_FREQ = 512
+
 
 def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Group identical content by digest; keeper = min id (deterministic)."""
@@ -140,15 +151,38 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS, r: int = _R) 
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Remove rows whose key appears in more than ``cap`` rows.
+
+    The hot-key set is tiny BY CONSTRUCTION (each survivor of the
+    HAVING > cap filter represents > cap input rows), so it broadcasts;
+    the anti-join adds no shuffle of the big side, and the count agg is
+    map-side partial. This bounds the downstream self-join to ≤ cap²
+    rows per key."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("df_cnt"))
+        .where(F.col("df_cnt") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str, max_bucket: int = MAX_KEY_DOC_FREQ
+) -> DataFrame:
     """Distinct id pairs (a < b) sharing at least one band bucket.
 
     The band table is persisted before the self-join so the signature
-    pipeline (shingle → minhash → band) runs ONCE, not once per side.
+    pipeline (shingle → minhash → band) runs ONCE, not once per side;
+    band buckets hotter than ``max_bucket`` are dropped first (see
+    ``MAX_KEY_DOC_FREQ``).
     """
     from pyspark.storagelevel import StorageLevel
 
-    bands_df = bands_df.persist(StorageLevel.MEMORY_AND_DISK)
+    bands_df = _drop_hot_keys(bands_df, ["band_id", "band_key"], max_bucket).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_id", "band_key"
     )
@@ -163,11 +197,25 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def jaccard_pairs(shingles: DataFrame, id_col: str) -> DataFrame:
-    """Exact n-gram Jaccard for every pair sharing ≥ 1 shingle.
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str, max_doc_freq: int = MAX_KEY_DOC_FREQ
+) -> DataFrame:
+    """n-gram Jaccard for every pair sharing ≥ 1 (non-boilerplate) shingle.
 
-    |A∩B| from the shingle equi-join; |A∪B| = |A|+|B|−|A∩B|.
+    |A∩B| from the shingle equi-join; |A∪B| = |A|+|B|−|A∩B|. Shingles
+    with doc-frequency > ``max_doc_freq`` are dropped up front, bounding
+    the self-join to ≤ cap² rows per shingle; sizes are computed over
+    the SAME capped shingle universe, so the emitted value is a true
+    Jaccard of the filtered sets (internally consistent, and identical
+    to the uncapped value wherever no shingle exceeds the cap — which
+    includes the sf0.001/sf0.01 verification corpora).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: consumed three times below (sizes + both join sides)
+    shingles = _drop_hot_keys(shingles, ["shingle"], max_doc_freq).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
