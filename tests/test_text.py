@@ -26,7 +26,14 @@ def test_grep_orders_desc(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["wordcount", "aggregate_wordcount", "grep", "udaf_geomean_price"]
+    "name",
+    ["wordcount", "aggregate_wordcount", "grep", "grep_capture_group", "udaf_geomean_price"],
 )
 def test_oracle_parity(spark, duck, name):
     assert_parity(spark, duck, name)
+
+
+def test_grep_capture_group_extracts_stem(spark):
+    df = spark.createDataFrame([("singing and making things",)], ["text"])
+    rows = grep(df, "text", "([a-z]+)ing", group=1).collect()
+    assert {(r.match, r.cnt) for r in rows} == {("sing", 1), ("mak", 1), ("th", 1)}

@@ -58,16 +58,23 @@ def grouped_wordcount(df: DataFrame, group_col: str, col: str = "text") -> DataF
     )
 
 
-def grep(df: DataFrame, col: str, pattern: str) -> DataFrame:
+def grep(df: DataFrame, col: str, pattern: str, group: int = 0) -> DataFrame:
     """Regex extract-all + count + order desc (reference: Grep.java:62-100).
 
-    Emits every match of ``pattern`` in ``col``, counts per distinct
-    match, and orders by count descending (ties broken by the match
-    string so the output is totally ordered — the reference relied on a
-    single reducer for this; Spark range-partitions the sort).
+    Emits every match of ``pattern`` in ``col`` — or, when ``group`` > 0,
+    the text of that capture group per match (reference: RegexMapper
+    honors an optional GROUP config, Grep.java:58-60 +
+    RegexMapper.java) — counts per distinct extraction, and orders by
+    count descending (ties broken by the match string so the output is
+    totally ordered — the reference relied on a single reducer for
+    this; Spark range-partitions the sort).
     """
     matches = (
-        df.select(F.explode(F.regexp_extract_all(F.col(col), F.lit(pattern), F.lit(0))).alias("match"))
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(col), F.lit(pattern), F.lit(group))
+            ).alias("match")
+        )
         .where(F.col("match") != "")
     )
     return (
@@ -163,6 +170,34 @@ def q_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return grep(docs, "text", _GREP_PATTERN)
+
+
+# Capture-group grep: count the stem of every "-ing" word. Greedy
+# [a-z]+ then mandatory "ing" — Java regex (Spark) backtracks and RE2
+# (DuckDB) emulates leftmost-first capture the same way, so group(1) is
+# engine-portable here.
+_GREP_GROUP_PATTERN = "([a-z]+)ing"
+
+
+@register(
+    "grep_capture_group",
+    oracle=rf"""
+        SELECT match, count(*) AS cnt
+        FROM (
+            SELECT unnest(regexp_extract_all(text, '{_GREP_GROUP_PATTERN}', 1)) AS match
+            FROM documents
+        )
+        WHERE match <> ''
+        GROUP BY match
+        ORDER BY cnt DESC, match ASC
+    """,
+    tags=("text", "reference:Grep.java:58-60", "reference:RegexMapper"),
+)
+def q_grep_capture_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep with GROUP extraction: per-match capture group 1 is counted
+    instead of the whole match (reference RegexMapper GROUP config)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return grep(docs, "text", _GREP_GROUP_PATTERN, group=1)
 
 
 @register(
