@@ -270,3 +270,32 @@ def test_lsh_band_cap_drops_hot_bucket(spark):
     bands = lsh_bands(minhash_signature_inline(docs, "doc_id", "text"), "doc_id")
     assert lsh_candidate_pairs(bands, "doc_id", max_bucket=11).count() == 0
     assert lsh_candidate_pairs(bands, "doc_id", max_bucket=12).count() == 12 * 11 // 2
+
+
+def test_connected_components_distributed_matches_unionfind(spark):
+    """driver_threshold=0 forces the label-propagation branch; both
+    regimes must produce identical (node, lbl) labelings."""
+    from velox_hadoop_spark.operators.dedup import connected_components
+
+    # two components {1,2,3,4} and {10,11}, plus a chain 20-21-22
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    uf = {tuple(r) for r in connected_components(pairs).collect()}
+    lp = {
+        tuple(r)
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert lp == uf
+    assert {(1, 1), (4, 1), (11, 10), (22, 20)} <= lp
+
+
+def test_connected_components_raises_without_fixed_point(spark):
+    import pytest as _pytest
+
+    from velox_hadoop_spark.operators.dedup import connected_components
+
+    # a 6-node chain needs ~3 min-label passes; 1 pass cannot converge
+    chain = [(i, i + 1) for i in range(6)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="no fixed point"):
+        connected_components(pairs, driver_threshold=0, max_iters=1)

@@ -560,6 +560,7 @@ def connected_components(
         edges.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     )
     prev_persisted = None
+    changed = -1
     for i in range(max_iters):
         neigh = (
             edges.join(
@@ -593,6 +594,17 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
+    if changed != 0:
+        # Exhausting the pass budget without a fixed point means labels
+        # are still moving — silently returning them would emit WRONG
+        # cluster ids (and wrong keeper flags downstream). Near-dup
+        # graphs are shallow, so hitting this means something structural
+        # (e.g. a chain-shaped adversarial graph); fail loudly.
+        raise RuntimeError(
+            f"connected_components: no fixed point after {max_iters} "
+            "label-propagation passes; raise max_iters"
+        )
     return labels
 
 

@@ -94,7 +94,13 @@ def parallelize_if_narrow_input(df, min_partitions: int | None = None):
     target = min_partitions or (
         spark.sparkContext.defaultParallelism if spark is not None else 8
     )
-    if df.rdd.getNumPartitions() >= target:
+    # File count lower-bounds scan parallelism (a large file splits into
+    # MORE partitions, a small one yields exactly one), so n_files >=
+    # target guarantees enough tasks — a pure-catalyst probe, no
+    # DataFrame->RDD conversion. Non-file-backed frames report no files;
+    # leave those untouched.
+    n_files = len(df.inputFiles())
+    if n_files == 0 or n_files >= target:
         return df
     return df.repartition(target)
 

@@ -25,14 +25,27 @@ from velox_hadoop_spark.operators.window import latest_per_key
 
 
 def _atomic_replace(spark: SparkSession, tmp_dir: str, final_dir: str) -> None:
+    """Swap ``tmp_dir`` into ``final_dir`` without a window where no
+    valid state exists: rename the old state ASIDE first (final →
+    final.old), then tmp → final, then delete the aside copy. A reader
+    between the two renames sees a missing dir for only the duration of
+    a metadata rename (vs the previous delete-then-rename, which left
+    NO recoverable state if the second step failed — here final.old
+    still holds the last complete table in every failure mode)."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
     final = jvm.org.apache.hadoop.fs.Path(final_dir)
+    old = jvm.org.apache.hadoop.fs.Path(final_dir.rstrip("/") + ".old")
     fs = final.getFileSystem(hconf)
-    if fs.exists(final):
-        fs.delete(final, True)
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_prev = fs.exists(final)
+    if had_prev:
+        fs.rename(final, old)
     fs.rename(tmp, final)
+    if had_prev:
+        fs.delete(old, True)
 
 
 def merge_latest_batch(
