@@ -1,0 +1,92 @@
+"""Decontamination / TF-IDF / sequence packing / SimHash pairs."""
+
+import pytest
+
+from tests.conftest import assert_parity
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "benchmark_decontamination",
+        "tfidf_top_terms",
+        "pack_sequences",
+        "simhash_near_dup_pairs",
+    ],
+)
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_contamination_scan_hits_only_overlapping_docs(spark):
+    from velox_hadoop_spark.operators.contamination import contamination_scan
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram verbatim -> contaminated
+            (1, "intro alpha beta gamma delta epsilon zeta eta theta outro"),
+            (2, "totally unrelated text with eight plus words in it"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_hit_ngrams for r in contamination_scan(train, bench).collect()}
+    assert got == {1: 1}
+
+
+def test_pack_sequences_respects_budget_layout(spark):
+    from velox_hadoop_spark.operators.contamination import pack_sequences
+
+    # one source, docs of 3 tokens each, budget 6 -> 2 docs per sequence
+    docs = spark.createDataFrame(
+        [(i, "s", "a b c") for i in range(6)], ["doc_id", "source", "text"]
+    )
+    rows = sorted(
+        pack_sequences(docs, budget=6).collect(), key=lambda r: r.seq_id
+    )
+    assert [(r.seq_id, r.n_docs, r.n_tokens) for r in rows] == [
+        (0, 2, 6),
+        (1, 2, 6),
+        (2, 2, 6),
+    ]
+    # oversized doc spans its own sequence, following doc starts mid-budget
+    docs2 = spark.createDataFrame(
+        [(0, "s", " ".join(["w"] * 10)), (1, "s", "a b")], ["doc_id", "source", "text"]
+    )
+    rows2 = {r.seq_id: (r.n_docs, r.n_tokens) for r in pack_sequences(docs2, budget=6).collect()}
+    assert rows2 == {0: (1, 10), 1: (1, 2)}
+
+
+def test_simhash_near_dup_identical_docs_zero_hamming(spark):
+    from velox_hadoop_spark.operators.dedup import simhash64, simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content with other words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = simhash_near_dup_pairs(simhash64(docs, "doc_id", "text")).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(0, 1, 0)]
+
+
+def test_tfidf_stopword_scores_zero(spark):
+    """A term present in every doc has idf = ln(1) = 0."""
+    from velox_hadoop_spark.operators.contamination import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "the cat"), (1, "the dog"), (2, "the bird")], ["doc_id", "text"]
+    )
+    rows = tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rnk, r.term, r.tfidf))
+    for doc, terms in by_doc.items():
+        terms.sort()
+        # rank 1 is the rare term with positive score; "the" scores 0
+        assert terms[0][2] > 0 and terms[0][1] != "the"
+        assert terms[1] == (2, "the", 0.0)

@@ -372,7 +372,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingle_set(docs, "doc_id", "text"), "doc_id")
 
 
-def _duck_simhash_sql() -> str:
+def _duck_simhash_cte() -> str:
+    """CTE chain ``toks, votes, sig(doc_id, simhash)`` for DuckDB."""
     h = H.duck_md5_int60("tok")
     votes = ",\n               ".join(
         f"sum(CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
@@ -382,7 +383,7 @@ def _duck_simhash_sql() -> str:
         f"(CASE WHEN s{i} >= 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)" for i in range(60)
     )
     return f"""
-        WITH toks AS (
+        toks AS (
             SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
             FROM documents
         ),
@@ -390,9 +391,13 @@ def _duck_simhash_sql() -> str:
             SELECT doc_id,
                {votes}
             FROM toks WHERE tok <> '' GROUP BY doc_id
-        )
-        SELECT doc_id, {packed} AS simhash FROM votes
+        ),
+        sig AS (SELECT doc_id, {packed} AS simhash FROM votes)
     """
+
+
+def _duck_simhash_sql() -> str:
+    return f"WITH {_duck_simhash_cte()} SELECT doc_id, simhash FROM sig"
 
 
 @register(
@@ -496,6 +501,81 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate document pairs (cos ≥ 0.45)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_near_dup_pairs(emb, threshold=0.45)
+
+
+def simhash_near_dup_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = MAX_KEY_DOC_FREQ,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded pigeonhole.
+
+    The 60-bit signature splits into ``n_bands`` 15-bit bands; two
+    signatures within hamming ≤ n_bands − 1 MUST agree on at least one
+    whole band (pigeonhole), so candidates come from a band equi-join —
+    never an all-pairs scan — then the exact popcount(xor) filter keeps
+    pairs within ``max_hamming``. Same hot-bucket cap as the MinHash
+    path (an all-zero band is this scheme's stop-phrase)."""
+    width = 60 // n_bands
+    bands = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    bands = _drop_hot_keys(bands, ["band_id", "band_key"], max_bucket)
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(sig_a ^ sig_b)").cast("long").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+@register(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+        WITH {_duck_simhash_cte()},
+        bands AS (
+            SELECT doc_id, simhash, p.band_id,
+                   (simhash >> (p.band_id * 15)) & 32767 AS band_key
+            FROM sig
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id) p
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+    tags=("dedup", "simhash", "extension"),
+)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-pigeonhole SimHash near-dup pairs (hamming ≤ 3)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup_pairs(simhash64(docs, "doc_id", "text"), "doc_id")
 
 
 def connected_components(
