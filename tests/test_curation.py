@@ -12,6 +12,9 @@ from tests.conftest import assert_parity
         "tfidf_top_terms",
         "pack_sequences",
         "simhash_near_dup_pairs",
+        "embedding_label_centroids",
+        "embedding_outliers",
+        "fuzzy_part_name_pairs",
     ],
 )
 def test_oracle_parity(spark, duck, name):
@@ -90,3 +93,31 @@ def test_tfidf_stopword_scores_zero(spark):
         # rank 1 is the rare term with positive score; "the" scores 0
         assert terms[0][2] > 0 and terms[0][1] != "the"
         assert terms[1] == (2, "the", 0.0)
+
+
+def test_fuzzy_pairs_blocked_only_within_block(spark):
+    from velox_hadoop_spark.operators.dedup import fuzzy_pairs_blocked
+
+    df = spark.createDataFrame(
+        [
+            (1, "cold widget"),
+            (2, "gold widget"),   # edit 1 from cold widget, same block
+            (3, "cold bolt"),     # different block: never compared
+            (4, "green widget"),  # edit 4 from cold widget: filtered
+        ],
+        ["rid", "nm"],
+    )
+    rows = fuzzy_pairs_blocked(df, "rid", "nm", max_edit=2).collect()
+    assert [(r.id_a, r.id_b, r.edit_dist) for r in rows] == [(1, 2, 1)]
+
+
+def test_embedding_outliers_topk_per_label(spark):
+    from velox_hadoop_spark.plans import registry
+
+    from tests.conftest import SF_DIR
+
+    rows = registry.queries()["embedding_outliers"](spark, SF_DIR).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.rnk)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_label.values())

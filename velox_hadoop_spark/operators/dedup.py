@@ -578,6 +578,64 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(simhash64(docs, "doc_id", "text"), "doc_id")
 
 
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_edit: int = 3,
+    max_block: int = MAX_KEY_DOC_FREQ,
+) -> DataFrame:
+    """Fuzzy record linkage: (a, b, edit distance ≤ max_edit) pairs,
+    blocked so the quadratic levenshtein never runs all-pairs.
+
+    Block key = last whitespace token of the name (the head noun in
+    noun-phrase names); only within-block pairs are scored. Standard
+    blocking-join shape: candidate volume is Σ block² bounded by the
+    same hot-key cap as the LSH paths; at 100 TB you add more blocking
+    keys (phonetic, prefix), never widen a block."""
+    keyed = df.select(
+        F.col(id_col).alias("rec_id"),
+        F.col(name_col).alias("name"),
+        F.element_at(F.split(F.col(name_col), r"\s+"), -1).alias("blk"),
+    )
+    keyed = _drop_hot_keys(keyed, ["blk"], max_block)
+    a = keyed.select(F.col("rec_id").alias("id_a"), F.col("name").alias("name_a"), "blk")
+    b = keyed.select(F.col("rec_id").alias("id_b"), F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= max_edit)
+    )
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+        WITH keyed AS (
+            SELECT p_partkey AS rec_id, p_name AS name,
+                   list_extract(string_split_regex(p_name, '\\s+'), -1) AS blk
+            FROM part
+        )
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+        FROM keyed a JOIN keyed b
+          ON a.blk = b.blk AND a.rec_id < b.rec_id
+        WHERE levenshtein(a.name, b.name) <= 2
+    """,
+    tags=("dedup", "fuzzy", "linkage", "extension"),
+)
+def q_fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names (edit distance ≤ 2) via blocked
+    levenshtein — record-linkage / fuzzy-dedup surface."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy_pairs_blocked(part, "p_partkey", "p_name", max_edit=2)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

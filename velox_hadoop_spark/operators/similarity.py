@@ -565,6 +565,94 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean vector as (label, pos, c) rows.
+
+    posexplode → groupBy(label, pos) LOOKS like a 64× row blowup, but
+    partial aggregation collapses each task's contribution to
+    |labels|·dims rows before the exchange — shuffle volume is
+    partitions × labels × dims regardless of corpus size."""
+    dims = emb.select(
+        "label",
+        F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    return dims.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+        WITH dims AS (
+            SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings
+            CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS t(i)
+        )
+        SELECT label, pos, ROUND(avg(x), 6) AS c
+        FROM dims GROUP BY label, pos
+    """,
+    tags=("similarity", "profiling", "extension"),
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per class label (embedding-space class profile)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroids(emb).select("label", "pos", F.round("c", 6).alias("c"))
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+        WITH dims AS (
+            SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings
+            CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS t(i)
+        ),
+        cent AS (SELECT label, pos, avg(x) AS c FROM dims GROUP BY label, pos),
+        dist AS (
+            SELECT d.vec_id, d.label,
+                   ROUND(sqrt(sum((d.x - c.c) * (d.x - c.c))), 6) AS dist
+            FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+            GROUP BY d.vec_id, d.label
+        )
+        SELECT vec_id, label, dist, rnk FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY label ORDER BY dist DESC, vec_id
+            ) AS BIGINT) AS rnk
+            FROM dist
+        ) WHERE rnk <= 5
+    """,
+    tags=("similarity", "profiling", "outliers", "extension"),
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-QA outlier scan: the 5 vectors farthest (L2) from their
+    own label centroid, per label. Centroid table is labels × dims rows
+    — broadcast back onto the per-dimension stream; the per-vector
+    distance aggregate combines map-side (vector dims are co-located
+    after posexplode), so one tiny shuffle row per vector."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    cent = label_centroids(emb)
+    dist = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 6).alias(
+                "dist"
+            )
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+    )
+
+
 def embedding_norms_arrow(emb: DataFrame) -> DataFrame:
     """Per-vector L2 norm through ``mapInArrow`` — the zero-copy Arrow
     RecordBatch surface (the lowest-overhead Python boundary Spark
