@@ -214,3 +214,35 @@ def test_gap_fill_spine_is_broadcast(spark):
     df = registry.queries()["events_gap_fill_daily"](spark, SF_DIR)
     plan = _formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The eval-set shingle table must broadcast (map-side scan of the
+    training corpus) — a SortMergeJoin here would shuffle the corpus."""
+    df = registry.queries()["benchmark_decontamination"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_idf_table(spark):
+    df = registry.queries()["tfidf_top_terms"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Window on source and the (source, seq_id) aggregate share one
+    hash partitioning: exactly one shuffle of the corpus."""
+    df = registry.queries()["pack_sequences"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    # count Exchange operator headings in the detail section
+    n = sum(1 for line in plan.splitlines() if line.startswith("(") and "Exchange" in line)
+    assert n == 1, plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark):
+    df = registry.queries()["embedding_outliers"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
