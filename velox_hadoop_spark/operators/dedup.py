@@ -68,22 +68,21 @@ def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFram
 
 
 def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct word k-gram shingles per document.
+    """Distinct word k-gram shingles per document — with ZERO shuffles.
 
     Tokenizes into a words-array projection first so the split runs
-    once per row (inlined, it would re-split per shingle — O(words²));
-    dedup happens per-row in array_distinct BEFORE the explode, so the
-    downstream .distinct() exchange moves (id, shingle) pairs that are
-    already locally unique."""
+    once per row (inlined, it would re-split per shingle — O(words²)).
+    ``array_distinct`` dedups INSIDE the row before the explode, which
+    already makes every (id, shingle) pair unique — exploding a
+    distinct array cannot emit duplicates — so no global ``.distinct()``
+    exchange is needed at all: the whole operator is scan → project →
+    generate inside one codegen stage."""
     words = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("words"))
-    return (
-        words.select(
-            F.col(id_col),
-            F.explode(
-                F.expr(f"array_distinct({H.spark_shingles_from_words('words', k)})")
-            ).alias("shingle"),
-        )
-        .distinct()
+    return words.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"array_distinct({H.spark_shingles_from_words('words', k)})")
+        ).alias("shingle"),
     )
 
 
