@@ -29,6 +29,8 @@ PARITY_QUERIES = [
     "window_customer_orders",
     "window_rank_in_nation",
     "window_trailing_30d_spend",
+    "event_gaps_lead_lag",
+    "customer_balance_quartiles",
     "union_provenance",
     "intersect_buyers",
     "except_small_buyers",

@@ -27,6 +27,7 @@ PARITY_QUERIES = [
     "events_from_json_struct",
     "tsv_roundtrip_lineitem",
     "jsonl_roundtrip_orders",
+    "orc_roundtrip_customer",
     "events_segment_enriched",
     "events_click_to_purchase",
 ]

@@ -175,3 +175,87 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type", F.round("value", 2).alias("value")
     )
     return latest_per_key(ev, "user_id", "ts", "event_id")
+
+
+@register(
+    "event_gaps_lead_lag",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id,
+                   epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms,
+                   lead(event_type) OVER w AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+               CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+               count(CASE WHEN next_type = 'purchase' THEN 1 END) AS n_before_purchase
+        FROM gaps
+        GROUP BY user_id
+    """,
+    tags=("window", "lead-lag", "extension"),
+)
+def q_event_gaps_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap stats via lag(ts), plus a lead()
+    next-event predicate — the offset-window surface. One shuffle on
+    user_id serves both window functions AND the final aggregate
+    (subset-distribution reuse)."""
+    from velox_hadoop_spark.catalog import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+        ).cast("long").alias("gap_ms"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.count(F.when(F.col("next_type") == "purchase", 1)).alias("n_before_purchase"),
+    )
+
+
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+        WITH tiled AS (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                   ) AS BIGINT) AS quartile
+            FROM customer
+        )
+        SELECT c_mktsegment, quartile,
+               count(*) AS n,
+               ROUND(min(c_acctbal), 2) AS lo,
+               ROUND(max(c_acctbal), 2) AS hi
+        FROM tiled
+        GROUP BY c_mktsegment, quartile
+    """,
+    tags=("window", "ntile", "extension"),
+)
+def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartile boundaries per market segment (ntile
+    surface; deterministic tiling via the custkey tiebreak)."""
+    from velox_hadoop_spark.catalog import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    tiled = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+    return tiled.groupBy("c_mktsegment", "quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )

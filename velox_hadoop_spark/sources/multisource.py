@@ -140,6 +140,48 @@ def q_jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (Spark's built-in columnar alternative to parquet)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+@register(
+    "orc_roundtrip_customer",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n,
+               ROUND(sum(c_acctbal), 2) AS sum_bal
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("sources", "sink", "orc", "extension"),
+)
+def q_orc_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write customer to an ORC sink, read back, aggregate — the third
+    columnar format in the source/sink matrix (parquet, TSV, JSONL,
+    ORC). ORC carries its own schema, so no schema-on-read is needed;
+    the aggregate over the roundtripped data must equal the oracle's
+    over the original parquet."""
+    import hashlib
+    import tempfile
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/velox_hadoop_spark_orc_{tag}"
+    write_orc(cust, path)
+    back = read_orc(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src_dir: str,
