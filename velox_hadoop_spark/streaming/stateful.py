@@ -48,3 +48,54 @@ def stream_running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def batch_user_totals(events: DataFrame) -> DataFrame:
+    """Batch twin of ``stream_running_user_totals``: the same per-key
+    pandas kernel run through grouped-map applyInPandas. Streaming's
+    final emitted state MUST equal this (asserted in tests); registering
+    it makes the stateful surface hash-verifiable against a SQL oracle.
+    """
+    import numpy as np
+
+    from velox_hadoop_spark.functions.vectors import round_half_away
+
+    def totals(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_events": len(pdf),
+                    "total_value": float(
+                        round_half_away(float(pdf["value"].sum()), 2)
+                    ),
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandas(totals, RUNNING_TOTALS_SCHEMA)
+
+
+def _register():
+    from pyspark.sql import functions as F
+
+    from velox_hadoop_spark.plans.registry import register
+
+    @register(
+        "stateful_totals_batch_twin",
+        oracle="""
+            SELECT user_id, count(*) AS n_events,
+                   ROUND(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        tags=("streaming", "stateful", "applyInPandasWithState", "extension"),
+    )
+    def q_stateful_totals_batch_twin(spark, sf_dir):
+        """Final state of the custom stateful operator, batch form."""
+        from velox_hadoop_spark.catalog import read_table
+
+        ev = read_table(spark, sf_dir, "events").select("user_id", "value")
+        return batch_user_totals(ev)
+
+
+_register()
