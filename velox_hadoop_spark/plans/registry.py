@@ -56,7 +56,11 @@ def register(
 
 def _ensure_loaded() -> None:
     # Import every query-defining module exactly once; registration is a
-    # side effect of import.
+    # side effect of import. Import order is also the verification-
+    # priority order WITHIN the never-verified group (see
+    # __spark_entry__._priority_order): streaming + curation extensions
+    # come before the TPC-H tail so the driver's per-round budget lands
+    # on the least-conventional surfaces first.
     import velox_hadoop_spark.operators.text  # noqa: F401
     import velox_hadoop_spark.operators.agg  # noqa: F401
     import velox_hadoop_spark.operators.join  # noqa: F401
@@ -68,18 +72,18 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.graph  # noqa: F401
     import velox_hadoop_spark.operators.dedup  # noqa: F401
     import velox_hadoop_spark.operators.similarity  # noqa: F401
+    import velox_hadoop_spark.streaming.events  # noqa: F401
+    import velox_hadoop_spark.streaming.stateful  # noqa: F401
+    import velox_hadoop_spark.operators.contamination  # noqa: F401
     import velox_hadoop_spark.operators.textstats  # noqa: F401
     import velox_hadoop_spark.operators.multimodal  # noqa: F401
+    import velox_hadoop_spark.operators.pipeline  # noqa: F401
     import velox_hadoop_spark.operators.tpch_more  # noqa: F401
     import velox_hadoop_spark.operators.tpch_wide  # noqa: F401
     import velox_hadoop_spark.operators.tpch_final  # noqa: F401
     import velox_hadoop_spark.operators.reshape  # noqa: F401
     import velox_hadoop_spark.operators.sampling  # noqa: F401
     import velox_hadoop_spark.operators.timeseries  # noqa: F401
-    import velox_hadoop_spark.operators.pipeline  # noqa: F401
-    import velox_hadoop_spark.operators.contamination  # noqa: F401
-    import velox_hadoop_spark.streaming.events  # noqa: F401
-    import velox_hadoop_spark.streaming.stateful  # noqa: F401
     import velox_hadoop_spark.sources.multisource  # noqa: F401
 
 
