@@ -71,51 +71,26 @@ def test_stateful_running_totals_matches_batch(spark):
     assert got == want
 
 
-def test_approx_distinct_within_tolerance(spark):
-    """HLL estimate within 3×rsd of the exact distinct count per group."""
-    from velox_hadoop_spark.plans import registry
-    from pyspark.sql import functions as F
-
-    approx = {
-        r.s_nationkey: r.approx_parts
-        for r in registry.queries()["approx_distinct_parts_per_supplier"](
-            spark, SF_DIR
-        ).collect()
-    }
-    li = read_table(spark, SF_DIR, "lineitem")
-    supp = read_table(spark, SF_DIR, "supplier")
-    exact = {
-        r.s_nationkey: r.n
-        for r in li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_nationkey")
-        .agg(F.countDistinct("l_partkey").alias("n"))
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        assert abs(est - exact[k]) <= max(3, 0.15 * exact[k]), (k, est, exact[k])
-
-
-def test_approx_percentiles_close_to_exact(spark):
-    """Sketch percentiles within 1% relative error of exact ones."""
-    from pyspark.sql import functions as F
-
+def test_approx_distinct_within_tolerance(spark, duck):
+    """The HLL estimate's in-plan tolerance flag holds for every group
+    AND the emitted (exact count, flag) rows hash-match the oracle."""
     from velox_hadoop_spark.plans import registry
 
-    approx = {
-        r.l_returnflag: (r.p50, r.p95, r.p99)
-        for r in registry.queries()["approx_percentiles_price"](spark, SF_DIR).collect()
-    }
-    li = read_table(spark, SF_DIR, "lineitem")
-    exact = {
-        r.l_returnflag: r.ps
-        for r in li.groupBy("l_returnflag")
-        .agg(F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("ps"))
-        .collect()
-    }
-    for flag, (a50, a95, a99) in approx.items():
-        for a, e in zip((a50, a95, a99), exact[flag]):
-            assert abs(a - e) / e < 0.01, (flag, a, e)
+    rows = registry.queries()["approx_distinct_parts_per_supplier"](
+        spark, SF_DIR
+    ).collect()
+    assert rows and all(r.within_10pct for r in rows)
+    assert_parity(spark, duck, "approx_distinct_parts_per_supplier")
+
+
+def test_approx_percentiles_close_to_exact(spark, duck):
+    """GK sketch within 1% of exact per quantile (in-plan flag) and the
+    (exact percentiles, flag) rows hash-match the oracle."""
+    from velox_hadoop_spark.plans import registry
+
+    rows = registry.queries()["approx_percentiles_price"](spark, SF_DIR).collect()
+    assert rows and all(r.all_within_1pct for r in rows)
+    assert_parity(spark, duck, "approx_percentiles_price")
 
 
 @pytest.mark.parametrize(
