@@ -666,7 +666,12 @@ def connected_components(
         StorageLevel.MEMORY_AND_DISK
     )
     id_a, id_b = "id_a", "id_b"
-    if pairs.count() <= driver_threshold:
+    # Regime probe and data fetch in ONE action: pull at most
+    # threshold+1 rows — if we got them all, union-find on the driver;
+    # if the limit truncated, fall through to label propagation. (A
+    # separate count() would re-run the pair pipeline a second time.)
+    probe = pairs.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -675,7 +680,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for a, b in pairs.collect():
+        for a, b in probe:
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
