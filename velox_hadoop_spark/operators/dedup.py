@@ -176,6 +176,11 @@ def lsh_candidate_pairs(
     pipeline (shingle → minhash → band) runs ONCE, not once per side;
     band buckets hotter than ``max_bucket`` are dropped first (see
     ``MAX_KEY_DOC_FREQ``).
+
+    Cache ownership: the persist lives for the duration of the returned
+    plan's consumption; callers running many queries in one session
+    release it afterwards (the bench harness calls
+    ``spark.catalog.clearCache()`` between queries).
     """
     from pyspark.storagelevel import StorageLevel
 
