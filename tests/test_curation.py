@@ -121,3 +121,37 @@ def test_embedding_outliers_topk_per_label(spark):
     for r in rows:
         by_label.setdefault(r.label, []).append(r.rnk)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_label.values())
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["repetition_quality", "source_mixing_weights", "embedding_quantize_int8"],
+)
+def test_round2b_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_repetition_flags_looping_doc(spark):
+    from velox_hadoop_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam ham " * 20), (2, "all twenty words here are completely distinct from one another")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].dup_bigram_frac > 0.9     # looping doc: ~all bigrams repeat
+    assert got[2].dup_bigram_frac == 0.0    # distinct words: no repeats
+    assert got[1].top_bigram_frac > got[2].top_bigram_frac
+
+
+def test_quantization_error_bounded_by_scale(spark):
+    """Reconstruction error can never exceed half a quantization step."""
+    from velox_hadoop_spark.plans import registry
+
+    from tests.conftest import SF_DIR
+
+    rows = registry.queries()["embedding_quantize_int8"](spark, SF_DIR).collect()
+    assert rows
+    # embeddings are unit-ish floats: step = range/255, so errors are tiny
+    assert all(r.max_abs_err <= 0.05 for r in rows)
+    assert all(r.mean_abs_err <= r.max_abs_err for r in rows)

@@ -699,3 +699,56 @@ def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norm per embedding via the Arrow RecordBatch boundary."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_norms_arrow(emb)
+
+
+@register(
+    "embedding_quantize_int8",
+    # Scalar int8 quantization QA: per-vector min/max-scaled uint8
+    # codes, reconstructed in-plan; the emitted reconstruction-error
+    # stats bound the storage-compression loss (4x smaller vectors at
+    # 100 TB). All arithmetic is per-element and order-free, so the
+    # two engines compute bit-identical doubles before rounding.
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, e,
+                   list_min(e) AS lo,
+                   greatest((list_max(e) - list_min(e)) / 255.0, 1e-12) AS scale
+            FROM v
+        ),
+        rec AS (
+            SELECT vec_id,
+                   list_transform(
+                       list_zip(e, list_transform(e, x -> floor((x - lo) / scale + 0.5) * scale + lo)),
+                       p -> abs(p[1] - p[2])
+                   ) AS errs
+            FROM scaled
+        )
+        SELECT vec_id,
+               ROUND(list_max(errs), 6) AS max_abs_err,
+               ROUND(list_sum(errs) / len(errs), 6) AS mean_abs_err
+        FROM rec
+    """,
+    tags=("similarity", "quantization", "compression", "extension"),
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization reconstruction error per embedding."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = to_double(F.col("embedding"))
+    lo = F.array_min(e)
+    scale = F.greatest(
+        (F.array_max(e) - F.array_min(e)) / F.lit(255.0), F.lit(1e-12)
+    )
+    errs = F.transform(
+        e, lambda x: F.abs(x - (F.floor((x - lo) / scale + F.lit(0.5)) * scale + lo))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.array_max(errs), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(errs, F.lit(0.0), lambda a, x: a + x) / F.size(errs), 6
+        ).alias("mean_abs_err"),
+    )

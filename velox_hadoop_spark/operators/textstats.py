@@ -378,3 +378,95 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/long-number redaction over the corpus."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return redact_pii(docs).select("doc_id", "redacted_text", "was_redacted")
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals: fraction of
+    tokens belonging to duplicate word-bigrams, and the share of the
+    single most frequent bigram.
+
+    Entirely in-row (array transforms + a grouped explode bounded by
+    the document's own bigram count): no corpus-wide shuffle beyond the
+    per-doc aggregate, which combines map-side. High values flag
+    looping/boilerplate generations that near-dup detection misses
+    because the repetition is INSIDE one document."""
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("w")
+    ).where(F.size("w") >= 2)
+    bigrams = words.select(
+        F.col(id_col),
+        F.size("w").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"
+            )
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy(id_col, "n_tokens", "bg").agg(
+        F.count("*").alias("c")
+    )
+    return per_bg.groupBy(id_col).agg(
+        F.first("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            (F.sum("c") - F.count("*")) / F.sum("c"), 6
+        ).alias("dup_bigram_frac"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "repetition_quality",
+    oracle=r"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(text, '\s+') AS w
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id, len(w) AS n_tokens,
+                   w[i] || ' ' || w[i+1] AS bg
+            FROM words
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 2
+        ),
+        per_bg AS (
+            SELECT doc_id, n_tokens, bg, count(*) AS c
+            FROM bigrams GROUP BY doc_id, n_tokens, bg
+        )
+        SELECT doc_id,
+               CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+               ROUND((sum(c) - count(*)) / sum(c), 6) AS dup_bigram_frac,
+               ROUND(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+        FROM per_bg GROUP BY doc_id
+    """,
+    tags=("textstats", "quality", "repetition", "extension"),
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram and top-bigram fractions per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+@register(
+    "source_mixing_weights",
+    # Temperature-scaled multinomial source weights (alpha = 0.5): the
+    # standard recipe for rebalancing a multi-source training corpus —
+    # w_s ∝ n_s^alpha, normalized. Pure aggregate + broadcast scalar.
+    oracle="""
+        WITH per_src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        tot AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM per_src)
+        SELECT source, n_docs,
+               ROUND(pow(n_docs, 0.5) / (SELECT z FROM tot), 6) AS weight
+        FROM per_src
+    """,
+    tags=("curation", "sampling", "mixing", "extension"),
+)
+def q_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-sampling weights (n^0.5 normalized)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    z = per_src.agg(F.sum(F.pow("n_docs", F.lit(0.5))).alias("z"))
+    return per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.pow("n_docs", F.lit(0.5)) / F.col("z"), 6).alias("weight"),
+    )
