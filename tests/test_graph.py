@@ -59,3 +59,19 @@ def test_pagerank_converged_emits_pass_count(spark):
     assert len(rows) > 0
     assert df.columns == ["node", "iters", "rank"]
     assert {r.iters for r in rows} == {5}
+
+
+@pytest.mark.parametrize(
+    "name", ["bfs_levels_from_min_supplier", "supplier_triangle_counts"]
+)
+def test_graph_extras_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_bfs_levels_on_path_graph(spark):
+    from velox_hadoop_spark.operators.graph import bfs_levels
+
+    # path 1-2-3-4 plus unreachable 10-11
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {r.node: r.lvl for r in bfs_levels(edges, start=1).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}

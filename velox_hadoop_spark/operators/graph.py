@@ -232,3 +232,157 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", "iters", F.round("rank", 6).alias("rank")
     ).orderBy(F.desc("rank"), F.asc("node"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    start: int,
+    max_levels: int = 20,
+) -> DataFrame:
+    """Shortest hop-distance from ``start`` over an UNDIRECTED edge
+    list — level-synchronous BFS as a driver loop.
+
+    Each pass joins the current frontier with the edge list, anti-joins
+    the visited set, and pulls ONE scalar (frontier size) to decide
+    termination; node sets never leave the executors. Visited/frontier
+    frames persist across passes, lineage cut by the same cadence as
+    PageRank. Integer levels — no FP concerns, so the oracle (a
+    recursive CTE running to the fixpoint) must match exactly once the
+    loop drains the frontier.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    e = edges.select("src", "dst")
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    visited = (
+        und.sparkSession.createDataFrame([(start, 0)], "node long, lvl int")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = visited
+    for lvl in range(1, max_levels + 1):
+        neigh = (
+            und.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_frontier = (
+            neigh.join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(lvl).cast("int").alias("lvl"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if new_frontier.limit(1).count() == 0:
+            new_frontier.unpersist()
+            break
+        new_visited = visited.union(new_frontier).localCheckpoint(eager=True)
+        visited.unpersist()
+        frontier = new_frontier
+        visited = new_visited
+    und.unpersist()
+    return visited
+
+
+@register(
+    "bfs_levels_from_min_supplier",
+    oracle="""
+        WITH RECURSIVE base AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+        ),
+        und AS (
+            SELECT src, dst FROM base
+            UNION SELECT dst, src FROM base
+        ),
+        start AS (SELECT min(src) AS s FROM (SELECT l_suppkey AS src FROM lineitem)),
+        reach(node, lvl) AS (
+            SELECT s, 0 FROM start
+            UNION
+            -- lvl < 12 bounds the recursion: without it the cycle
+            -- start->x->start regenerates every node at lvl+2 forever.
+            -- 12 >> the graph's diameter at the verified SFs (BFS
+            -- drains in <= 4 levels); min(lvl) below keeps shortest.
+            SELECT u.dst, r.lvl + 1
+            FROM reach r JOIN und u ON u.src = r.node
+            WHERE r.lvl < 12
+        )
+        SELECT node, CAST(min(lvl) AS INT) AS lvl
+        FROM reach GROUP BY node
+    """,
+    tags=("graph", "iterative", "bfs", "extension"),
+)
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance of every reachable node from the lowest supplier id,
+    over the undirected supplier-part graph."""
+    edges = _lineitem_edges(spark, sf_dir)
+    start = edges.agg(F.min("src").alias("s")).first()["s"]
+    return bfs_levels(edges.distinct(), int(start))
+
+
+@register(
+    "supplier_triangle_counts",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS s FROM lineitem),
+        deg AS (SELECT part, count(*) AS c FROM ps GROUP BY part),
+        ok AS (SELECT p.part, p.s FROM ps p JOIN deg d ON p.part = d.part AND d.c <= 256),
+        e AS (
+            SELECT DISTINCT a.s AS s1, b.s AS s2
+            FROM ok a JOIN ok b ON a.part = b.part AND a.s < b.s
+        ),
+        tri AS (
+            SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+            FROM e e1
+            JOIN e e2 ON e2.s1 = e1.s2
+            JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        ),
+        members AS (
+            SELECT a AS s FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT s AS supplier, count(*) AS n_triangles
+        FROM members GROUP BY s
+    """,
+    tags=("graph", "triangles", "extension"),
+)
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation count per supplier over the co-supply
+    graph (edge = two suppliers share a part).
+
+    The standard distributed triangle enumeration: orient every edge
+    low→high id so each triangle is generated exactly once by two
+    equi-joins; parts shared by > 256 suppliers are dropped first (the
+    co-supply projection of a hot part is a quadratic clique that
+    carries no structure — same capping rationale as the dedup
+    self-joins)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ps = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = ps.groupBy("part").agg(F.count("*").alias("c"))
+    hot = deg.where(F.col("c") > 256).select("part")
+    ok = ps.join(F.broadcast(hot), "part", "left_anti")
+    a = ok.select("part", F.col("s").alias("s1"))
+    b = ok.select("part", F.col("s").alias("s2"))
+    e = (
+        a.join(b, "part")
+        .where(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = e
+    e2 = e.select(F.col("s1").alias("s2"), F.col("s2").alias("s3"))
+    e3 = e.select(F.col("s1").alias("t1"), F.col("s2").alias("t3"))
+    tri = (
+        e1.join(e2, "s2")
+        .join(e3, (F.col("t1") == F.col("s1")) & (F.col("t3") == F.col("s3")))
+        .select("s1", "s2", "s3")
+    )
+    members = (
+        tri.select(F.col("s1").alias("supplier"))
+        .union(tri.select(F.col("s2").alias("supplier")))
+        .union(tri.select(F.col("s3").alias("supplier")))
+    )
+    return members.groupBy("supplier").agg(F.count("*").alias("n_triangles"))
