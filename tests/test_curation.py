@@ -155,3 +155,35 @@ def test_quantization_error_bounded_by_scale(spark):
     # embeddings are unit-ish floats: step = range/255, so errors are tiny
     assert all(r.max_abs_err <= 0.05 for r in rows)
     assert all(r.mean_abs_err <= r.max_abs_err for r in rows)
+
+
+def test_kmeans_parity(spark, duck):
+    assert_parity(spark, duck, "kmeans_2iter_embeddings")
+
+
+def test_kmeans_assigns_every_vector_once(spark):
+    from velox_hadoop_spark.operators.clustering import kmeans
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = kmeans(emb).collect()
+    assert len(rows) == emb.count()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert {r.cluster for r in rows} <= {0, 1, 2, 3}
+    assert all(r.dist >= 0 for r in rows)
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from velox_hadoop_spark.operators.clustering import kmeans
+
+    # two tight blobs around (0,0) and (10,10); k=2, init = ids 0 (blob A) and 1 (blob B)
+    rows = [
+        (0, [0.0, 0.1]), (2, [0.1, 0.0]), (4, [0.05, 0.05]),
+        (1, [10.0, 10.1]), (3, [10.1, 10.0]), (5, [9.95, 10.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in kmeans(emb, k=2, iters=2).collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3] == got[5]
+    assert got[0] != got[1]

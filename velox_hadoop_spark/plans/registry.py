@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.streaming.events  # noqa: F401
     import velox_hadoop_spark.streaming.stateful  # noqa: F401
     import velox_hadoop_spark.operators.contamination  # noqa: F401
+    import velox_hadoop_spark.operators.clustering  # noqa: F401
     import velox_hadoop_spark.operators.textstats  # noqa: F401
     import velox_hadoop_spark.operators.multimodal  # noqa: F401
     import velox_hadoop_spark.operators.pipeline  # noqa: F401
