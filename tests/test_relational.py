@@ -31,6 +31,7 @@ PARITY_QUERIES = [
     "window_trailing_30d_spend",
     "event_gaps_lead_lag",
     "customer_balance_quartiles",
+    "rolling_7d_active_users",
     "union_provenance",
     "intersect_buyers",
     "except_small_buyers",

@@ -259,3 +259,43 @@ def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c_acctbal"), 2).alias("lo"),
         F.round(F.max("c_acctbal"), 2).alias("hi"),
     )
+
+
+@register(
+    "rolling_7d_active_users",
+    # COUNT(DISTINCT) over a RANGE frame is not a supported window
+    # aggregate (Spark or ANSI): the standard rewrite is day-grain
+    # dedup first, then a bounded day-to-day range join (each day joins
+    # at most 7 distinct-day rows), then a plain distinct count. The
+    # (day, user) dedup bounds everything downstream by active-users ×
+    # days, not event volume.
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM du)
+        SELECT days.d AS day,
+               count(DISTINCT du.user_id) AS active_7d
+        FROM days
+        JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY days.d
+    """,
+    tags=("window", "rolling-distinct", "extension"),
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per active day."""
+    from velox_hadoop_spark.catalog import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    joined = days.join(
+        du,
+        (F.col("d") <= F.col("day")) & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+    )
+    return joined.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_7d")
+    )
