@@ -320,15 +320,25 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(edges.distinct(), int(start))
 
 
+TRIANGLE_ADJ_CAP = 64
+
+
 @register(
     "supplier_triangle_counts",
-    oracle="""
+    oracle=f"""
         WITH ps AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS s FROM lineitem),
         deg AS (SELECT part, count(*) AS c FROM ps GROUP BY part),
         ok AS (SELECT p.part, p.s FROM ps p JOIN deg d ON p.part = d.part AND d.c <= 256),
-        e AS (
+        e_full AS (
             SELECT DISTINCT a.s AS s1, b.s AS s2
             FROM ok a JOIN ok b ON a.part = b.part AND a.s < b.s
+        ),
+        e AS (
+            SELECT s1, s2 FROM (
+                SELECT s1, s2,
+                       row_number() OVER (PARTITION BY s1 ORDER BY s2) AS rn
+                FROM e_full
+            ) WHERE rn <= {TRIANGLE_ADJ_CAP}
         ),
         tri AS (
             SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
@@ -347,15 +357,20 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "triangles", "extension"),
 )
 def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle participation count per supplier over the co-supply
-    graph (edge = two suppliers share a part).
+    """Triangle participation count per supplier over the (degree-
+    bounded) co-supply graph — edge = two suppliers share a part.
 
     The standard distributed triangle enumeration: orient every edge
     low→high id so each triangle is generated exactly once by two
-    equi-joins; parts shared by > 256 suppliers are dropped first (the
-    co-supply projection of a hot part is a quadratic clique that
-    carries no structure — same capping rationale as the dedup
-    self-joins)."""
+    equi-joins. Two density guards make the census scale-stable:
+    parts shared by > 256 suppliers are dropped (a hot part's co-supply
+    projection is a quadratic clique with no structure — same rationale
+    as the dedup self-join caps), and each node keeps only its
+    ``TRIANGLE_ADJ_CAP`` lowest-id oriented neighbors (the standard
+    high-degree-vertex mitigation: a co-supply graph densifies toward a
+    clique as scale grows, where exact enumeration is Θ(V³); the
+    deterministic truncation bounds the join at O(V·D²) at ANY scale
+    while remaining exactly reproducible by the oracle)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     ps = li.select(
         F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("s")
@@ -365,11 +380,17 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = ps.join(F.broadcast(hot), "part", "left_anti")
     a = ok.select("part", F.col("s").alias("s1"))
     b = ok.select("part", F.col("s").alias("s2"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s1").orderBy("s2")
     e = (
         a.join(b, "part")
         .where(F.col("s1") < F.col("s2"))
         .select("s1", "s2")
         .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TRIANGLE_ADJ_CAP)
+        .select("s1", "s2")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1 = e
