@@ -735,20 +735,37 @@ def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "quantization", "compression", "extension"),
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8 scalar-quantization reconstruction error per embedding."""
+    """Int8 scalar-quantization reconstruction error per embedding.
+
+    Numpy kernel over ``mapInPandas``: zero shuffles (each Arrow batch
+    quantizes independently) and vectorized math. The pure-expression
+    form (transform/aggregate HOFs) is also zero-shuffle but those
+    lambdas evaluate interpreted with the array_min/max inlined per
+    element — measured ~8× slower; per-element IEEE arithmetic is
+    identical either way, so the oracle is unaffected."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            lo = mat.min(axis=1, keepdims=True)
+            scale = np.maximum((mat.max(axis=1, keepdims=True) - lo) / 255.0, 1e-12)
+            rec = np.floor((mat - lo) / scale + 0.5) * scale + lo
+            err = np.abs(mat - rec)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "max_abs_err": round_half_away(err.max(axis=1), 6),
+                    "mean_abs_err": round_half_away(
+                        err.sum(axis=1) / err.shape[1], 6
+                    ),
+                }
+            )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    e = to_double(F.col("embedding"))
-    lo = F.array_min(e)
-    scale = F.greatest(
-        (F.array_max(e) - F.array_min(e)) / F.lit(255.0), F.lit(1e-12)
-    )
-    errs = F.transform(
-        e, lambda x: F.abs(x - (F.floor((x - lo) / scale + F.lit(0.5)) * scale + lo))
-    )
-    return emb.select(
-        "vec_id",
-        F.round(F.array_max(errs), 6).alias("max_abs_err"),
-        F.round(
-            F.aggregate(errs, F.lit(0.0), lambda a, x: a + x) / F.size(errs), 6
-        ).alias("mean_abs_err"),
+    return emb.select("vec_id", to_double(F.col("embedding")).alias("embedding")).mapInPandas(
+        kernel, "vec_id long, max_abs_err double, mean_abs_err double"
     )
