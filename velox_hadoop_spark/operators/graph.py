@@ -407,3 +407,78 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(tri.select(F.col("s3").alias("supplier")))
     )
     return members.groupBy("supplier").agg(F.count("*").alias("n_triangles"))
+
+
+NBR_PART_CAP = 512  # drop parts supplied by more suppliers than this
+
+
+@register(
+    "neighbor_jaccard_links",
+    oracle=f"""
+        WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS part FROM lineitem),
+        deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+        pdeg AS (SELECT part, count(*) AS c FROM e GROUP BY part),
+        ok AS (SELECT e.s, e.part FROM e JOIN pdeg ON e.part = pdeg.part
+               AND pdeg.c <= {NBR_PART_CAP}),
+        common AS (
+            SELECT a.s AS s1, b.s AS s2, count(*) AS n_common
+            FROM ok a JOIN ok b ON a.part = b.part AND a.s < b.s
+            GROUP BY a.s, b.s
+        )
+        SELECT s1, s2, n_common,
+               ROUND(CAST(n_common AS DOUBLE)
+                     / (d1.deg + d2.deg - n_common), 6) AS jaccard
+        FROM common
+        JOIN deg d1 ON common.s1 = d1.s
+        JOIN deg d2 ON common.s2 = d2.s
+        ORDER BY CAST(n_common AS DOUBLE) / (d1.deg + d2.deg - n_common) DESC,
+                 s1, s2
+        LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "extension"),
+)
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by neighborhood Jaccard over the
+    supplier→part graph — the classic link-prediction / entity-blocking
+    score (|N(a) ∩ N(b)| / |N(a) ∪ N(b)|).
+
+    Common neighbors come from a wedge join on the shared part;
+    degrees come from the UNCAPPED edge set (exact denominators).
+    Parts with > NBR_PART_CAP suppliers are excluded from the wedge
+    join only: a hot part contributes quadratic wedges but uniform,
+    signal-free overlap (the same density guard as the triangle census
+    and dedup self-joins — bounded join fanout at any scale, exactly
+    reproduced by the oracle). Top-k is TakeOrderedAndProject, no
+    total sort."""
+    from velox_hadoop_spark.operators.sort import top_k
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("part")).distinct()
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    hot = e.groupBy("part").agg(F.count("*").alias("c")).where(
+        F.col("c") > NBR_PART_CAP
+    ).select("part")
+    ok = e.join(F.broadcast(hot), "part", "left_anti")
+    a = ok.select("part", F.col("s").alias("s1"))
+    b = ok.select("part", F.col("s").alias("s2"))
+    common = (
+        a.join(b, "part")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        common.join(deg.select(F.col("s").alias("s1"), F.col("deg").alias("d1")), "s1")
+        .join(deg.select(F.col("s").alias("s2"), F.col("deg").alias("d2")), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("n_common"))
+            ).alias("j"),
+        )
+    )
+    ranked = top_k(scored, 20, F.desc("j"), F.asc("s1"), F.asc("s2"))
+    return ranked.select("s1", "s2", "n_common", F.round("j", 6).alias("jaccard"))

@@ -159,3 +159,60 @@ def q_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped_per_group(_docs(spark, sf_dir), "source", "doc_id", 40).select(
         "doc_id", "source"
     )
+
+
+WS_SEED = "wsample17"
+WS_MOD = 1000003  # prime modulus for the uniform-in-(0,1) hash draw
+WS_K = 50
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: str, k: int, seed: str = WS_SEED
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): keep the k rows with the smallest
+    ``-ln(u) / weight`` where u is a uniform draw derived from the
+    cross-engine hash of ``key``.
+
+    Inclusion probability is proportional to weight (here: sample
+    long documents more often, the token-mass-proportional draw a
+    training mix uses). Like every sampler in this module it is
+    partitioning-independent and engine-portable; selection is a
+    narrow projection + TakeOrderedAndProject — no shuffle, no RNG
+    state, reproducible on any cluster layout.
+    """
+    u = (
+        (F.expr(spark_md5_int60(seeded(key, seed))) % WS_MOD + 1)
+        / F.lit(float(WS_MOD + 1))
+    )
+    keyed = df.withColumn("sample_key", -F.log(u) / F.col(weight))
+    from velox_hadoop_spark.operators.sort import top_k
+
+    return top_k(keyed, k, F.asc("sample_key"), F.asc(key))
+
+
+def _ws_key_duck(key: str = "doc_id", weight: str = "n_chars", seed: str = WS_SEED) -> str:
+    return (
+        f"-ln((({duck_md5_int60(seeded(key, seed))}) % {WS_MOD} + 1)"
+        f" / {float(WS_MOD + 1)}) / {weight}"
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+        SELECT doc_id, source, n_chars, ROUND(k, 6) AS sample_key
+        FROM (
+            SELECT doc_id, source, n_chars, {_ws_key_duck()} AS k
+            FROM documents
+        ) ORDER BY k, doc_id LIMIT {WS_K}
+    """,
+    tags=("sampling", "weighted", "extension"),
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample of 50 documents (longer
+    docs proportionally more likely — the token-mass draw)."""
+    picked = weighted_sample(_docs(spark, sf_dir), "doc_id", "n_chars", WS_K)
+    return picked.select(
+        "doc_id", "source", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    )

@@ -101,3 +101,56 @@ def gap_fill_daily(events: DataFrame) -> DataFrame:
 def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense per-user daily event series with forward-filled values."""
     return gap_fill_daily(read_table(spark, sf_dir, "events"))
+
+
+EPOCH = "2024-01-01"  # week-index origin (first event day in the corpus)
+
+
+def retention_cohorts(events: DataFrame, epoch: str = EPOCH) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted in every later week they return.
+
+    Week index = floor(days-since-epoch / 7) — a pure arithmetic
+    bucketing (no engine-specific week-truncation semantics). The
+    (user, week) stream is deduped FIRST, so everything downstream is
+    bounded by active-users × weeks, not event volume; the cohort
+    lookup is one equi-join on user_id reusing the dedup's hash
+    partitioning.
+    """
+    wk = events.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit(epoch).cast("date")) / 7
+        ).cast("long").alias("w"),
+    ).distinct()
+    coh = wk.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    return (
+        wk.join(coh, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (F.col("w") - F.col("cohort")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+        WITH wk AS (
+            SELECT DISTINCT user_id,
+                   (CAST(ts AS DATE) - DATE '{EPOCH}') // 7 AS w
+            FROM events
+        ),
+        coh AS (SELECT user_id, min(w) AS cohort FROM wk GROUP BY user_id)
+        SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+               CAST(w.w - c.cohort AS BIGINT) AS week_offset,
+               count(DISTINCT w.user_id) AS n_users
+        FROM wk w JOIN coh c ON w.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    tags=("timeseries", "retention", "extension"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events table."""
+    return retention_cohorts(read_table(spark, sf_dir, "events"))
