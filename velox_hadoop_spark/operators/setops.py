@@ -127,3 +127,125 @@ def q_distinct_order_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
     ).distinct()
+
+
+# --- snapshot diff (batch CDC compare) -------------------------------------
+
+SNAP_SEED = "snapdiff7"
+
+
+def _snap_bucket_duck() -> str:
+    from velox_hadoop_spark.functions.hashing import duck_md5_int60, seeded
+
+    return f"{duck_md5_int60(seeded('o_orderkey', SNAP_SEED))} % 100"
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare: list[str]
+) -> DataFrame:
+    """Row-level diff of two table snapshots keyed by ``key``:
+    'added' (key only in new), 'removed' (key only in old), 'changed'
+    (key in both, any compared column differs). Unchanged rows are
+    dropped — the output is the changeset a downstream incremental
+    consumer would apply.
+
+    One full-outer equi-join on the key (single shuffle each side;
+    null-safe comparison via ``eqNullSafe`` so NULL→value transitions
+    count as changes). The standard reconciliation primitive for
+    validating incremental pipelines against full recomputes.
+    """
+    o = old.select(
+        key, F.lit(True).alias("_in_old"), *[F.col(c).alias(f"old_{c}") for c in compare]
+    )
+    n = new.select(
+        key, F.lit(True).alias("_in_new"), *[F.col(c).alias(f"new_{c}") for c in compare]
+    )
+    joined = o.join(n, key, "full_outer")
+    old_present = F.col("_in_old").isNotNull()
+    new_present = F.col("_in_new").isNotNull()
+    same = reduce_and(
+        [F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare]
+    )
+    status = (
+        F.when(~old_present, F.lit("added"))
+        .when(~new_present, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status") != "unchanged")
+        .drop("_in_old", "_in_new")
+    )
+
+
+def reduce_and(cols: list) -> "F.Column":
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+@register(
+    "snapshot_diff_orders",
+    # Two deterministic snapshot views of orders, sharing hash buckets
+    # 10-89: old = buckets 0-89, new = buckets 10-99 with a simulated
+    # price restatement (an exact +1000.0 — multiplying and rounding
+    # would diverge between engines on decimal-tie doubles) on 80-89.
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT *, {_snap_bucket_duck()} AS b FROM orders
+        ),
+        old AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM bucketed WHERE b < 90
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN b >= 80 THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM bucketed WHERE b >= 10
+        )
+        SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               old.o_totalprice AS old_o_totalprice,
+               old.o_orderstatus AS old_o_orderstatus,
+               new.o_totalprice AS new_o_totalprice,
+               new.o_orderstatus AS new_o_orderstatus,
+               CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                    WHEN new.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+           OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+           OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+    """,
+    tags=("setops", "diff", "cdc", "extension"),
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changeset between two simulated snapshots of orders (10% churn
+    out, 10% churn in, 10% restated prices; the restatement is an exact double addition — a ROUND(x*1.1) would diverge between engines on decimal-tie doubles)."""
+    from velox_hadoop_spark.functions.hashing import spark_md5_int60, seeded
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    b = F.expr(spark_md5_int60(seeded("o_orderkey", SNAP_SEED))) % 100
+    bucketed = orders.withColumn("b", b)
+    old = bucketed.where(F.col("b") < 90).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = bucketed.where(F.col("b") >= 10).select(
+        "o_orderkey",
+        F.when(F.col("b") >= 80, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    diff = snapshot_diff(old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+    return diff.select(
+        "o_orderkey",
+        "old_o_totalprice",
+        "old_o_orderstatus",
+        "new_o_totalprice",
+        "new_o_orderstatus",
+        "status",
+    )

@@ -299,3 +299,48 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("day").agg(
         F.countDistinct("user_id").alias("active_7d")
     )
+
+
+def scd2_history(
+    df: DataFrame, key: str, order: str, tiebreak: str, payload: list[str]
+) -> DataFrame:
+    """Build SCD-type-2 validity intervals from an append-only change
+    stream: each row becomes a version valid from its own timestamp
+    until the key's next change (NULL = still current).
+
+    One shuffle on the key serves both lead() calls; this is the batch
+    twin of the foreachBatch CDC upsert in ``streaming/upsert.py``
+    (which keeps only the latest version — SCD-1).
+    """
+    w = Window.partitionBy(key).orderBy(order, tiebreak)
+    return df.select(
+        key,
+        tiebreak,
+        *payload,
+        F.col(order).alias("valid_from"),
+        F.lead(order).over(w).alias("valid_to"),
+        F.lead(order).over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "scd2_user_event_history",
+    oracle="""
+        SELECT user_id, event_id, event_type AS state,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "scd2", "cdc", "extension"),
+)
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned user-state history: every event opens a validity
+    interval closed by the user's next event."""
+    from velox_hadoop_spark.catalog import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("state")
+    )
+    return scd2_history(ev, "user_id", "ts", "event_id", ["state"])
