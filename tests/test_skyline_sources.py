@@ -1,0 +1,78 @@
+"""Skyline, distribution windows, partitioned-sink pruning: parity +
+invariants + plan shape."""
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_parity
+
+PARITY_QUERIES = [
+    "pareto_frontier_parts",
+    "supplier_balance_distribution",
+    "partitioned_parquet_prune",
+]
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_skyline_matches_bruteforce(spark):
+    """The distributed prefix-max skyline must equal the quadratic
+    definition: no other point cheaper-or-equal AND larger-or-equal
+    with one strict."""
+    from velox_hadoop_spark.catalog import read_table
+    from velox_hadoop_spark.operators.skyline import skyline_min_max
+
+    part = read_table(spark, SF_DIR, "part")
+    pts = [(r.p_retailprice, r.p_size) for r in part.select("p_retailprice", "p_size").collect()]
+    brute = {
+        (m, x)
+        for m, x in set(pts)
+        if not any(
+            (m2 <= m and x2 >= x and (m2 < m or x2 > x)) for m2, x2 in pts
+        )
+    }
+    got = {
+        (r.p_retailprice, r.p_size)
+        for r in skyline_min_max(part, "p_retailprice", "p_size").collect()
+    }
+    assert got == brute and got
+
+
+def test_skyline_survives_repartitioning(spark):
+    """Range-partitioned prefix-max must be partitioning-independent."""
+    from velox_hadoop_spark.catalog import read_table
+    from velox_hadoop_spark.operators.skyline import skyline_min_max
+
+    part = read_table(spark, SF_DIR, "part")
+    a = {tuple(r) for r in skyline_min_max(part, "p_retailprice", "p_size").collect()}
+    b = {
+        tuple(r)
+        for r in skyline_min_max(
+            part.repartition(11, "p_brand"), "p_retailprice", "p_size"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """The partition-column filter must resolve at planning time:
+    PartitionFilters populated, no post-scan Filter on the partition
+    column."""
+    from velox_hadoop_spark.plans import registry
+
+    df = registry.queries()["partitioned_parquet_prune"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan, plan
+
+
+def test_cume_dist_bounds_and_top_decile(spark):
+    from velox_hadoop_spark.plans import registry
+
+    rows = registry.queries()["supplier_balance_distribution"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0.0 < r.cume <= 1.0
+        assert r.top_decile == (1 if r.cume >= 0.9 else 0)

@@ -344,3 +344,36 @@ def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", F.col("event_type").alias("state")
     )
     return scd2_history(ev, "user_id", "ts", "event_id", ["state"])
+
+
+@register(
+    "supplier_balance_distribution",
+    oracle="""
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume,
+               CAST(CASE WHEN cume_dist() OVER w >= 0.9 THEN 1 ELSE 0 END
+                    AS BIGINT) AS top_decile
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    tags=("window", "distribution", "extension"),
+)
+def q_supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of every supplier's balance within its nation:
+    percent_rank + cume_dist (the distribution-window surface) and a
+    top-decile flag derived in-plan. One shuffle on the nation key
+    serves all three expressions."""
+    from velox_hadoop_spark.catalog import read_table
+
+    sup = read_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    cume = F.cume_dist().over(w)
+    return sup.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(cume, 6).alias("cume"),
+        F.when(cume >= 0.9, 1).otherwise(0).cast("long").alias("top_decile"),
+    )

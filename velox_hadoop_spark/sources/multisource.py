@@ -208,3 +208,46 @@ def compact_parquet(
     df = spark.read.parquet(src_dir)
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_dir)
     return n_files
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, part_col: str) -> None:
+    """Hive-layout partitioned parquet sink (``part_col=value/``
+    directories) — the table layout that makes partition pruning
+    possible on read."""
+    df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+
+
+@register(
+    "partitioned_parquet_prune",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               ROUND(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+    """,
+    tags=("sources", "sink", "partition-pruning", "extension"),
+)
+def q_partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by priority, read back ONE partition,
+    aggregate. The filter on the partition column must resolve at
+    planning time (PartitionFilters, zero non-matching files opened —
+    plan-asserted in tests/test_skyline_sources.py): at 100 TB the
+    difference between a pruned scan and a full scan IS the query
+    budget. The aggregate must equal the oracle's over the original
+    unpartitioned table."""
+    import hashlib
+    import tempfile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/velox_hadoop_spark_part_{tag}"
+    write_partitioned_parquet(orders, path, "o_orderpriority")
+    back = spark.read.parquet(path).where(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
