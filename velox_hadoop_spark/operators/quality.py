@@ -1,0 +1,327 @@
+"""Corpus-QA operators for training-data curation. [extension]
+
+Second-order quality signals a large-scale data pipeline runs AFTER
+the per-document filters in ``textstats.py``: token-distribution
+entropy (degenerate/repetitive text detector), per-source heavy
+hitters (boilerplate discovery), per-source exact-duplication rate
+(source health), statistical outlier detection on event values, an
+inverted-index posting-list build, and a deterministic random
+projection of the embedding space (dimensionality reduction for
+downstream clustering). The reference engine has no analysis layer
+beyond grouped counts (reference: src/main/java/org/dicl/velox/
+benchmark/WordCount.java:40-78); these extend the same
+tokenize→group→aggregate shape into the curation metrics that matter
+at corpus scale.
+
+Scale notes: every query is explode → partial+final hash aggregation
+(map-side combine bounds the shuffle at distinct-key cardinality, not
+token count) or a broadcast of a tiny aggregate back onto the fact
+scan. The only window is partitioned by ``source`` (bounded
+cardinality) AFTER aggregation — it ranks source×token counts, not
+raw tokens. No driver collects, no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.plans.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(docs: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id, [*extra,] tok) — whitespace tokens, empties dropped."""
+    return docs.select(
+        "doc_id", *extra, F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy (repetitive / degenerate text signal)
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the unigram token distribution.
+
+    H = log2(N) − (Σ c·log2 c)/N over per-token counts c — the
+    algebraic form shared verbatim with the oracle so both engines sum
+    the same terms. Low entropy flags looping/boilerplate generations;
+    the type-token ratio rides along as the cheaper companion signal.
+
+    Two shuffles, both pre-combined map-side: (doc_id, tok) counts,
+    then per-doc rollup keyed by doc_id alone.
+    """
+    counts = _tokens(docs).groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6).alias("entropy"),
+        F.round(F.count("*") / n, 6).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "token_entropy_quality",
+    oracle="""
+        WITH counts AS (
+            SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+            WHERE tok <> ''
+            GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy,
+               round(count(*) / sum(c), 6) AS type_token_ratio
+        FROM counts GROUP BY doc_id
+    """,
+    tags=("curation", "quality", "entropy", "extension"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy + type-token ratio per document."""
+    return token_entropy(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Per-source heavy hitters (boilerplate discovery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heavy_hitters_by_source",
+    oracle="""
+        SELECT source, tok, cnt, rnk FROM (
+            SELECT source, tok, cnt,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY cnt DESC, tok) AS rnk
+            FROM (
+                SELECT source, tok, count(*) AS cnt
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                WHERE tok <> ''
+                GROUP BY source, tok
+            )
+        ) WHERE rnk <= 5
+    """,
+    tags=("curation", "heavy-hitters", "extension"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per source (ties broken by token).
+
+    The window ranks the POST-aggregation (source, token) counts — a
+    frame already reduced to vocabulary size — so the per-source sort
+    never sees raw token occurrences. At 100 TB the same plan holds:
+    the heavy frame is bounded by |sources| × |vocab|.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    counts = (
+        _tokens(docs, "source")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("source", "tok", "cnt", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source exact-duplication rate (source health)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_rate_by_source",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_unique,
+               round(1.0 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate
+        FROM documents GROUP BY source
+    """,
+    tags=("curation", "dedup", "qa", "extension"),
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the triage view over the
+    ``dedup_exact`` operator: which source is polluting the corpus.
+
+    count-distinct on the md5 digest (not the text) keeps shuffle rows
+    at 32 hex chars regardless of document size.
+    """
+    docs = _docs(spark, sf_dir)
+    n_unique = F.countDistinct(F.md5("text"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        n_unique.alias("n_unique"),
+        F.round(F.lit(1.0) - n_unique / F.count("*"), 6).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical outliers on event values (telemetry QA)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_value_outliers",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(e.value, 6) AS value,
+               round((e.value - s.mu) / s.sd, 4) AS z
+        FROM events e JOIN stats s USING (event_type)
+        WHERE abs((e.value - s.mu) / s.sd) > 3
+    """,
+    tags=("events", "outliers", "qa", "extension"),
+)
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >3 sample standard deviations from its
+    event-type mean.
+
+    The per-type (μ, σ) aggregate is a handful of rows broadcast back
+    onto the fact scan — the events table itself is never shuffled, so
+    the plan is one pass of partial+final agg plus one broadcast-hash
+    join at any scale.
+    """
+    from velox_hadoop_spark.catalog import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index posting lists (retrieval-index build)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inverted_index_tokens",
+    oracle="""
+        SELECT tok,
+               count(*) AS df,
+               (list_sort(list(doc_id)))[1:10] AS postings
+        FROM (SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              WHERE tok <> '')
+        GROUP BY tok
+    """,
+    tags=("retrieval", "index", "extension"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token → (document frequency, first-10 posting list).
+
+    The distinct (doc_id, token) projection is the classic index-build
+    shuffle — map-side combine collapses within-document repeats before
+    any bytes move. Posting lists are CAPPED at 10 ids (sorted) so no
+    reducer materializes an unbounded list for stop-words; ``df``
+    carries the true frequency. At 100 TB you'd shard the index by
+    token range — the same plan with a ``repartitionByRange(tok)``
+    before the write.
+    """
+    toks = _tokens(_docs(spark, sf_dir)).distinct()
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("postings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random projection of the embedding space
+# ---------------------------------------------------------------------------
+
+_RP_PLANES = 8
+_RP_DIMS = 64
+
+
+def _rp_weights() -> list[list[float]]:
+    """±1 projection weights from MD5 parity of "rp|plane|pos" — the
+    same driver-side derivation as ``similarity._plane_weights`` but a
+    distinct seed namespace, so the projection basis is independent of
+    the LSH bucket planes."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp|{p}|{d}".encode()).hexdigest()[:15], 16) % 2 == 1
+            else -1.0
+            for d in range(_RP_DIMS)
+        ]
+        for p in range(_RP_PLANES)
+    ]
+
+
+def _rp_oracle() -> str:
+    """Literal left-to-right sums, one per output dimension — the exact
+    double-precision fold order the Spark aggregate uses, so the two
+    engines agree bit-for-bit before rounding."""
+    w = _rp_weights()
+    cols = []
+    for p in range(_RP_PLANES):
+        terms = " + ".join(
+            f"({'' if w[p][d] > 0 else '-'}CAST(embedding[{d + 1}] AS DOUBLE))"
+            for d in range(_RP_DIMS)
+        )
+        cols.append(f"round({terms}, 6) AS p{p}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+def random_projection(emb: DataFrame) -> DataFrame:
+    """Project 64-dim embeddings to 8 signed-sum coordinates.
+
+    Achlioptas-style ±1 random projection with weights baked into the
+    plan as literals: per output dim one index-ordered fold over the
+    input vector — pure per-row codegen math, zero shuffles, zero
+    Python. The real-valued companion to ``hyperplane_buckets`` (which
+    keeps only the sign bit).
+    """
+    w = _rp_weights()
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cols = []
+    for p in range(_RP_PLANES):
+        wlit = F.array(*[F.lit(x) for x in w[p]])
+        proj = F.aggregate(
+            F.zip_with(wlit, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(proj, 6).alias(f"p{p}"))
+    return emb.select("vec_id", *cols)
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_rp_oracle(),
+    tags=("embeddings", "projection", "extension"),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-dim ±1 random projection of every embedding."""
+    return random_projection(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))

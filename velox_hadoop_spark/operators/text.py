@@ -172,11 +172,11 @@ def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grep(docs, "text", _GREP_PATTERN)
 
 
-# Capture-group grep: count the stem of every "-ing" word. Greedy
-# [a-z]+ then mandatory "ing" — Java regex (Spark) backtracks and RE2
-# (DuckDB) emulates leftmost-first capture the same way, so group(1) is
-# engine-portable here.
-_GREP_GROUP_PATTERN = "([a-z]+)ing"
+# Capture-group grep: count the stem of every "-er" word (customer →
+# custom, filter → filt, order → ord). Greedy [a-z]+ then mandatory
+# "er" — Java regex (Spark) backtracks and RE2 (DuckDB) emulates
+# leftmost-first capture the same way, so group(1) is engine-portable.
+_GREP_GROUP_PATTERN = "([a-z]+)er"
 
 
 @register(

@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.contamination  # noqa: F401
     import velox_hadoop_spark.operators.clustering  # noqa: F401
     import velox_hadoop_spark.operators.textstats  # noqa: F401
+    import velox_hadoop_spark.operators.quality  # noqa: F401
     import velox_hadoop_spark.operators.multimodal  # noqa: F401
     import velox_hadoop_spark.operators.pipeline  # noqa: F401
     import velox_hadoop_spark.operators.tpch_more  # noqa: F401
