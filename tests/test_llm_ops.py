@@ -67,6 +67,49 @@ def test_jaccard_of_identical_is_one(spark):
     assert len(rows) == 1 and rows[0].jaccard == 1.0
 
 
+def test_prefix_join_matches_bruteforce_threshold(spark):
+    """Prefix-filtered output == brute-force jaccard_pairs filtered at t."""
+    from velox_hadoop_spark.operators.dedup import prefix_filtered_jaccard
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = _docs(spark, [base, base + " w11", "q1 q2 q3 q4 q5 q6 q7", base])
+    sh = shingle_set(df, "doc_id", "text")
+    t = 0.5
+    brute = {
+        (r.id_a, r.id_b, r.n_shared, r.jaccard)
+        for r in jaccard_pairs(sh, "doc_id").collect()
+        if r.jaccard >= t
+    }
+    fast = {
+        (r.id_a, r.id_b, r.n_shared, r.jaccard)
+        for r in prefix_filtered_jaccard(sh, "doc_id", t).collect()
+    }
+    assert fast == brute and len(fast) >= 3  # (0,1) (0,3) (1,3)
+
+
+def test_prefix_join_is_lossless_under_hot_shingles(spark):
+    """A stop-shingle shared by every doc breaks the df-capped path
+    (cap=1 drops it) but not the prefix path — rare-first ordering
+    pushes the hot shingle out of the prefix without dropping it."""
+    from velox_hadoop_spark.operators.dedup import prefix_filtered_jaccard
+
+    stop = "the same stop phrase here"  # one shared 5-gram across all docs
+    df = _docs(
+        spark,
+        [
+            f"a1 a2 a3 a4 a5 {stop}",
+            f"a1 a2 a3 a4 a5 {stop}",
+            f"z1 z2 z3 z4 z5 {stop}",
+        ],
+    )
+    sh = shingle_set(df, "doc_id", "text")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filtered_jaccard(sh, "doc_id", 0.9).collect()
+    }
+    assert got == {(0, 1): 1.0}
+
+
 def test_simhash_close_for_similar_docs(spark):
     base = "the quick brown fox jumps over the lazy dog " * 3
     df = _docs(spark, [base, base + " extra", "completely different words here now"])

@@ -245,6 +245,77 @@ def jaccard_pairs(
     )
 
 
+def prefix_filtered_jaccard(
+    shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """All pairs with Jaccard ≥ ``threshold`` via PPJoin-style prefix
+    filtering — EXACT output, subquadratic candidate generation.
+
+    Order each document's shingles globally by (doc-frequency asc,
+    shingle asc) — rarest first. For Jaccard ≥ t, two sets of sizes
+    (na, nb) must share ≥ 1 element among each one's first
+    ``n − ceil(t·n) + 1`` ordered elements (the prefix), so the
+    candidate self-join runs on PREFIX shingles only. Rare-first
+    ordering makes prefix shingles low-frequency by construction: the
+    per-key join fanout stays small WITHOUT dropping any shingle, so —
+    unlike the df-capped ``jaccard_pairs`` — this path is lossless. A
+    length filter (nb ≥ ceil(t·na) in both directions) prunes
+    impossible pairs inside the join condition. Candidates are then
+    verified against the FULL shingle sets: a join keyed on
+    (candidate doc id, shingle) touches |candidates| × set-size rows,
+    never the corpus squared.
+
+    This is the 100 TB-safe exact-threshold companion to the LSH
+    (probabilistic) and df-capped (approximate-universe) paths.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from pyspark.sql import Window
+
+    shingles = shingles.select(F.col(id_col).alias("id"), "shingle").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("dfv"))
+    t = F.lit(threshold)
+    ordered = (
+        shingles.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("dfv"), F.asc("shingle"))
+        ))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix = ordered.where(F.col("pos") <= F.col("sz") - F.ceil(t * F.col("sz")) + 1)
+    pa = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    pb = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
+    cand = (
+        pa.join(
+            pb,
+            (pa["shingle"] == pb["shingle"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.ceil(t * F.col("sz_a")))
+            & (F.col("sz_a") >= F.ceil(t * F.col("sz_b"))),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = shingles.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = shingles.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .where(jac >= t)
+        .select("id_a", "id_b", "n_shared", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over distinct whitespace tokens.
 
@@ -374,6 +445,41 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard for pairs sharing at least one shingle."""
     docs = _docs_par(spark, sf_dir)
     return jaccard_pairs(shingle_set(docs, "doc_id", "text"), "doc_id")
+
+
+_PREFIX_JACCARD_T = 0.8
+
+
+@register(
+    "similarity_join_prefix",
+    oracle=f"""
+        WITH sh AS ({H.duck_shingle_cte('documents', 'doc_id', 'text', SHINGLE_K)}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.id_a, i.id_b, i.n_shared,
+               ROUND(i.n_shared / (sa.n + sb.n - i.n_shared), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.doc_id
+        JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE i.n_shared / (sa.n + sb.n - i.n_shared) >= {_PREFIX_JACCARD_T}
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "extension"),
+)
+def q_similarity_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.8 similarity join via prefix filtering.
+
+    The oracle verifies against the brute-force shared-shingle join —
+    correct at verification scale; the Spark plan generates candidates
+    from rare-first prefixes only (see ``prefix_filtered_jaccard``),
+    the shape that survives a 100 TB corpus."""
+    docs = _docs_par(spark, sf_dir)
+    return prefix_filtered_jaccard(
+        shingle_set(docs, "doc_id", "text"), "doc_id", _PREFIX_JACCARD_T
+    )
 
 
 def _duck_simhash_cte() -> str:
