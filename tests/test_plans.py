@@ -246,3 +246,26 @@ def test_embedding_outliers_broadcasts_centroids(spark):
     plan = _formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_event_outliers_broadcast_stats_no_fact_shuffle(spark):
+    """The per-type (mu, sd) aggregate must come back as a broadcast —
+    the events fact table itself is never exchange-partitioned."""
+    df = registry.queries()["event_value_outliers"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_has_no_exchange(spark):
+    """±1 projection is pure per-row math: scan -> project, no shuffle."""
+    df = registry.queries()["embedding_random_projection"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "Exchange" not in plan
+
+
+def test_inverted_index_prunes_to_two_columns(spark):
+    df = registry.queries()["inverted_index_tokens"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "source" not in read_schema and "lang" not in read_schema
