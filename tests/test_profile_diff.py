@@ -8,6 +8,8 @@ PARITY_QUERIES = [
     "profile_columns_orders",
     "scd2_user_event_history",
     "snapshot_diff_orders",
+    "incremental_agg_refresh",
+    "ols_price_trend",
 ]
 
 
@@ -68,3 +70,32 @@ def test_snapshot_diff_statuses_partition_keyspace(spark):
             assert band == 9
         else:
             assert band == 8
+
+
+def test_incremental_refresh_drops_emptied_groups(spark):
+    """Merging base with deltas must remove a group whose count hits 0
+    and admit a group born in the delta."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([(1, 2, 50.0), (2, 1, 10.0)], ["k", "bn", "bt"])
+    delta = spark.createDataFrame([(2, -1, -10.0), (3, 1, 7.0)], ["k", "dn", "dt"])
+    merged = base.join(delta, "k", "full_outer").select(
+        "k",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        (F.coalesce("bt", F.lit(0.0)) + F.coalesce("dt", F.lit(0.0))).alias("t"),
+    ).where(F.col("n") > 0)
+    got = {r.k: (r.n, r.t) for r in merged.collect()}
+    assert got == {1: (2, 50.0), 3: (1, 7.0)}
+
+
+def test_ols_recovers_exact_line(spark):
+    """Points on y = 2x + 1 must fit slope 2, intercept 1 exactly."""
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [("g", float(x), 2.0 * x + 1.0) for x in range(10)], ["g", "x", "y"]
+    )
+    row = pts.groupBy("g").agg(
+        F.regr_slope("y", "x").alias("s"), F.regr_intercept("y", "x").alias("i")
+    ).collect()[0]
+    assert row.s == pytest.approx(2.0) and row.i == pytest.approx(1.0)

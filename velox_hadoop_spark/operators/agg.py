@@ -369,3 +369,37 @@ def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
     )
+
+
+@register(
+    "ols_price_trend",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               ROUND(regr_slope(o_totalprice,
+                     date_diff('day', DATE '1992-01-01', o_orderdate)), 6) AS slope,
+               ROUND(regr_intercept(o_totalprice,
+                     date_diff('day', DATE '1992-01-01', o_orderdate)), 4) AS intercept
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "statistics", "regression", "extension"),
+)
+def q_ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority least-squares trend of order value over time.
+
+    ``regr_slope`` / ``regr_intercept`` are moment aggregates like
+    corr/covar: each partition keeps (n, Σx, Σy, Σxy, Σx²) and only
+    moments merge at the shuffle — a partial+final hash agg at any
+    scale. x is integer days from a fixed epoch (small magnitude keeps
+    the moment arithmetic well-conditioned; raw epoch-seconds x would
+    lose the slope to catastrophic cancellation in doubles).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    x = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    y = F.col("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+    )

@@ -249,3 +249,77 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_o_orderstatus",
         "status",
     )
+
+
+@register(
+    "incremental_agg_refresh",
+    # Oracle = the FULL recompute over the new snapshot: the refresh
+    # path must land on exactly what a from-scratch aggregation gives.
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT *, {_snap_bucket_duck()} AS b FROM orders
+        )
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               ROUND(sum(CASE WHEN b >= 80 THEN o_totalprice + 1000.0
+                              ELSE o_totalprice END), 2) AS total_price
+        FROM bucketed WHERE b >= 10
+        GROUP BY o_custkey
+    """,
+    tags=("setops", "cdc", "incremental", "extension"),
+)
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained aggregate: base agg + changeset deltas, never a
+    base rescan.
+
+    Using the same simulated snapshots as ``snapshot_diff_orders``
+    (old = buckets 0-89, new = buckets 10-99 with restated prices on
+    80-89): the per-customer (count, total) aggregate of the OLD
+    snapshot is merged with signed delta rows derived from the
+    changeset — removed orders contribute (-1, -price), added orders
+    (+1, +new price), restatements (0, +1000). A full outer join on
+    the group key combines base and delta; groups whose count reaches
+    zero drop out.
+
+    This is the materialized-view maintenance shape for 100 TB: the
+    base aggregate is a stored table a fraction of the fact's size and
+    the refresh shuffles ONLY |changeset| + |affected groups| rows.
+    The oracle recomputes from scratch, proving the maintained result
+    is exact (2-dp sums survive the reordered arithmetic at 2-dp
+    rounding).
+    """
+    from velox_hadoop_spark.functions.hashing import spark_md5_int60, seeded
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    b = F.expr(spark_md5_int60(seeded("o_orderkey", SNAP_SEED))) % 100
+    bucketed = orders.select("o_custkey", "o_totalprice", b.alias("b"))
+
+    base = (
+        bucketed.where(F.col("b") < 90)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("bn"), F.sum("o_totalprice").alias("bt"))
+    )
+    removed = bucketed.where(F.col("b") < 10).select(
+        "o_custkey", F.lit(-1).alias("dn"), (-F.col("o_totalprice")).alias("dt")
+    )
+    added = bucketed.where(F.col("b") >= 90).select(
+        "o_custkey", F.lit(1).alias("dn"), (F.col("o_totalprice") + 1000.0).alias("dt")
+    )
+    restated = bucketed.where((F.col("b") >= 80) & (F.col("b") < 90)).select(
+        "o_custkey", F.lit(0).alias("dn"), F.lit(1000.0).alias("dt")
+    )
+    delta = (
+        removed.unionAll(added).unionAll(restated)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("dn"), F.sum("dt").alias("dt"))
+    )
+    merged = base.join(delta, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+            "n_orders"
+        ),
+        F.round(
+            F.coalesce(F.col("bt"), F.lit(0.0)) + F.coalesce(F.col("dt"), F.lit(0.0)), 2
+        ).alias("total_price"),
+    )
+    return merged.where(F.col("n_orders") > 0)
