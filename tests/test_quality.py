@@ -17,6 +17,8 @@ PARITY_QUERIES = [
     "heavy_hitters_by_source",
     "dup_rate_by_source",
     "event_value_outliers",
+    "mad_robust_outliers",
+    "duplicate_ngram_coverage",
     "inverted_index_tokens",
     "embedding_random_projection",
 ]
@@ -63,3 +65,43 @@ def test_random_projection_seed_independent_of_lsh_planes():
     from velox_hadoop_spark.operators.similarity import _plane_weights
 
     assert _rp_weights() != _plane_weights(8, 64)
+
+
+def test_dup_coverage_flags_copied_doc(spark):
+    """A doc duplicated verbatim has coverage 1.0; a unique doc 0.0."""
+    from velox_hadoop_spark.operators.dedup import shingle_set
+    from velox_hadoop_spark.operators.quality import q_duplicate_ngram_coverage  # noqa: F401
+
+    df = spark.createDataFrame(
+        [
+            (0, "w1 w2 w3 w4 w5 w6 w7"),
+            (1, "w1 w2 w3 w4 w5 w6 w7"),
+            (2, "q1 q2 q3 q4 q5 q6 q7"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = shingle_set(df, "doc_id", "text")
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfv"))
+    cov = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum((F.col("dfv") >= 2).cast("long")) / F.count("*")).alias("c")
+        )
+    )
+    got = {r.doc_id: r.c for r in cov.collect()}
+    assert got[0] == 1.0 and got[1] == 1.0 and got[2] == 0.0
+
+
+def test_mad_is_zero_variance_proof(spark):
+    """Constant values -> MAD 0 and no outliers; one wild value is
+    caught without dragging the median."""
+    rows = [("t", 5.0)] * 9 + [("t", 500.0)]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    med = df.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = df.join(med, "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"),
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+    ).collect()[0]
+    assert mad.med == 5.0 and mad.mad == 0.0

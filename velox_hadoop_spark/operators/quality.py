@@ -169,6 +169,62 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-duplicated n-gram coverage (inter-document repetition signal)
+# ---------------------------------------------------------------------------
+
+
+def _dup_coverage_oracle() -> str:
+    from velox_hadoop_spark.functions.hashing import duck_shingle_cte
+    from velox_hadoop_spark.operators.dedup import SHINGLE_K
+
+    return f"""
+        WITH sh AS ({duck_shingle_cte('documents', 'doc_id', 'text', SHINGLE_K)}),
+        dfreq AS (SELECT shingle, count(*) AS dfv FROM sh GROUP BY shingle)
+        SELECT s.doc_id,
+               count(*) AS n_shingles,
+               count(CASE WHEN d.dfv >= 2 THEN 1 END) AS n_dup,
+               round(count(CASE WHEN d.dfv >= 2 THEN 1 END) / count(*), 6)
+                   AS dup_coverage
+        FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+        GROUP BY s.doc_id
+    """
+
+
+@register(
+    "duplicate_ngram_coverage",
+    oracle=_dup_coverage_oracle(),
+    tags=("curation", "dedup", "repetition", "extension"),
+)
+def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of its 5-gram shingles that also occur in
+    at least one OTHER document — the inter-document repetition metric
+    curation pipelines threshold on (a doc that is mostly corpus-
+    duplicated n-grams is boilerplate even if no single near-dup pair
+    flags it; complements the pairwise Jaccard/LSH operators).
+
+    Shingle doc-frequency is a partial+final count keyed by shingle;
+    joining it back to the (doc, shingle) frame re-shuffles on the same
+    shingle key (one co-partitioned exchange), and the per-doc rollup
+    is the only other shuffle. Since a shingle appears once per doc,
+    df >= 2 exactly means "present in another document".
+    """
+    from velox_hadoop_spark.operators.dedup import shingle_set
+
+    sh = shingle_set(_docs(spark, sf_dir), "doc_id", "text")
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfv"))
+    dup = F.sum((F.col("dfv") >= 2).cast("long"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            dup.alias("n_dup"),
+            F.round(dup / F.count("*"), 6).alias("dup_coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statistical outliers on event values (telemetry QA)
 # ---------------------------------------------------------------------------
 
@@ -213,6 +269,68 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("value"),
             F.round(z, 4).alias("z"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_robust_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, any_value(med) AS med, median(adev) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               round(any_value(m.med), 6) AS med,
+               round(any_value(m.mad), 6) AS mad,
+               count(CASE WHEN abs(e.value - m.med) > 3 * m.mad THEN 1 END)
+                   AS n_outliers
+        FROM events e JOIN mad m USING (event_type)
+        GROUP BY e.event_type
+    """,
+    tags=("events", "outliers", "robust-stats", "extension"),
+)
+def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier counts per event type — the robust companion
+    to the z-score scan (mean/stddev are themselves dragged by the
+    outliers they are meant to find; median and MAD are not).
+
+    Exact medians via the percentile aggregate: two grouped passes
+    (median, then median of absolute deviations) with the tiny
+    per-type results broadcast back onto the fact scan each time. The
+    fact table is never shuffled. At petabyte scale swap the exact
+    percentile for ``approx_percentile`` — identical plan shape, and
+    the sketch-tolerance pattern from the HLL/GK queries applies.
+    """
+    from velox_hadoop_spark.catalog import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = events.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"),
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+    )
+    out = events.join(F.broadcast(mad), "event_type")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.any_value("med"), 6).alias("med"),
+        F.round(F.any_value("mad"), 6).alias("mad"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
     )
 
 
