@@ -299,17 +299,23 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count("*").alias("bn"), F.sum("o_totalprice").alias("bt"))
     )
-    removed = bucketed.where(F.col("b") < 10).select(
-        "o_custkey", F.lit(-1).alias("dn"), (-F.col("o_totalprice")).alias("dt")
-    )
-    added = bucketed.where(F.col("b") >= 90).select(
-        "o_custkey", F.lit(1).alias("dn"), (F.col("o_totalprice") + 1000.0).alias("dt")
-    )
-    restated = bucketed.where((F.col("b") >= 80) & (F.col("b") < 90)).select(
-        "o_custkey", F.lit(0).alias("dn"), F.lit(1000.0).alias("dt")
-    )
+    # ONE pass over the changed buckets builds every delta kind via
+    # conditional projection — a union of three filtered scans would
+    # read the fact table three times, and at 100 TB the scan count is
+    # the cost that matters.
     delta = (
-        removed.unionAll(added).unionAll(restated)
+        bucketed.where((F.col("b") < 10) | (F.col("b") >= 80))
+        .select(
+            "o_custkey",
+            F.when(F.col("b") < 10, -1)      # churned out
+            .when(F.col("b") >= 90, 1)       # churned in
+            .otherwise(0)                    # restated in place
+            .alias("dn"),
+            F.when(F.col("b") < 10, -F.col("o_totalprice"))
+            .when(F.col("b") >= 90, F.col("o_totalprice") + 1000.0)
+            .otherwise(F.lit(1000.0))
+            .alias("dt"),
+        )
         .groupBy("o_custkey")
         .agg(F.sum("dn").alias("dn"), F.sum("dt").alias("dt"))
     )
