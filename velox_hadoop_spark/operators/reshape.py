@@ -117,3 +117,44 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# Same-text time-hierarchy rollup (year → quarter → month grains in one
+# Expand + hash agg pass). COALESCE folds the NULL set-markers to -1 so
+# the subtotal rows hash identically in both engines.
+_TIME_ROLLUP_SQL = """
+    WITH d AS (
+        SELECT year(o_orderdate) AS y,
+               quarter(o_orderdate) AS q,
+               month(o_orderdate) AS m,
+               o_totalprice
+        FROM orders
+    )
+    SELECT COALESCE(y, -1) AS y,
+           COALESCE(q, -1) AS q,
+           COALESCE(m, -1) AS m,
+           ROUND(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM d
+    GROUP BY ROLLUP (y, q, m)
+"""
+
+
+@register(
+    "time_rollup_revenue",
+    oracle=_TIME_ROLLUP_SQL,
+    tags=("reshape", "rollup", "time-hierarchy", "extension"),
+)
+def q_time_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at month, quarter, year, and grand-total grains in ONE
+    aggregation pass — the hypertable/continuous-aggregate rollup shape.
+    ROLLUP compiles to a single Expand (4 grain replicas) + partial+
+    final hash agg: one fact scan serves every grain, where four
+    separate GROUP BYs would scan four times. Subtotal grains are
+    strict reductions of the month grain, so at 100 TB you materialize
+    the month grain and derive the rest (the incremental_agg_refresh
+    pattern maintains it)."""
+    from velox_hadoop_spark.catalog import Catalog
+
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_TIME_ROLLUP_SQL)

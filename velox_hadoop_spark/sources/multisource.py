@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from velox_hadoop_spark.operators.setops import _snap_bucket_duck
 from velox_hadoop_spark.plans.registry import register
 
 
@@ -251,3 +252,40 @@ def q_partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "schema_evolution_union",
+    # Oracle spells out what union-by-name means: the legacy batch
+    # carries NULL for the column it predates.
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT *, {_snap_bucket_duck()} AS b FROM orders
+        )
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM bucketed WHERE b < 90
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM bucketed WHERE b >= 90
+    """,
+    tags=("sources", "schema-evolution", "extension"),
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two batch generations whose schemas drifted — the old
+    generation lacks ``o_orderpriority``; ``unionByName(allowMissing
+    Columns=True)`` aligns columns BY NAME and null-fills the gap, the
+    schema-evolution contract every long-lived 100 TB dataset needs
+    (positional unionAll would silently misalign columns instead).
+    Both sides stay narrow projections of one scan; the union is a
+    no-shuffle concatenation."""
+    from velox_hadoop_spark.functions.hashing import spark_md5_int60, seeded
+    from velox_hadoop_spark.operators.setops import SNAP_SEED
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    b = F.expr(spark_md5_int60(seeded("o_orderkey", SNAP_SEED))) % 100
+    bucketed = orders.withColumn("b", b)
+    legacy = bucketed.where(F.col("b") < 90).select("o_orderkey", "o_totalprice")
+    modern = bucketed.where(F.col("b") >= 90).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return legacy.unionByName(modern, allowMissingColumns=True)
