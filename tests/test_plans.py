@@ -269,3 +269,12 @@ def test_inverted_index_prunes_to_two_columns(spark):
     plan = _formatted_plan(df)
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema and "source" not in read_schema and "lang" not in read_schema
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """The partitioned fact scan must carry a dynamicpruning expression
+    derived from the dim side of the join — join-driven partition
+    pruning, not just the static literal pushdown."""
+    df = registry.queries()["dynamic_partition_prune_join"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "dynamicpruning" in plan.lower()

@@ -289,3 +289,54 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     return legacy.unionByName(modern, allowMissingColumns=True)
+
+
+@register(
+    "dynamic_partition_prune_join",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               ROUND(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority
+    """,
+    tags=("sources", "dynamic-partition-pruning", "extension"),
+)
+def q_dynamic_partition_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-driven partition pruning: the fact table is partitioned on
+    the join key and the pruning predicate only exists at RUNTIME (it
+    comes from the dim side of a broadcast join, not from a literal
+    filter), so Catalyst injects a dynamic-pruning subquery into the
+    fact scan — the star-join shape that makes a 100 TB fact scan read
+    only the partitions the dim selects. Plan-asserted (dynamicpruning
+    expression in PartitionFilters) in tests/test_plans.py; the result
+    must equal the oracle's static IN-filter over the unpartitioned
+    table."""
+    import hashlib
+    import tempfile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/velox_hadoop_spark_part_{tag}"
+    write_partitioned_parquet(orders, path, "o_orderpriority")
+    fact = spark.read.parquet(path)
+    # The dim must carry a real selective Filter for the optimizer's
+    # pruning-has-benefit check — a bare 2-row LocalRelation is folded
+    # before DPP runs and no pruning subquery gets injected.
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderpriority")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
