@@ -403,3 +403,36 @@ def q_ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(y, x), 6).alias("slope"),
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
     )
+
+
+@register(
+    "conditional_agg_flags",
+    oracle="""
+        SELECT o_orderstatus,
+               count_if(o_totalprice > 200000) AS n_big,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               bool_and(o_totalprice > 0) AS all_positive,
+               max_by(o_orderkey, o_totalprice) AS top_order,
+               min_by(o_orderkey, o_totalprice) AS bottom_order
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "conditional", "functions", "extension"),
+)
+def q_conditional_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate surface: count_if / bool_or / bool_and /
+    max_by / min_by per order status — the predicate-aggregate family
+    every SQL dialect ships. All are plain partial+final hash
+    aggregates (each partition folds its predicate locally; only the
+    per-group scalars shuffle). max_by/min_by ties are impossible here
+    because o_totalprice is unique per status at every SF (asserted by
+    the hash gate itself — a tie would flake it).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+    )
