@@ -106,3 +106,18 @@ def test_latest_per_key_is_partial_final_aggregate(spark):
     df = registry.queries()["latest_event_per_user"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "partial_max_by" in plan, plan
+
+
+def test_zorder_interleave_bits(spark):
+    """interleave(x=3, y=3) = 0b1111 = 15; (x=1,y=0) = 1; (x=0,y=1) = 2."""
+    from velox_hadoop_spark.operators.sort import _z_value_spark
+
+    df = spark.createDataFrame(
+        [(1, 3, "1992-01-04"), (2, 1, "1992-01-01"), (3, 0, "1992-01-02")],
+        ["o_orderkey", "o_custkey", "d"],
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp"))
+    got = {
+        r.o_orderkey: r.zval
+        for r in df.selectExpr("o_orderkey", f"{_z_value_spark()} AS zval").collect()
+    }
+    assert got == {1: 15, 2: 1, 3: 2}

@@ -367,6 +367,66 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(docs, "doc_id", "text")
 
 
+_CONTAIN_BLOCK_CHARS = 40
+
+
+@register(
+    "contained_doc_pairs",
+    oracle=f"""
+        WITH blk AS (
+            SELECT doc_id, text, substr(text, 1, {_CONTAIN_BLOCK_CHARS}) AS blk
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               (length(a.text) = length(b.text)) AS is_exact
+        FROM blk a JOIN blk b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE length(a.text) <= length(b.text)
+          AND substr(b.text, 1, length(a.text)) = a.text
+    """,
+    tags=("dedup", "containment", "extension"),
+)
+def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment duplicates: pairs where the shorter document
+    is a verbatim prefix of the longer (truncated copies — a real crawl
+    artifact exact-hash dedup misses; exact dups surface too, flagged
+    ``is_exact``).
+
+    Blocking on the first 40 characters turns the quadratic
+    containment scan into an equi-join: a prefix-contained pair MUST
+    agree on its first block, so candidates are only same-block pairs
+    (boilerplate-heavy corpora would raise the block width or add a
+    second block offset — the standard blocking tradeoff, same as the
+    fuzzy-linkage operator). The startswith verification runs inside
+    codegen on the joined rows; ordering id_a < id_b dedups the pair
+    space. At 100 TB the block key is also the shuffle key, so no node
+    ever sees two documents that cannot match.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blk = docs.select(
+        "doc_id", "text", F.substring("text", 1, _CONTAIN_BLOCK_CHARS).alias("blk")
+    )
+    a = blk.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"), "blk"
+    )
+    b = blk.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.length("text_a") <= F.length("text_b"))
+            & (F.col("text_b").startswith(F.col("text_a")))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.length("text_a") == F.length("text_b")).alias("is_exact"),
+        )
+    )
+
+
 def _duck_minhash_cte() -> str:
     mh = ",\n               ".join(
         f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(MINHASH_SEEDS)

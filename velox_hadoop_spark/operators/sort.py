@@ -131,3 +131,55 @@ def q_sort_desc_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.select("s_suppkey", "s_name", "s_acctbal").orderBy(
         F.desc("s_acctbal"), F.asc("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key — multi-dimension data layout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _z_value_spark() -> str:
+    """Spark SQL text: interleave 16 bits of customer and day-index."""
+    x = "CAST(o_custkey % 65536 AS BIGINT)"
+    y = "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 65536 AS BIGINT)"
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _z_value_duck() -> str:
+    """Same interleave in DuckDB's operator syntax."""
+    x = "CAST(o_custkey % 65536 AS BIGINT)"
+    y = "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % 65536 AS BIGINT)"
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_key_orders",
+    oracle=f"""
+        SELECT o_orderkey, {_z_value_duck()} AS zval
+        FROM orders
+    """,
+    tags=("sort", "layout", "zorder", "extension"),
+)
+def q_zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (customer, order-day):
+    interleaving the two dimensions' bits gives a single sort key whose
+    ranges are compact in BOTH dimensions, so one
+    ``repartitionByRange(zval)`` + sorted write produces files whose
+    min/max statistics prune for filters on EITHER column — the
+    multi-dimension layout trick single-column sorting cannot give.
+    The key itself is pure per-row bit math in codegen (zero shuffles
+    here; the layout write reuses the range-partition machinery of the
+    distributed sort operator).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select("o_orderkey", F.expr(_z_value_spark()).alias("zval"))
