@@ -82,3 +82,40 @@ def test_exact_dedup_partitions_ids(spark, texts):
     keepers = {g.keeper_id for g in groups}
     firsts = {min(i for i, t2 in enumerate(texts) if t2 == t) for t in set(texts)}
     assert keepers == firsts
+
+
+# Random documents over a tiny vocabulary maximize shingle collisions —
+# the adversarial regime for prefix filtering (rare-first ordering
+# degenerates when nothing is rare).
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=5, max_size=9).map(
+        " ".join
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts=_doc_texts, t=st.sampled_from([0.3, 0.5, 0.8]))
+@settings(**SETTINGS)
+def test_prefix_filtered_jaccard_equals_bruteforce(spark, texts, t):
+    """For ANY corpus and threshold, the prefix-filtered join must emit
+    exactly the brute-force pairs with jaccard >= t."""
+    from velox_hadoop_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filtered_jaccard,
+        shingle_set,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    sh = shingle_set(df, "doc_id", "text")
+    brute = {
+        (r.id_a, r.id_b, r.n_shared, r.jaccard)
+        for r in jaccard_pairs(sh, "doc_id").collect()
+        if r.jaccard >= t
+    }
+    fast = {
+        (r.id_a, r.id_b, r.n_shared, r.jaccard)
+        for r in prefix_filtered_jaccard(sh, "doc_id", t).collect()
+    }
+    assert fast == brute

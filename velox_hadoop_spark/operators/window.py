@@ -377,3 +377,42 @@ def q_supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(cume, 6).alias("cume"),
         F.when(cume >= 0.9, 1).otherwise(0).cast("long").alias("top_decile"),
     )
+
+
+@register(
+    "bitmap_daily_active_users",
+    oracle="""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               count(DISTINCT user_id) AS n_active
+        FROM events
+        GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR)
+    """,
+    tags=("events", "bitmap", "distinct", "extension"),
+)
+def q_bitmap_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users via EXACT bitmap aggregation — the roaring-
+    bitmap pattern for repeated distinct counts at scale.
+
+    Ids land in fixed 32k-bit buckets (``bitmap_bucket_number``); each
+    (day, bucket) group folds its ids into one bitmap map-side, so the
+    shuffle carries <= 4 KB per group instead of every raw id, and the
+    per-day count is a sum of per-bucket popcounts. Unlike
+    count-distinct's Expand-free single path this stays EXACT while
+    being re-mergeable: stored per-bucket bitmaps roll up to weekly/
+    monthly actives with bitmap_or_agg and NO rescan — the property
+    approx sketches (HLL) give up exactness for. Oracle: plain
+    COUNT(DISTINCT).
+    """
+    from velox_hadoop_spark.catalog import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").cast("string").alias("day"), "user_id"
+    )
+    per_bucket = ev.groupBy(
+        "day", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return per_bucket.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_active")
+    )
