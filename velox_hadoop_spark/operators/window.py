@@ -416,3 +416,40 @@ def q_bitmap_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("day").agg(
         F.sum(F.bitmap_count("bm")).alias("n_active")
     )
+
+
+@register(
+    "monthly_revenue_mom",
+    oracle="""
+        WITH m AS (
+            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   ROUND(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT y, m, revenue,
+               ROUND(revenue - lag(revenue) OVER (ORDER BY y, m), 2) AS mom_delta
+        FROM m
+    """,
+    tags=("window", "timeseries", "extension"),
+)
+def q_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta: the window runs AFTER the
+    monthly aggregate, over a frame of |months| rows — so the
+    unpartitioned ORDER BY window (normally a scale smell) is fine
+    here: the heavy partial+final agg reduces the fact table first and
+    the single-task window sees ~100 rows regardless of input size.
+    The rounded monthly totals feed the delta so both engines subtract
+    identical 2-dp values."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = (
+        orders.groupBy(
+            F.year(F.col("o_orderdate").cast("date")).alias("y"),
+            F.month(F.col("o_orderdate").cast("date")).alias("m"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("y", "m")
+    return monthly.select(
+        "y", "m", "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta"),
+    )

@@ -340,3 +340,51 @@ def q_dynamic_partition_prune_join(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "federated_format_union",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               ROUND(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("sources", "federation", "extension"),
+)
+def q_federated_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregate over THREE storage formats at once: a third of
+    orders lives in parquet, a third in TSV, a third in JSON-lines
+    (split by orderkey mod 3); each format gets its own schema-aligned
+    reader and the plan unions the scans — the federation shape for
+    mixed-vintage data lakes where history sits in text and the
+    current partition in parquet. The union is a no-shuffle
+    concatenation; the aggregate's partial phase runs per scan leg.
+    Result must equal the oracle over the single original table."""
+    import hashlib
+    import tempfile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/velox_hadoop_spark_fed_{tag}"
+    leg = F.col("o_orderkey") % 3
+    write_tsv(orders.where(leg == 1), f"{base}_tsv")
+    write_jsonl(orders.where(leg == 2), f"{base}_jsonl")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    parquet_leg = orders.where(leg == 0)
+    tsv_leg = read_tsv(spark, f"{base}_tsv", schema)
+    jsonl_leg = read_jsonl(spark, f"{base}_jsonl", schema)
+    all_legs = parquet_leg.unionByName(tsv_leg).unionByName(jsonl_leg)
+    return all_legs.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
