@@ -100,3 +100,92 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column statistics profile of the orders table."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return profile_columns(orders, _ORDERS_COLS)
+
+
+def _drift_leg_duck(snap_filter: str, cols: tuple[tuple[str, str], ...]) -> str:
+    selects = [
+        f"""SELECT '{c}' AS col_name,
+                   count(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   count(*) AS n_rows
+            FROM bucketed WHERE {snap_filter}"""
+        for c, _ in cols
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+_DRIFT_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "double"),
+)
+
+
+def _drift_oracle() -> str:
+    # old snapshot = buckets 0-89, new = 10-99 (the snapshot_diff
+    # convention); drift = per-column deltas between the two profiles.
+    from velox_hadoop_spark.operators.setops import _snap_bucket_duck
+
+    return f"""
+        WITH bucketed AS (
+            SELECT *, {_snap_bucket_duck()} AS b FROM orders
+        ),
+        oldp AS ({_drift_leg_duck('b < 90', _DRIFT_COLS)}),
+        newp AS ({_drift_leg_duck('b >= 10', _DRIFT_COLS)})
+        SELECT o.col_name,
+               n.n_rows - o.n_rows AS d_rows,
+               n.n_nulls - o.n_nulls AS d_nulls,
+               n.n_distinct - o.n_distinct AS d_distinct
+        FROM oldp o JOIN newp n USING (col_name)
+    """
+
+
+@register(
+    "profile_drift_orders",
+    oracle=_drift_oracle(),
+    tags=("profiling", "drift", "qa", "extension"),
+)
+def q_profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics drift between two table snapshots: per-column deltas
+    of row count, null count, and exact distinct count — the data-QA
+    gate that catches silent upstream changes (a column going sparse,
+    an enum collapsing) before they poison downstream training runs.
+
+    Each profile leg is the same union-of-narrow-aggregates shape as
+    ``profile_columns`` (per-column scans, no Expand); the final join
+    is |columns| rows. At 100 TB profiles are computed per snapshot
+    ANYWAY for optimizer stats — drift is then a free |columns|-row
+    join of stored profiles, which this plan demonstrates end-to-end.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from velox_hadoop_spark.functions.hashing import seeded, spark_md5_int60
+    from velox_hadoop_spark.operators.setops import SNAP_SEED
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    b = F.expr(spark_md5_int60(seeded("o_orderkey", SNAP_SEED))) % 100
+    bucketed = orders.withColumn("b", b)
+
+    def leg(frame: DataFrame) -> DataFrame:
+        parts = []
+        for c, _ in _DRIFT_COLS:
+            parts.append(
+                frame.select(c).agg(
+                    F.lit(c).alias("col_name"),
+                    F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                    F.countDistinct(c).alias("n_distinct"),
+                    F.count("*").alias("n_rows"),
+                )
+            )
+        return reduce(DataFrame.unionAll, parts)
+
+    oldp = leg(bucketed.where(F.col("b") < 90))
+    newp = leg(bucketed.where(F.col("b") >= 10))
+    o, n = oldp.alias("o"), newp.alias("n")
+    return o.join(n, "col_name").select(
+        "col_name",
+        (F.col("n.n_rows") - F.col("o.n_rows")).alias("d_rows"),
+        (F.col("n.n_nulls") - F.col("o.n_nulls")).alias("d_nulls"),
+        (F.col("n.n_distinct") - F.col("o.n_distinct")).alias("d_distinct"),
+    )
