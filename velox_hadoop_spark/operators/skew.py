@@ -98,3 +98,29 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+@register(
+    "salted_agg_returnflag",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(sum(l_quantity), 2) AS total,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "salting", "extension"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation on a 3-value key — the hot-key agg
+    mitigation when map-side combine alone can't help (e.g. high-
+    cardinality DISTINCT-like states that don't pre-merge): stage one
+    spreads each key over 8 salt shards so no single reducer owns a
+    whole hot key; stage two merges 8 rows per key. The oracle is the
+    UNSALTED aggregate, proving the rewrite preserves semantics
+    exactly (sums re-associate; the 2-dp rounding happens once, at the
+    end)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = salted_agg(li, "l_returnflag", "l_quantity", n_salts=8, salt_src="l_orderkey")
+    return out.select(
+        "l_returnflag", F.round(F.col("total"), 2).alias("total"), "n"
+    )
