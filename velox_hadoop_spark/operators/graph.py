@@ -253,9 +253,12 @@ def bfs_levels(
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
     e = edges.select("src", "dst")
+    # No distinct here: callers pass deduped directed edges, and the
+    # per-level neighbor set is distinct-ed anyway, so duplicate edges
+    # cannot change levels — dropping the global dedup saves a full
+    # 2|E|-row shuffle before the first level runs.
     und = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     visited = (
@@ -274,7 +277,10 @@ def bfs_levels(
             .select("node", F.lit(lvl).cast("int").alias("lvl"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if new_frontier.limit(1).count() == 0:
+        # Full count, not limit(1): it materializes the ENTIRE persisted
+        # frontier, so the union below reads the cache instead of
+        # re-running the join + anti-join lineage a second time.
+        if new_frontier.count() == 0:
             new_frontier.unpersist()
             break
         new_visited = visited.union(new_frontier).localCheckpoint(eager=True)
