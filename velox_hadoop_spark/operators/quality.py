@@ -443,3 +443,62 @@ def random_projection(emb: DataFrame) -> DataFrame:
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-dim ±1 random projection of every embedding."""
     return random_projection(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM log-probability (perplexity-style fluency filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        corpus AS (
+            SELECT tok,
+                   count(*) / (SELECT count(*) FROM toks) AS p
+            FROM toks GROUP BY tok
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               round(-sum(log2(c.p)) / count(*), 6) AS bits_per_token
+        FROM toks t JOIN corpus c ON t.tok = c.tok
+        GROUP BY t.doc_id
+    """,
+    tags=("curation", "quality", "language-model", "extension"),
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bits-per-token under the corpus unigram LM — the
+    cheapest member of the perplexity-filter family: documents whose
+    token mix is improbable under the corpus distribution (gibberish,
+    wrong-language, encoding noise) score high and get culled. A real
+    pipeline swaps the unigram table for KenLM scores via mapInPandas;
+    the Spark-side shape is identical.
+
+    Two aggregations + one join, all keyed by token or doc: the corpus
+    LM is vocabulary-sized and the token-probability join shuffles on
+    the same token key that built the LM (co-partitioned). The total
+    token count reaches the plan as a broadcast 1-row aggregate, not a
+    driver constant.
+    """
+    toks = _tokens(_docs(spark, sf_dir))
+    total = toks.agg(F.count("*").alias("total"))
+    corpus = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(total))
+        .select("tok", (F.col("c") / F.col("total")).alias("p"))
+    )
+    return (
+        toks.join(corpus, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.sum(F.log2("p")) / F.count("*"), 6).alias("bits_per_token"),
+        )
+    )
