@@ -17,6 +17,8 @@ PARITY_QUERIES = [
     "profile_drift_orders",
     "salted_agg_returnflag",
     "zorder_key_orders",
+    "unigram_logprob_score",
+    "token_pmi_pairs",
 ]
 
 

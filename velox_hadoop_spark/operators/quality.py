@@ -502,3 +502,79 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(F.log2("p")) / F.count("*"), 6).alias("bits_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence PMI (collocation mining)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIRS = 50
+
+
+@register(
+    "token_pmi_pairs",
+    oracle=f"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        n_docs AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
+        df AS (SELECT tok, count(*) AS dfv FROM dt GROUP BY tok),
+        pairs AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+            FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY a.tok, b.tok
+        )
+        SELECT p.tok_a, p.tok_b, p.n_ab,
+               round(log2(
+                   (p.n_ab / nd.nd) /
+                   ((da.dfv / nd.nd) * (db.dfv / nd.nd))
+               ), 6) AS pmi
+        FROM pairs p
+        JOIN df da ON p.tok_a = da.tok
+        JOIN df db ON p.tok_b = db.tok
+        CROSS JOIN n_docs nd
+        WHERE p.n_ab >= {_PMI_MIN_PAIRS}
+    """,
+    tags=("curation", "collocation", "pmi", "extension"),
+)
+def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level pointwise mutual information for token pairs —
+    collocation mining over co-occurrence counts (PMI > 0 means the
+    pair co-occurs more than independence predicts; the building block
+    for phrase detection and embedding-free relatedness).
+
+    The pair space is generated by a self-join on doc_id over the
+    DISTINCT (doc, token) projection — per-doc fanout is bounded by
+    the per-document TYPE count squared (tiny: types ≪ tokens), never
+    raw token positions. Marginals (doc frequencies) and the document
+    count broadcast back onto the pair counts; the support floor
+    (n_ab ≥ {_PMI_MIN_PAIRS}) kills the noisy low-count tail exactly
+    as the oracle does. At web scale you'd add a per-doc type cap
+    before the self-join (the dedup hot-key pattern) — the synthetic
+    corpus' 31-token vocabulary needs none.
+    """
+    dt = _tokens(_docs(spark, sf_dir)).distinct()
+    nd = dt.agg(F.countDistinct("doc_id").alias("nd"))
+    df_tok = dt.groupBy("tok").agg(F.count("*").alias("dfv"))
+    a = dt.select("doc_id", F.col("tok").alias("tok_a"))
+    b = dt.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    pmi = F.log2(
+        (F.col("n_ab") / F.col("nd"))
+        / ((F.col("da") / F.col("nd")) * (F.col("db") / F.col("nd")))
+    )
+    return (
+        pairs.join(F.broadcast(df_tok.select(F.col("tok").alias("tok_a"), F.col("dfv").alias("da"))), "tok_a")
+        .join(F.broadcast(df_tok.select(F.col("tok").alias("tok_b"), F.col("dfv").alias("db"))), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select("tok_a", "tok_b", "n_ab", F.round(pmi, 6).alias("pmi"))
+    )
