@@ -19,6 +19,8 @@ PARITY_QUERIES = [
     "zorder_key_orders",
     "unigram_logprob_score",
     "token_pmi_pairs",
+    "winsorized_mean_value",
+    "chi2_priority_status",
 ]
 
 

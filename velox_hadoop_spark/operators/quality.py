@@ -578,3 +578,113 @@ def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .select("tok_a", "tok_b", "n_ab", F.round(pmi, 6).alias("pmi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust mean (tail-clipped preprocessing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_mean_value",
+    oracle="""
+        WITH cuts AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               round(avg(e.value), 6) AS raw_mean,
+               round(avg(CASE WHEN e.value < c.lo THEN c.lo
+                              WHEN e.value > c.hi THEN c.hi
+                              ELSE e.value END), 6) AS winsorized_mean,
+               count(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 END)
+                   AS n_clipped
+        FROM events e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type
+    """,
+    tags=("events", "robust-stats", "winsorize", "extension"),
+)
+def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean after clipping values to the [p5, p95] band — the
+    winsorized estimator feature pipelines use when outliers are data,
+    not errors (clip, don't drop). Exact interpolated percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) computed per
+    group, broadcast back onto the fact scan, clipped with a codegen
+    CASE — the fact table is never shuffled.
+    """
+    from velox_hadoop_spark.catalog import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    cuts = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    v, lo, hi = F.col("value"), F.col("lo"), F.col("hi")
+    clipped = F.when(v < lo, lo).when(v > hi, hi).otherwise(v)
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.sum(((v < lo) | (v > hi)).cast("long")).alias("n_clipped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence statistic (contingency analysis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi2_priority_status",
+    oracle="""
+        WITH obs AS (
+            SELECT o_orderpriority AS p, o_orderstatus AS s,
+                   CAST(count(*) AS DOUBLE) AS o
+            FROM orders GROUP BY 1, 2
+        ),
+        rm AS (SELECT p, sum(o) AS rp FROM obs GROUP BY p),
+        cm AS (SELECT s, sum(o) AS cs FROM obs GROUP BY s),
+        tot AS (SELECT sum(o) AS t FROM obs)
+        SELECT round(sum((obs.o - rm.rp * cm.cs / tot.t)
+                       * (obs.o - rm.rp * cm.cs / tot.t)
+                       / (rm.rp * cm.cs / tot.t)), 6) AS chi2,
+               count(*) AS n_cells
+        FROM obs JOIN rm USING (p) JOIN cm USING (s) CROSS JOIN tot
+    """,
+    tags=("agg", "statistics", "chi2", "extension"),
+)
+def q_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of order priority
+    and status: Σ (O−E)²/E over the contingency table, E from the
+    broadcast row/column margins. The fact table reduces to |cells|
+    rows in one hash agg; every later frame is margin-sized. (A large
+    chi2 says the two dimensions are associated — the categorical
+    drift / feature-interaction screen.)
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    obs = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+        )
+        .agg(F.count("*").cast("double").alias("o"))
+    )
+    rm = obs.groupBy("p").agg(F.sum("o").alias("rp"))
+    cm = obs.groupBy("s").agg(F.sum("o").alias("cs"))
+    tot = obs.agg(F.sum("o").alias("t"))
+    e = F.col("rp") * F.col("cs") / F.col("t")
+    return (
+        obs.join(F.broadcast(rm), "p")
+        .join(F.broadcast(cm), "s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+            F.count("*").alias("n_cells"),
+        )
+    )
