@@ -21,6 +21,7 @@ PARITY_QUERIES = [
     "token_pmi_pairs",
     "winsorized_mean_value",
     "chi2_priority_status",
+    "welch_z_by_event_type",
 ]
 
 

@@ -688,3 +688,75 @@ def q_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_cells"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch z-statistic: each group's mean vs the rest of the population
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "welch_z_by_event_type",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   count(*) AS n1,
+                   avg(value) AS m1,
+                   var_samp(value) AS v1,
+                   sum(value) AS s1,
+                   sum(value * value) AS q1
+            FROM events GROUP BY event_type
+        ),
+        tot AS (
+            SELECT count(*) AS nt, sum(value) AS st, sum(value * value) AS qt
+            FROM events
+        )
+        SELECT g.event_type, g.n1,
+               round(g.m1, 6) AS mean_g,
+               round((tot.st - g.s1) / (tot.nt - g.n1), 6) AS mean_rest,
+               round((g.m1 - (tot.st - g.s1) / (tot.nt - g.n1))
+                     / sqrt(g.v1 / g.n1 +
+                            (((tot.qt - g.q1) - (tot.st - g.s1) * (tot.st - g.s1)
+                              / (tot.nt - g.n1)) / (tot.nt - g.n1 - 1))
+                            / (tot.nt - g.n1)), 4) + 0 AS z
+        FROM g CROSS JOIN tot
+    """,
+    tags=("events", "statistics", "hypothesis-test", "extension"),
+)
+def q_welch_z_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch z-statistic of each event type's mean value against the
+    REST of the population — the one-vs-rest drift screen (|z| >> 0
+    flags a type whose value distribution shifted). The rest-group's
+    mean and sample variance are derived algebraically from (n, Σx,
+    Σx²) of the total minus the group — one grouped aggregate plus one
+    1-row total broadcast, no second scan and no self-join, which is
+    the trick that keeps one-vs-rest linear at any group count.
+    """
+    from velox_hadoop_spark.catalog import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(
+        F.count("*").alias("n1"),
+        F.avg("value").alias("m1"),
+        F.var_samp("value").alias("v1"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("q1"),
+    )
+    tot = events.agg(
+        F.count("*").alias("nt"),
+        F.sum("value").alias("st"),
+        F.sum(F.col("value") * F.col("value")).alias("qt"),
+    )
+    n1, m1, v1, s1, q1 = (F.col(c) for c in ("n1", "m1", "v1", "s1", "q1"))
+    nt, st, qt = (F.col(c) for c in ("nt", "st", "qt"))
+    nr = nt - n1
+    mr = (st - s1) / nr
+    vr = ((qt - q1) - (st - s1) * (st - s1) / nr) / (nr - 1)
+    z = (m1 - mr) / F.sqrt(v1 / n1 + vr / nr)
+    return g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n1",
+        F.round(m1, 6).alias("mean_g"),
+        F.round(mr, 6).alias("mean_rest"),
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),  # +0 folds -0.0 to 0.0
+    )
