@@ -1,0 +1,58 @@
+"""Oracle parity + invariants for the mining operator family."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_parity
+
+PARITY_QUERIES = [
+    "event_type_transitions",
+    "part_affinity_lift",
+    "ewma_daily_revenue",
+    "seasonal_weekday_anomaly",
+    "customer_rfm_segments",
+    "kcore_suppliers",
+]
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_transition_rows_sum_to_one(spark):
+    """Each prev_type's outgoing probabilities form a distribution."""
+    from velox_hadoop_spark.operators.mining import q_event_type_transitions
+
+    rows = (
+        q_event_type_transitions(spark, SF_DIR)
+        .groupBy("prev_type")
+        .agg(F.round(F.sum("prob"), 4).alias("total"))
+        .collect()
+    )
+    assert rows, "no transitions found"
+    for r in rows:
+        assert abs(r.total - 1.0) < 1e-3, f"{r.prev_type}: {r.total}"
+
+
+def test_ewma_bounded_by_window_extremes(spark):
+    """EWMA is a convex combination of in-window daily revenues, so it
+    must lie within the window's [min, max] — checked via the global
+    revenue extremes as a weaker-but-cheap envelope."""
+    from velox_hadoop_spark.operators.mining import q_ewma_daily_revenue
+
+    df = q_ewma_daily_revenue(spark, SF_DIR)
+    bad = df.join(
+        df.agg(F.min("rev").alias("lo"), F.max("rev").alias("hi")),
+        F.lit(True),
+    ).where((F.col("ewma") < F.col("lo")) | (F.col("ewma") > F.col("hi")))
+    assert bad.count() == 0
+
+
+def test_kcore_degrees_meet_threshold(spark):
+    """After peeling, every reported supplier degree honors the k
+    floor (degrees can only have shrunk to >= k survivors)."""
+    from velox_hadoop_spark.operators.mining import _KCORE_K, q_kcore_suppliers
+
+    df = q_kcore_suppliers(spark, SF_DIR)
+    assert df.where(F.col("core_degree") < _KCORE_K).count() == 0

@@ -1,0 +1,34 @@
+"""Oracle parity for the round-3 curation-funnel additions."""
+
+import pytest
+
+from tests.conftest import assert_parity
+
+PARITY_QUERIES = [
+    "minhash_jaccard_estimate",
+    "incremental_dedup_new_docs",
+    "length_band_filter",
+]
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_jaccard_estimate_covers_all_candidates(spark, duck):
+    """Every LSH candidate pair gets exactly one estimate row, and the
+    estimate is in [bands-collision floor, 1]: a pair can only become a
+    candidate by agreeing on at least one full band (2 of 8 rows)."""
+    from tests.conftest import SF_DIR
+    from velox_hadoop_spark.operators.dedup import (
+        q_lsh_candidate_pairs,
+        q_minhash_jaccard_estimate,
+    )
+
+    est = q_minhash_jaccard_estimate(spark, SF_DIR)
+    cand = q_lsh_candidate_pairs(spark, SF_DIR)
+    assert est.count() == cand.count()
+    from pyspark.sql import functions as F
+
+    assert est.where((F.col("n_equal") < 2) | (F.col("n_equal") > 8)).count() == 0

@@ -970,3 +970,130 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("lbl"), F.col("doc_id")) == F.col("doc_id")).alias("is_keeper"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash similarity estimation over LSH candidates (the cheap verify
+# step between banding and any exact-Jaccard re-check)
+# ---------------------------------------------------------------------------
+
+_MH_EQ = " + ".join(
+    f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(MINHASH_SEEDS)
+)
+
+
+@register(
+    "minhash_jaccard_estimate",
+    oracle=_duck_minhash_cte()
+    + f""",
+        bands AS ({_BAND_KEYS}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               CAST({_MH_EQ} AS BIGINT) AS n_equal,
+               ROUND(({_MH_EQ}) / {MINHASH_SEEDS}.0, 6) AS jaccard_est
+        FROM cand c
+        JOIN sig sa ON c.id_a = sa.doc_id
+        JOIN sig sb ON c.id_b = sb.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "extension"),
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimate for every LSH candidate
+    pair: the fraction of equal MinHash components is an unbiased
+    estimator of the true shingle Jaccard (min-wise hashing collision
+    probability), so candidates can be thresholded WITHOUT touching
+    document text again.
+
+    This is the standard middle step of the production dedup funnel —
+    band join proposes, signature agreement disposes — and it runs
+    entirely on the 8-column signature table (two broadcast-able
+    signature probes per pair; no shingle-level join, no text I/O).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _docs_par(spark, sf_dir)
+    sig = minhash_signature_inline(docs, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(MINHASH_SEEDS)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(MINHASH_SEEDS)]
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(MINHASH_SEEDS)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_eq.cast("long").alias("n_equal"),
+            F.round(n_eq / float(MINHASH_SEEDS), 6).alias("jaccard_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) exact dedup — dedup a NEW ingest batch
+# against an already-curated corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_dedup_new_docs",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT doc_id, source, {H.duck_md5('text')} AS digest,
+                   (doc_id % 10 = 0) AS is_new
+            FROM documents
+        ),
+        corpus AS (SELECT DISTINCT digest FROM tagged WHERE NOT is_new),
+        batch AS (SELECT * FROM tagged WHERE is_new)
+        SELECT b.source,
+               count(*) AS n_batch,
+               count(CASE WHEN c.digest IS NULL THEN 1 END) AS n_admitted,
+               count(CASE WHEN c.digest IS NOT NULL THEN 1 END) AS n_dropped
+        FROM batch b LEFT JOIN corpus c ON b.digest = c.digest
+        GROUP BY b.source
+    """,
+    tags=("dedup", "incremental", "extension"),
+)
+def q_incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch (here ``doc_id % 10 = 0``
+    stands in for today's crawl) is admitted only where its content
+    digest does not already exist in the curated corpus — per-source
+    admit/drop counts are the ingest report.
+
+    At 100 TB the corpus side is a digest-only projection (32 bytes/doc
+    — the column-pruned scan Catalyst extracts from the LEFT JOIN), the
+    join is a digest equi-join, and the batch side is small by nature,
+    so AQE broadcasts it; no full-text movement on either side.
+    """
+    docs = _docs_par(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(H.spark_md5("text")).alias("digest"),
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+    )
+    corpus = docs.where(~F.col("is_new")).select("digest").distinct()
+    batch = docs.where(F.col("is_new"))
+    hit = corpus.withColumn("dup", F.lit(True))
+    return (
+        batch.join(hit, "digest", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_batch"),
+            F.count(F.when(F.col("dup").isNull(), 1)).alias("n_admitted"),
+            F.count(F.when(F.col("dup").isNotNull(), 1)).alias("n_dropped"),
+        )
+    )

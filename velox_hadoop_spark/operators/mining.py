@@ -1,0 +1,441 @@
+"""Sequence / market-basket / seasonal mining operators. [extension]
+
+Behavioral-analytics surface over the events and orders tables: Markov
+transition matrices, association rules (support / confidence / lift),
+exponentially-weighted smoothing, weekday-seasonal anomaly scoring,
+RFM segmentation, and bipartite k-core peeling. The reference engine
+(Java MapReduce wordcount/grep/join/pagerank, reference:
+src/main/java/org/dicl/velox/benchmark/) has no sequence or basket
+semantics; these are the operators a behavioral / training-data
+pipeline layers on top of the same primitives (window lag/lead,
+self-join on a shared key, grouped aggregation).
+
+Scale notes, per operator:
+
+* transitions — one shuffle on user_id serves the lag window; the
+  (prev, next) matrix is at most |event_type|² rows. Scale-safe.
+* affinity — the basket self-join fans out quadratically PER ORDER,
+  but order width is bounded by the data model (TPC-H ≤ 7 lines per
+  order), so total fanout is linear in orders. No hot-key cap needed —
+  unlike the document shingle joins, the basket key cannot be hot.
+* ewma / seasonal — operate on the DAILY grain, whose cardinality is
+  bounded by the calendar (≈ 2.4k rows for the TPC-H date range), not
+  by fact volume: one aggregate shrinks 100 TB to a broadcastable
+  spine, and every non-equi join here is against that spine.
+* rfm — windows are partitioned by market segment, never global: no
+  single-partition NTILE serialization at scale.
+* k-core — each peel round is two grouped degree counts + two
+  broadcast-able semi-joins on the shrinking edge set; rounds are
+  unrolled (fixed 3) so the oracle stays pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        )
+        SELECT prev_type, next_type, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS prob
+        FROM pairs
+    """,
+    tags=("mining", "markov", "sequence", "extension"),
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    user's time-ordered event stream (ties broken by event_id), count
+    consecutive (prev → next) pairs and normalize rows to transition
+    probabilities.
+
+    One shuffle on user_id feeds the lag window; the matrix aggregate
+    and the row-normalizing window both run on the tiny
+    |event_type|²-bounded result.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row_total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_total), 6).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over order line items
+# ---------------------------------------------------------------------------
+
+_MIN_PAIR_SUPPORT = 2  # absolute co-occurrence floor for emitted rules
+
+
+@register(
+    "part_affinity_lift",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        nord AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),
+        item AS (SELECT pk, count(*) AS n_item FROM baskets GROUP BY pk),
+        pair AS (
+            SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_pair
+            FROM baskets a JOIN baskets b
+              ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+            HAVING count(*) >= {_MIN_PAIR_SUPPORT}
+        )
+        SELECT p1, p2, n_pair,
+               ROUND(n_pair * 1.0 / n_orders, 6) AS support,
+               ROUND(n_pair * 1.0 / i1.n_item, 6) AS confidence,
+               ROUND((n_pair * 1.0 * n_orders) / (i1.n_item * i2.n_item), 4)
+                   AS lift
+        FROM pair
+        CROSS JOIN nord
+        JOIN item i1 ON pair.p1 = i1.pk
+        JOIN item i2 ON pair.p2 = i2.pk
+    """,
+    tags=("mining", "market-basket", "association-rules", "extension"),
+)
+def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-ordered parts: support, confidence
+    (P(p2|p1)), and lift for every part pair appearing in ≥ 2 shared
+    orders.
+
+    The pair join is a self equi-join on the order key — fanout is
+    C(width, 2) per order with width bounded by the data model, so the
+    join output is linear in order count (no hot-key cap needed, unlike
+    unbounded document-shingle joins). The 1-row order-count aggregate
+    and the per-item counts are broadcast into the pair frame.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = baskets.agg(F.countDistinct("ok").alias("n_orders"))
+    item = baskets.groupBy("pk").agg(F.count("*").alias("n_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= _MIN_PAIR_SUPPORT)
+    )
+    i1 = item.select(F.col("pk").alias("p1"), F.col("n_item").alias("n1"))
+    i2 = item.select(F.col("pk").alias("p2"), F.col("n_item").alias("n2"))
+    return (
+        pair.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("n1"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_pair") * F.col("n_orders")) / (F.col("n1") * F.col("n2")), 4
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average of daily revenue
+# ---------------------------------------------------------------------------
+
+_EWMA_DECAY = 0.8  # weight multiplier per day of age
+_EWMA_WINDOW = 28  # truncation horizon: 0.8^28 ≈ 2e-3 residual weight
+
+
+@register(
+    "ewma_daily_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT a.d, a.rev,
+               ROUND(
+                   SUM(b.rev * POWER({_EWMA_DECAY}, date_diff('day', b.d, a.d)))
+                   / SUM(POWER({_EWMA_DECAY}, date_diff('day', b.d, a.d))),
+                   4
+               ) AS ewma
+        FROM daily a
+        JOIN daily b
+          ON b.d <= a.d AND b.d >= a.d - INTERVAL {_EWMA_WINDOW - 1} DAY
+        GROUP BY a.d, a.rev
+    """,
+    tags=("mining", "timeseries", "ewma", "extension"),
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily order revenue,
+    truncated to a 28-day horizon (residual tail weight ≈ 0.2%%, which
+    also keeps the smoothing expressible as a bounded range join — the
+    exact recursive form is not a relational expression).
+
+    The fact table collapses to the daily grain FIRST, so the non-equi
+    self-join runs on a calendar-bounded spine (≈ 2.4k rows for the
+    full TPC-H date range regardless of fact volume) and the probe side
+    is broadcast — no shuffle grows with data size.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    age = F.datediff(F.col("a.d"), F.col("b.d"))
+    w = F.pow(F.lit(_EWMA_DECAY), age)
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.d") <= F.col("a.d"))
+            & (F.col("b.d") >= F.date_sub(F.col("a.d"), _EWMA_WINDOW - 1)),
+        )
+        .groupBy(F.col("a.d").alias("d"), F.col("a.rev").alias("rev"))
+        .agg(
+            F.round(
+                F.sum(F.col("b.rev") * w) / F.sum(w),
+                4,
+            ).alias("ewma")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday-seasonal anomaly scoring of daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_weekday_anomaly",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        season AS (
+            SELECT dow, avg(rev) AS mu, stddev_samp(rev) AS sigma
+            FROM daily GROUP BY dow
+        )
+        SELECT d, daily.dow, rev,
+               ROUND((rev - mu) / sigma, 4) AS z
+        FROM daily JOIN season ON daily.dow = season.dow
+        WHERE abs((rev - mu) / sigma) > 2
+    """,
+    tags=("mining", "timeseries", "anomaly", "extension"),
+)
+def q_seasonal_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue deviates > 2σ from their own weekday's mean —
+    seasonality-aware anomaly detection (a Monday is only anomalous
+    relative to Mondays).
+
+    dow is normalized to DuckDB's Sunday=0 convention (Spark's
+    dayofweek is Sunday=1). The 7-row seasonal profile is broadcast
+    back onto the calendar-bounded daily spine.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("dow"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    season = daily.groupBy("dow").agg(
+        F.avg("rev").alias("mu"), F.stddev_samp("rev").alias("sigma")
+    )
+    z = (F.col("rev") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(season), "dow")
+        .where(F.abs(z) > 2)
+        .select("d", "dow", "rev", F.round(z, 4).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+        WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+        cust AS (
+            SELECT o.o_custkey AS ck, c.c_mktsegment AS seg,
+                   date_diff('day', max(CAST(o.o_orderdate AS DATE)), any_value(anchor.maxd))
+                       AS recency,
+                   count(*) AS frequency,
+                   ROUND(SUM(o.o_totalprice), 2) AS monetary
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            CROSS JOIN anchor
+            GROUP BY o.o_custkey, c.c_mktsegment
+        ),
+        scored AS (
+            SELECT seg,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY seg ORDER BY recency DESC, ck
+                   ) AS BIGINT) AS r_score,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY seg ORDER BY frequency, ck
+                   ) AS BIGINT) AS f_score,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY seg ORDER BY monetary, ck
+                   ) AS BIGINT) AS m_score,
+                   monetary
+            FROM cust
+        )
+        SELECT seg, r_score * 100 + f_score * 10 + m_score AS rfm,
+               count(*) AS n_customers,
+               ROUND(SUM(monetary), 2) AS total_monetary
+        FROM scored
+        GROUP BY seg, r_score * 100 + f_score * 10 + m_score
+    """,
+    tags=("mining", "segmentation", "window", "extension"),
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer compute Recency (days since last
+    order, against the global max order date), Frequency (order count),
+    Monetary (total spend); quartile-score each dimension WITHIN the
+    customer's market segment and report segment × RFM-code rollups.
+
+    Quartiles are NTILE windows partitioned by market segment — never a
+    global single-partition sort. Ordering ties are broken by custkey
+    so the tiling is deterministic and oracle-reproducible. The 1-row
+    anchor date is broadcast via crossJoin.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    per_cust = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.datediff(
+                F.first("maxd"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    seg = Window.partitionBy("seg")
+    scored = per_cust.select(
+        "seg",
+        "monetary",
+        F.ntile(4).over(seg.orderBy(F.col("recency").desc(), "ck")).cast("long").alias("r_score"),
+        F.ntile(4).over(seg.orderBy("frequency", "ck")).cast("long").alias("f_score"),
+        F.ntile(4).over(seg.orderBy("monetary", "ck")).cast("long").alias("m_score"),
+    )
+    return scored.groupBy(
+        "seg",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias("rfm"),
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite k-core peeling (3 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 20  # minimum degree kept on BOTH sides of the bipartite graph
+
+
+def _peel_once(edges: DataFrame, k: int) -> DataFrame:
+    """One peel round: recompute both side degrees over the surviving
+    edge set and keep edges whose endpoints both still have degree ≥ k.
+    Two grouped counts + two joins on the (shrinking) edge set."""
+    sdeg = edges.groupBy("s").agg(F.count("*").alias("sd"))
+    pdeg = edges.groupBy("part").agg(F.count("*").alias("pd"))
+    return (
+        edges.join(sdeg.where(F.col("sd") >= k), "s")
+        .join(pdeg.where(F.col("pd") >= k), "part")
+        .select("s", "part")
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled SQL mirror of ``rounds`` peel passes."""
+    core = "SELECT DISTINCT l_suppkey AS s, l_partkey AS part FROM lineitem"
+    for _ in range(rounds):
+        core = f"""
+            SELECT e.s, e.part FROM ({core}) e
+            JOIN (SELECT s, count(*) AS sd FROM ({core}) GROUP BY s) sd
+              ON e.s = sd.s AND sd.sd >= {k}
+            JOIN (SELECT part, count(*) AS pd FROM ({core}) GROUP BY part) pd
+              ON e.part = pd.part AND pd.pd >= {k}
+        """
+    return f"""
+        SELECT s, count(*) AS core_degree
+        FROM ({core})
+        GROUP BY s
+    """
+
+
+@register(
+    "kcore_suppliers",
+    oracle=_kcore_oracle(_KCORE_K, 3),
+    tags=("graph", "kcore", "iterative", "extension"),
+)
+def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite k-core peel of the supplier↔part graph: 3 unrolled
+    rounds of "drop every node with degree < k, recompute", then each
+    surviving supplier's in-core degree. The dense-subgraph primitive
+    behind spam/bot-cluster detection.
+
+    Fixed unrolled rounds (like the fixed-iteration PageRank,
+    operators/graph.py) keep the oracle pure SQL; the driver
+    convergence-loop variant of the same pattern is demonstrated by
+    pagerank_converged. Each round's degree frames shrink
+    monotonically, and the per-round joins are AQE-broadcastable once
+    the core stops shrinking.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("part")
+    ).distinct()
+    for _ in range(3):
+        edges = _peel_once(edges, _KCORE_K)
+    return edges.groupBy("s").agg(F.count("*").alias("core_degree"))

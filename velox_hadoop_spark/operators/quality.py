@@ -760,3 +760,57 @@ def q_welch_z_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mr, 6).alias("mean_rest"),
         (F.round(z, 4) + F.lit(0.0)).alias("z"),  # +0 folds -0.0 to 0.0
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentile-band length filter — trim the length-distribution tails
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "length_band_filter",
+    oracle="""
+        WITH bounds AS (
+            SELECT quantile_cont(n_chars, 0.05) AS lo,
+                   quantile_cont(n_chars, 0.95) AS hi
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+               ROUND(any_value(lo), 4) AS lo,
+               ROUND(any_value(hi), 4) AS hi
+        FROM documents, bounds
+        WHERE n_chars BETWEEN lo AND hi
+        GROUP BY lang
+    """,
+    tags=("quality", "filter", "percentile", "extension"),
+)
+def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-tail trim: keep documents whose length lies within
+    the global [p05, p95] band and report per-language survivors — the
+    standard "too short to be prose / too long to be one document"
+    curation filter, with data-derived (not hand-tuned) cutoffs.
+
+    The two exact interpolated percentiles (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``) collapse the corpus to ONE broadcast row;
+    the filter itself is then a scan-local predicate on the pruned
+    (lang, n_chars) projection — no shuffle touches document text.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bounds = docs.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        docs.select("lang", "n_chars")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.round(F.first("lo"), 4).alias("lo"),
+            F.round(F.first("hi"), 4).alias("hi"),
+        )
+    )

@@ -210,7 +210,13 @@ def q_event_gaps_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         (
-            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+            # cast-to-LTZ first: parquet timestamps may arrive as NTZ or
+            # LTZ depending on the writer's isAdjustedToUTC flag, and
+            # unix_millis only accepts LTZ. The session is pinned UTC,
+            # so the cast is instant-preserving either way and matches
+            # DuckDB's epoch_ms over naive timestamps.
+            F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+            - F.unix_millis(F.lag("ts").over(w).cast("timestamp_ltz"))
         ).cast("long").alias("gap_ms"),
         F.lead("event_type").over(w).alias("next_type"),
     )

@@ -89,6 +89,7 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.skyline  # noqa: F401
     import velox_hadoop_spark.operators.sampling  # noqa: F401
     import velox_hadoop_spark.operators.timeseries  # noqa: F401
+    import velox_hadoop_spark.operators.mining  # noqa: F401
     import velox_hadoop_spark.sources.multisource  # noqa: F401
 
 
