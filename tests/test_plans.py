@@ -278,3 +278,44 @@ def test_dynamic_partition_pruning_fires(spark):
     df = registry.queries()["dynamic_partition_prune_join"](spark, SF_DIR)
     plan = _formatted_plan(df)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_affinity_broadcasts_item_counts(spark):
+    """Association-rule scoring joins (item counts, order total) are
+    broadcasts onto the pair frame — only the basket self-join on the
+    order key shuffles."""
+    df = registry.queries()["part_affinity_lift"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row order count
+
+
+def test_ewma_probe_side_is_broadcast(spark):
+    """The EWMA range self-join runs against a broadcast calendar-
+    bounded daily spine (never a shuffled non-equi join)."""
+    df = registry.queries()["ewma_daily_revenue"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_prunes_text_from_probe(spark):
+    """Both sides of the digest anti-pattern scan only what they need:
+    the full 'text' column is hashed at scan time and never shuffled
+    — ReadSchema keeps text out of nothing (it IS needed to hash), but
+    the join itself moves only the 32-char digest."""
+    df = registry.queries()["incremental_dedup_new_docs"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    # the corpus-vs-batch comparison is a hash join on digest only
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "digest" in plan
+
+
+def test_length_band_filter_broadcasts_bounds(spark):
+    """The [p05, p95] percentile bounds collapse to one broadcast row."""
+    df = registry.queries()["length_band_filter"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # the filter pass reads only (lang, n_chars) — text never scanned
+    assert any("n_chars" in l and "text" not in l for l in read_schema)

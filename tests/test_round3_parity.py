@@ -8,6 +8,8 @@ PARITY_QUERIES = [
     "minhash_jaccard_estimate",
     "incremental_dedup_new_docs",
     "length_band_filter",
+    "incremental_lsh_near_dup",
+    "date_functions",
 ]
 
 

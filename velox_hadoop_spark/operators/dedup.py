@@ -1097,3 +1097,46 @@ def q_incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("dup").isNotNull(), 1)).alias("n_dropped"),
         )
     )
+
+
+@register(
+    "incremental_lsh_near_dup",
+    oracle=_duck_minhash_cte()
+    + f""",
+        bands AS ({_BAND_KEYS}),
+        corpus AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+        batch AS (SELECT * FROM bands WHERE doc_id % 10 = 0)
+        SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_corpus_matches
+        FROM batch b JOIN corpus c
+          ON b.band_id = c.band_id AND b.band_key = c.band_key
+        GROUP BY b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental", "extension"),
+)
+def q_incremental_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screening: the new ingest batch
+    (``doc_id % 10 = 0``) probes the curated corpus through the LSH
+    band index — a batch document sharing any band key with a corpus
+    document is a near-dup candidate and reports how many corpus docs
+    it collided with.
+
+    The near-dup twin of ``incremental_dedup_new_docs``: in production
+    the corpus band table is a PERSISTED index (band_key-partitioned
+    parquet), so daily ingest joins its small batch against the index
+    without recomputing corpus signatures — here both sides derive from
+    one signature pass and the join is the same band equi-join the full
+    self-join dedup uses, minus the corpus×corpus quadrant (the whole
+    point: incremental cost is batch-sized, not corpus-sized).
+    """
+    docs = _docs_par(spark, sf_dir)
+    sig = minhash_signature_inline(docs, "doc_id", "text")
+    bands = lsh_bands(sig, "doc_id")
+    corpus = bands.where(F.col("doc_id") % 10 != 0).select(
+        "band_id", "band_key", F.col("doc_id").alias("corpus_id")
+    )
+    batch = bands.where(F.col("doc_id") % 10 == 0)
+    return (
+        batch.join(corpus, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("corpus_id").alias("n_corpus_matches"))
+    )

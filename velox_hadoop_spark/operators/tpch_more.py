@@ -365,3 +365,52 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         close.alias("all_within_1pct"),
     )
+
+
+@register(
+    "date_functions",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus_45d,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS days_since_1995,
+               CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+               CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q,
+               CAST(extract(week FROM o_orderdate) AS BIGINT) AS iso_week,
+               CAST(extract(dow FROM o_orderdate) AS BIGINT) AS dow,
+               CAST(extract(doy FROM o_orderdate) AS BIGINT) AS doy
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+    """,
+    tags=("functions", "date"),
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function breadth over one month of orders: truncation,
+    month boundaries, day/month arithmetic (end-of-month clamping
+    matches DuckDB), day diffs, and the calendar-field extraction set —
+    including ISO week (both engines are ISO: 1995-01-01 is week 52)
+    and Sunday=0 day-of-week normalization (Spark's dayofweek is
+    Sunday=1). All JVM codegen'd expressions on a pushed-down
+    one-month scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.col("o_orderdate").cast("date")
+    return orders.where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-02-01")
+    ).select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.add_months(d, 1).alias("next_month"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_1995"),
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+        F.dayofyear(d).cast("long").alias("doy"),
+    )
