@@ -56,3 +56,46 @@ def test_kcore_degrees_meet_threshold(spark):
 
     df = q_kcore_suppliers(spark, SF_DIR)
     assert df.where(F.col("core_degree") < _KCORE_K).count() == 0
+
+
+def test_affinity_rule_invariants(spark):
+    """support <= confidence <= 1 (n_a <= N), lift > 0, symmetric keys
+    ordered p1 < p2."""
+    from velox_hadoop_spark.operators.mining import q_part_affinity_lift
+
+    df = q_part_affinity_lift(spark, SF_DIR)
+    bad = df.where(
+        (F.col("confidence") > 1.0)
+        | (F.col("support") > F.col("confidence") + 1e-9)
+        | (F.col("lift") <= 0)
+        | (F.col("p1") >= F.col("p2"))
+    )
+    assert bad.count() == 0
+
+
+def test_rfm_scores_in_range_and_partition_total(spark):
+    """Every RFM component score is a quartile in 1..4 and the segment
+    rollup accounts for every customer that has at least one order."""
+    from velox_hadoop_spark.operators.mining import q_customer_rfm_segments
+
+    df = q_customer_rfm_segments(spark, SF_DIR)
+    parts = df.select(
+        (F.col("rfm") / 100).cast("int").alias("r"),
+        ((F.col("rfm") % 100) / 10).cast("int").alias("f"),
+        (F.col("rfm") % 10).alias("m"),
+        "n_customers",
+    )
+    assert parts.where(
+        ~F.col("r").between(1, 4) | ~F.col("f").between(1, 4) | ~F.col("m").between(1, 4)
+    ).count() == 0
+    n_window = df.agg(F.sum("n_customers")).first()[0]
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert n_window == orders.select("o_custkey").distinct().count()
+
+
+def test_stickiness_bounded(spark):
+    """avg(DAU)/MAU lies in (0, 1]."""
+    from velox_hadoop_spark.operators.mining import q_dau_mau_stickiness
+
+    df = q_dau_mau_stickiness(spark, SF_DIR)
+    assert df.where((F.col("stickiness") <= 0) | (F.col("stickiness") > 1)).count() == 0

@@ -10,6 +10,11 @@ PARITY_QUERIES = [
     "length_band_filter",
     "incremental_lsh_near_dup",
     "date_functions",
+    "argmax_order_extremes",
+    "topk_parts_per_supplier_agg",
+    "regression_functions",
+    "dau_mau_stickiness",
+    "degree_powerlaw_fit",
 ]
 
 

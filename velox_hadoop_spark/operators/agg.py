@@ -436,3 +436,105 @@ def q_conditional_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
         F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
     )
+
+
+@register(
+    "argmax_order_extremes",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey DESC
+                   ) AS rb,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice ASC, o_orderkey ASC
+                   ) AS rw
+            FROM orders
+        )
+        SELECT o_custkey,
+               max(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+               max(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
+               count(*) AS n_orders,
+               ROUND(max(o_totalprice) - min(o_totalprice), 2) AS price_range
+        FROM ranked GROUP BY o_custkey
+    """,
+    tags=("agg", "argmax", "extension"),
+)
+def q_argmax_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer argmax/argmin as PURE AGGREGATION: the orderkey of
+    the most and least expensive order via ``max_by``/``min_by`` over a
+    (price, key) struct — deterministic under price ties and computed
+    in one partial+final hash aggregate with NO window sort.
+
+    This is the scale-preferred form of "row of the max": a row_number
+    window (the oracle's formulation) must shuffle AND sort every
+    group; max_by keeps map-side partial aggregation (each partition
+    forwards one candidate per group), so shuffle volume is group
+    cardinality, not row count.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias("best_order"),
+        F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias("worst_order"),
+        F.count("*").alias("n_orders"),
+        F.round(F.max("o_totalprice") - F.min("o_totalprice"), 2).alias("price_range"),
+    )
+
+
+@register(
+    "topk_parts_per_supplier_agg",
+    oracle="""
+        WITH sp AS (
+            SELECT l_suppkey AS s, l_partkey AS p,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT s, p, qty,
+                   CAST(row_number() OVER (
+                       PARTITION BY s ORDER BY qty DESC, p DESC
+                   ) AS BIGINT) AS rnk
+            FROM sp
+        )
+        SELECT s, p, ROUND(qty, 2) AS qty, rnk FROM ranked WHERE rnk <= 3
+    """,
+    tags=("agg", "topk-per-group", "extension"),
+)
+def q_topk_parts_per_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per supplier by shipped quantity, composed from
+    aggregation primitives instead of a ranking window:
+    ``sort_array(collect_list(struct), desc)`` → ``slice`` →
+    ``posexplode``. Ties broken by part key inside the struct ordering,
+    so the result is deterministic and window-oracle-reproducible.
+
+    Scale shape: the per-group state is bounded by parts-per-supplier
+    (data-model-bounded here); for unbounded groups the same plan gets
+    a pre-aggregation guard (per-partition top-k before the final
+    slice). Unlike the row_number window, nothing global sorts.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sp = (
+        li.groupBy(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .agg(F.sum("l_quantity").cast("double").alias("qty"))
+    )
+    topk = (
+        sp.groupBy("s")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("qty"), F.col("p"))), asc=False
+                ),
+                1,
+                3,
+            ).alias("top")
+        )
+        .select("s", F.posexplode("top").alias("pos", "entry"))
+    )
+    return topk.select(
+        "s",
+        F.col("entry.p").alias("p"),
+        F.round(F.col("entry.qty"), 2).alias("qty"),
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+    )

@@ -439,3 +439,98 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):
         edges = _peel_once(edges, _KCORE_K)
     return edges.groupBy("s").agg(F.count("*").alias("core_degree"))
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics: DAU/MAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dau_mau_stickiness",
+    oracle="""
+        WITH dau AS (
+            SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+                   CAST(ts AS DATE) AS day,
+                   count(DISTINCT user_id) AS dau
+            FROM events GROUP BY 1, 2
+        ),
+        mau AS (
+            SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+                   count(DISTINCT user_id) AS mau
+            FROM events GROUP BY 1
+        )
+        SELECT dau.month,
+               ROUND(avg(dau), 2) AS avg_dau,
+               any_value(mau) AS mau,
+               ROUND(avg(dau) / any_value(mau), 6) AS stickiness
+        FROM dau JOIN mau ON dau.month = mau.month
+        GROUP BY dau.month
+    """,
+    tags=("mining", "product-analytics", "extension"),
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly stickiness = avg(DAU)/MAU — the two-grain distinct-user
+    metric every product pipeline ships. Day- and month-grain distinct
+    counts are separate aggregates joined on month (a distinct count is
+    not re-mergeable across grains, so each grain aggregates from the
+    fact table; both shuffles are keyed on (time-bucket, user) partials
+    first, so volume is bounded by active-user cardinality)."""
+    ev = _t(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.groupBy(F.date_trunc("month", "ts").cast("date").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy("month")
+        .agg(
+            F.round(F.avg("dau"), 2).alias("avg_dau"),
+            F.first("mau").alias("mau"),
+            F.round(F.avg("dau") / F.first("mau"), 6).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree-distribution power-law fit (graph + regression composition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "degree_powerlaw_fit",
+    oracle="""
+        WITH e AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS s FROM lineitem),
+        deg AS (SELECT part, count(*) AS d FROM e GROUP BY part),
+        hist AS (SELECT d, count(*) AS n_parts FROM deg GROUP BY d)
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               ROUND(regr_slope(ln(n_parts), ln(d)), 4) AS alpha,
+               ROUND(regr_intercept(ln(n_parts), ln(d)), 4) AS c,
+               ROUND(regr_r2(ln(n_parts), ln(d)), 4) AS r2
+        FROM hist
+    """,
+    tags=("mining", "graph", "regression", "extension"),
+)
+def q_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS fit of the part-degree distribution (count of parts
+    with degree d vs d) — the standard "is this graph scale-free?"
+    diagnostic, composed from the engine's own primitives: distinct-
+    edge aggregate → degree histogram → single-pass regression moments.
+    The histogram is at most max-degree rows, so everything after the
+    first aggregate is broadcast-sized at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = e.groupBy("part").agg(F.count("*").alias("d"))
+    hist = deg.groupBy("d").agg(F.count("*").alias("n_parts"))
+    lx, ly = F.log(F.col("d")), F.log(F.col("n_parts"))
+    return hist.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.regr_slope(ly, lx), 4).alias("alpha"),
+        F.round(F.regr_intercept(ly, lx), 4).alias("c"),
+        F.round(F.regr_r2(ly, lx), 4).alias("r2"),
+    )

@@ -414,3 +414,37 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek(d) - 1).cast("long").alias("dow"),
         F.dayofyear(d).cast("long").alias("doy"),
     )
+
+
+@register(
+    "regression_functions",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+               ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS r
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("functions", "agg", "regression"),
+)
+def q_regression_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in linear-regression aggregate surface: per return flag,
+    OLS slope/intercept/R² of price on quantity plus sample/population
+    covariance and Pearson r — all single-pass partial+final moment
+    aggregates (no self-join, no window), bit-compatible with DuckDB's
+    regr_* family after rounding."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_s"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_p"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+    )
