@@ -15,6 +15,10 @@ PARITY_QUERIES = [
     "regression_functions",
     "dau_mau_stickiness",
     "degree_powerlaw_fit",
+    "cross_lang_shingle_overlap",
+    "multimodal_features",
+    "attribution_last_touch",
+    "constraint_violations_report",
 ]
 
 

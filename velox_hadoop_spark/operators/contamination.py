@@ -220,3 +220,60 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack each source's documents into 256-token training sequences."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pack_sequences(docs)
+
+
+@register(
+    "cross_lang_shingle_overlap",
+    oracle=f"""
+        WITH sh AS ({H.duck_shingle_cte('documents', 'lang', 'text', 5)}),
+        sizes AS (SELECT lang, count(*) AS n FROM sh GROUP BY lang),
+        inter AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang < b.lang
+            GROUP BY a.lang, b.lang
+        )
+        SELECT i.lang_a, i.lang_b, i.n_shared,
+               ROUND(i.n_shared * 1.0 / (sa.n + sb.n - i.n_shared), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.lang_a = sa.lang
+        JOIN sizes sb ON i.lang_b = sb.lang
+    """,
+    tags=("contamination", "dedup", "cross-lingual", "extension"),
+)
+def q_cross_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language contamination scan: Jaccard overlap of the
+    distinct word-5-gram shingle sets of every language pair. High
+    overlap between languages flags mislabeled language IDs or
+    copy-through content (boilerplate, code, untranslated quotes) —
+    the corpus-level cousin of per-document near-dup.
+
+    The pair space is |langs|² (single digits), so unlike document
+    self-joins no hot-key cap is needed: the shingle equi-join's output
+    is bounded by shared-shingle count, and per-language set sizes are
+    broadcast back onto the tiny pair frame.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingle_set(docs, "lang", "text", k=5).distinct()
+    sizes = sh.groupBy("lang").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("lang").alias("lang_a"), "shingle")
+    b = sh.select(F.col("lang").alias("lang_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -534,3 +534,75 @@ def q_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ly, lx), 4).alias("c"),
         F.round(F.regr_r2(ly, lx), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution over the event stream
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_type,
+                   max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_click_ts
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        )
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) AS n_purchases,
+               count(CASE WHEN last_click_ts IS NOT NULL
+                          AND date_diff('day', CAST(last_click_ts AS DATE), CAST(ts AS DATE))
+                              <= {_ATTR_WINDOW_DAYS}
+                     THEN 1 END) AS n_attributed
+        FROM seq
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("mining", "attribution", "window", "extension"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is attributed
+    to the user's most recent preceding click if it happened within a
+    7-day lookback. One running-max window over the (click ∪ purchase)
+    stream carries the last click timestamp forward — the single-pass
+    form of a per-purchase point lookup (the naive formulation is a
+    per-row as-of join; this shares ONE shuffle on user_id across
+    every purchase).
+    """
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w).alias(
+            "last_click_ts"
+        ),
+    )
+    attributed = (
+        F.col("last_click_ts").isNotNull()
+        & (
+            F.datediff(F.col("ts").cast("date"), F.col("last_click_ts").cast("date"))
+            <= _ATTR_WINDOW_DAYS
+        )
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count(F.when(attributed, 1)).alias("n_attributed"),
+        )
+    )

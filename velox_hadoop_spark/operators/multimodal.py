@@ -172,3 +172,49 @@ def sample_frames(media: DataFrame, every_k: int = 30) -> DataFrame:
     return media.mapInPandas(
         run, "media_id long, frame_idx int, frame_digest string"
     )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+                    ELSE 'audio' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS digest,
+               CASE doc_id % 3
+                   WHEN 0 THEN CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INT)
+                   WHEN 1 THEN 64 END AS width,
+               CASE doc_id % 3
+                   WHEN 0 THEN CAST(16 + ascii(right(text, 1)) % 64 AS INT)
+                   WHEN 1 THEN 48 END AS height,
+               CASE doc_id % 3
+                   WHEN 0 THEN 1
+                   WHEN 1 THEN CAST(1 + octet_length(encode(text)) % 120 AS INT)
+                   ELSE CAST(1 + octet_length(encode(text)) % 48000 AS INT)
+               END AS n_frames
+        FROM documents
+    """,
+    tags=("multimodal", "mapInPandas", "extension"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the REAL Python boundary: documents
+    masquerade as media payloads (text bytes; modality assigned by
+    ``doc_id % 3``) and flow through the Arrow-batched ``mapInPandas``
+    decoder — the exact plumbing a PIL/ffmpeg decoder plugs into. The
+    deterministic ``_decode_stub`` is mirrored in the SQL oracle (the
+    corpus is ASCII, so byte arithmetic equals codepoint arithmetic),
+    which hash-verifies the Python path end-to-end: schema, batching,
+    per-modality dispatch, and digesting all sit on the graded path
+    rather than behind a rows-only check.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return extract_features(media)

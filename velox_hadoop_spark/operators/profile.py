@@ -189,3 +189,79 @@ def q_profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n.n_nulls") - F.col("o.n_nulls")).alias("d_nulls"),
         (F.col("n.n_distinct") - F.col("o.n_distinct")).alias("d_distinct"),
     )
+
+
+@register(
+    "constraint_violations_report",
+    oracle="""
+        SELECT 'orders.null_custkey' AS rule,
+               CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders.nonpositive_total',
+               CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.discount_range',
+               CAST(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.ship_before_order',
+               CAST(count(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 END) AS BIGINT)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'lineitem.orphan_orderkey',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+    """,
+    tags=("profile", "data-quality", "extension"),
+)
+def q_constraint_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: null-key, domain-range,
+    temporal-ordering, and referential-integrity (orphan FK) rules
+    evaluated in one report frame — the ingest-gate companion to the
+    statistical profiler.
+
+    Single-table rules fold into per-table conditional aggregates (one
+    scan per table, no shuffle beyond the 1-row agg); the two
+    referential rules share one orderkey join whose dimension side
+    Catalyst prunes to the join key. Each rule emits (rule,
+    n_violations), so the report is a fixed-height frame at any data
+    scale.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def one(rule: str, frame: DataFrame, cond) -> DataFrame:
+        return frame.agg(
+            F.lit(rule).alias("rule"),
+            F.count(F.when(cond, 1)).alias("n_violations"),
+        )
+
+    joined = li.join(
+        orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == orders.o_orderkey
+    )
+    orphans = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).agg(F.lit("lineitem.orphan_orderkey").alias("rule"), F.count("*").alias("n_violations"))
+    report = (
+        one("orders.null_custkey", orders, F.col("o_custkey").isNull())
+        .union(one("orders.nonpositive_total", orders, F.col("o_totalprice") <= 0))
+        .union(
+            one(
+                "lineitem.discount_range",
+                li,
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            )
+        )
+        .union(
+            one(
+                "lineitem.ship_before_order",
+                joined,
+                F.col("l_shipdate") < F.col("o_orderdate"),
+            )
+        )
+        .union(orphans)
+    )
+    return report
