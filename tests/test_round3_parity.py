@@ -19,6 +19,9 @@ PARITY_QUERIES = [
     "multimodal_features",
     "attribution_last_touch",
     "constraint_violations_report",
+    "centroid_separation_matrix",
+    "cohort_ltv_curve",
+    "udtf_word_bigrams",
 ]
 
 

@@ -606,3 +606,80 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(attributed, 1)).alias("n_attributed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+        WITH om AS (
+            SELECT o_custkey AS ck,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   o_totalprice AS rev
+            FROM orders
+        ),
+        cohorts AS (SELECT ck, min(m) AS cohort FROM om GROUP BY ck),
+        aged AS (
+            SELECT c.cohort,
+                   CAST(date_diff('month', c.cohort, om.m) AS BIGINT) AS age,
+                   om.rev, om.ck
+            FROM om JOIN cohorts c ON om.ck = c.ck
+        ),
+        per AS (
+            SELECT cohort, age,
+                   ROUND(SUM(rev), 2) AS revenue,
+                   count(DISTINCT ck) AS n_active
+            FROM aged GROUP BY cohort, age
+        )
+        SELECT cohort, age, revenue, n_active,
+               ROUND(SUM(revenue) OVER (
+                   PARTITION BY cohort ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS cum_revenue
+        FROM per
+    """,
+    tags=("mining", "cohort", "ltv", "extension"),
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, revenue accumulated by cohort age in months — the retention
+    economics companion to the activity-based cohort table.
+
+    The cohort assignment is one groupBy on customer; the age join
+    re-keys the fact rows by customer once (AQE broadcasts the cohort
+    frame when small); the cumulative window runs over the tiny
+    (cohort × age) grid. The prefix sum is order-deterministic in both
+    engines, so the rounded running total is oracle-exact.
+    """
+    om = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    cohorts = om.groupBy("ck").agg(F.min("m").alias("cohort"))
+    aged = om.join(cohorts, "ck").select(
+        "cohort",
+        F.months_between(F.col("m"), F.col("cohort")).cast("long").alias("age"),
+        "rev",
+        "ck",
+    )
+    per = aged.groupBy("cohort", "age").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.countDistinct("ck").alias("n_active"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort",
+        "age",
+        "revenue",
+        "n_active",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+    )

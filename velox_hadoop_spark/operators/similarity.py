@@ -769,3 +769,60 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", to_double(F.col("embedding")).alias("embedding")).mapInPandas(
         kernel, "vec_id long, max_abs_err double, mean_abs_err double"
     )
+
+
+@register(
+    "centroid_separation_matrix",
+    oracle="""
+        WITH dims AS (
+            SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings
+            CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS t(i)
+        ),
+        cent AS (SELECT label, pos, avg(x) AS c FROM dims GROUP BY label, pos),
+        norms AS (SELECT label, sqrt(sum(c * c)) AS n FROM cent GROUP BY label),
+        dots AS (
+            SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+            FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+            GROUP BY a.label, b.label
+        )
+        SELECT label_a, label_b,
+               ROUND(dot / (na.n * nb.n), 6) AS cos
+        FROM dots
+        JOIN norms na ON dots.label_a = na.label
+        JOIN norms nb ON dots.label_b = nb.label
+    """,
+    tags=("similarity", "profiling", "extension"),
+)
+def q_centroid_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between class centroids — the embedding-space
+    class-separability report (near-1 pairs flag label confusion or
+    collapsed representations; the monitoring companion to the per-item
+    outlier scan).
+
+    Everything after the one centroid aggregate operates on
+    |labels| × dims rows: the dimension-aligned self-join and both norm
+    joins are broadcast-sized at any corpus scale.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = label_centroids(emb)
+    norms = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n"))
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+    )

@@ -220,3 +220,56 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(geomean("l_extendedprice"), 4).alias("geomean_price")
     )
+
+
+@register(
+    "udtf_word_bigrams",
+    oracle=r"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+            FROM words
+            CROSS JOIN UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               count(DISTINCT bigram) AS n_distinct
+        FROM bg GROUP BY doc_id
+    """,
+    tags=("udtf", "text", "extension"),
+)
+def q_udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.11): a table function emitting
+    consecutive word bigrams per document, consumed through a LATERAL
+    join and aggregated to per-document bigram counts.
+
+    The UDTF is the row-at-a-time Python table-function boundary —
+    registered here to prove the full lateral-join plumbing (register →
+    LATERAL correlate → generate → aggregate). It is NOT the hot path
+    for this computation: the equivalent JVM form is the shingle
+    pipeline in ``operators/dedup.py`` (array expr + explode, zero
+    Python), which is what every production dedup query here uses.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class WordBigrams:
+        def eval(self, text: str):  # noqa: ANN001 - Spark UDTF contract
+            ws = (text or "").split()
+            for i in range(len(ws) - 1):
+                yield i, ws[i] + " " + ws[i + 1]
+
+    spark.udtf.register("word_bigrams_udtf", WordBigrams)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               count(*) AS n_bigrams,
+               count(DISTINCT t.bigram) AS n_distinct
+        FROM udtf_docs_v d, LATERAL word_bigrams_udtf(d.text) t
+        GROUP BY d.doc_id
+        """
+    )
