@@ -319,3 +319,30 @@ def test_length_band_filter_broadcasts_bounds(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     # the filter pass reads only (lang, n_chars) — text never scanned
     assert any("n_chars" in l and "text" not in l for l in read_schema)
+
+
+def test_attribution_single_user_shuffle(spark):
+    """The attribution window and nothing else touches the fact rows:
+    exactly one hash-partitioning exchange on user_id feeds the running
+    max; the day rollup reuses no second fact-wide shuffle pattern."""
+    df = registry.queries()["attribution_last_touch"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan  # no per-purchase lookup join
+
+
+def test_centroid_separation_joins_are_broadcast(spark):
+    """Everything after the centroid aggregate is broadcast-sized."""
+    df = registry.queries()["centroid_separation_matrix"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_steps_prune_event_type(spark):
+    """Each funnel step's scan pushes its event_type predicate down."""
+    df = registry.queries()["funnel_view_click_purchase"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan

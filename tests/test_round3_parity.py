@@ -22,6 +22,7 @@ PARITY_QUERIES = [
     "centroid_separation_matrix",
     "cohort_ltv_curve",
     "udtf_word_bigrams",
+    "funnel_view_click_purchase",
 ]
 
 

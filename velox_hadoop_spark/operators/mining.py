@@ -683,3 +683,88 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Three-step strictly-ordered funnel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+            WHERE e.event_type = 'click'
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked_after,
+               (SELECT count(*) FROM p) AS n_purchased_after,
+               ROUND((SELECT count(*) FROM c) * 1.0
+                     / (SELECT count(*) FROM v), 6) AS click_rate,
+               ROUND((SELECT count(*) FROM p) * 1.0
+                     / nullif((SELECT count(*) FROM c), 0), 6) AS purchase_rate
+    """,
+    tags=("mining", "funnel", "extension"),
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel: first view → first click AFTER
+    that view → first purchase AFTER that click (each step's anchor is
+    the previous step's milestone, not a global first — the chained-min
+    formulation that a per-user pivot cannot express).
+
+    Each chaining step is one filtered aggregate joined back on
+    user_id; milestone frames only shrink down the funnel, so the two
+    inner joins get cheaper per step and the final five-number report
+    is a crossJoin of 1-row aggregates.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count("*").alias("n_viewed"))
+    nc = c.agg(F.count("*").alias("n_clicked_after"))
+    np_ = p.agg(F.count("*").alias("n_purchased_after"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_viewed",
+            "n_clicked_after",
+            "n_purchased_after",
+            F.round(F.col("n_clicked_after") / F.col("n_viewed"), 6).alias("click_rate"),
+            F.round(
+                F.col("n_purchased_after")
+                / F.nullif(F.col("n_clicked_after"), F.lit(0)),
+                6,
+            ).alias("purchase_rate"),
+        )
+    )
