@@ -23,6 +23,9 @@ PARITY_QUERIES = [
     "cohort_ltv_curve",
     "udtf_word_bigrams",
     "funnel_view_click_purchase",
+    "error_rate_burn",
+    "discount_elasticity_by_brand",
+    "spend_quartile_migration",
 ]
 
 

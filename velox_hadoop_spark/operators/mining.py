@@ -768,3 +768,182 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Operational SLI: hourly error rate with rolling burn rate
+# ---------------------------------------------------------------------------
+
+_SLO_TARGET = 0.25  # error budget: events flagged 'error' may be up to 25%
+
+
+@register(
+    "error_rate_burn",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+            FROM events GROUP BY 1
+        ),
+        rated AS (
+            SELECT hour, n_events, n_errors,
+                   ROUND(n_errors * 1.0 / n_events, 6) AS err_rate,
+                   ROUND(SUM(n_errors) OVER w * 1.0 / SUM(n_events) OVER w, 6)
+                       AS err_rate_6h
+            FROM hourly
+            WINDOW w AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        )
+        SELECT hour, n_events, n_errors, err_rate, err_rate_6h,
+               ROUND(err_rate_6h / {_SLO_TARGET}, 4) AS burn_rate
+        FROM rated
+    """,
+    tags=("mining", "sli", "window", "extension"),
+)
+def q_error_rate_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational SLI report: hourly error rate plus a 6-hour rolling
+    error rate and its burn-rate multiple against the error budget —
+    the multiwindow alerting shape from SRE practice, over the same
+    event stream the behavioral queries use.
+
+    The fact table collapses to the hourly grain first; the rolling
+    ratio is a ratio of two rolling SUMS (never an average of ratios —
+    hours with different volumes would skew it), computed by one
+    ordered window over the calendar-bounded hourly frame. The global
+    ORDER BY window is safe at any scale because its input is
+    calendar-bounded, not data-bounded.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    w = Window.orderBy("hour").rowsBetween(-5, Window.currentRow)
+    rated = hourly.select(
+        "hour",
+        "n_events",
+        "n_errors",
+        F.round(F.col("n_errors") / F.col("n_events"), 6).alias("err_rate"),
+        F.round(
+            F.sum("n_errors").over(w) / F.sum("n_events").over(w), 6
+        ).alias("err_rate_6h"),
+    )
+    return rated.select(
+        "*", F.round(F.col("err_rate_6h") / _SLO_TARGET, 4).alias("burn_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity by brand (join + regression composition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "discount_elasticity_by_brand",
+    oracle="""
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(avg(l.l_discount), 6) AS avg_discount,
+               ROUND(regr_slope(l.l_quantity, l.l_discount), 4) AS qty_per_discount,
+               ROUND(regr_r2(l.l_quantity, l.l_discount), 6) AS r2
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+    tags=("mining", "regression", "join", "extension"),
+)
+def q_discount_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity proxy: the OLS slope of shipped
+    quantity against discount across a brand's line items (does
+    discounting move volume?). The dimension join broadcasts the part
+    table pruned to (partkey, brand); the regression is a single-pass
+    moment aggregate on the fact side.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            F.round(F.regr_slope("l_quantity", "l_discount"), 4).alias("qty_per_discount"),
+            F.round(F.regr_r2("l_quantity", "l_discount"), 6).alias("r2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spend-quartile migration matrix between two periods
+# ---------------------------------------------------------------------------
+
+_MIGRATION_SPLIT = "1996-01-01"  # period A strictly before, B at/after
+
+
+@register(
+    "spend_quartile_migration",
+    oracle=f"""
+        WITH spend AS (
+            SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+                   ROUND(SUM(CASE WHEN o.o_orderdate < DATE '{_MIGRATION_SPLIT}'
+                                  THEN o.o_totalprice ELSE 0 END), 2) AS spend_a,
+                   ROUND(SUM(CASE WHEN o.o_orderdate >= DATE '{_MIGRATION_SPLIT}'
+                                  THEN o.o_totalprice ELSE 0 END), 2) AS spend_b
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
+        ),
+        tiled AS (
+            SELECT seg,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY seg ORDER BY spend_a, ck
+                   ) AS BIGINT) AS q_before,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY seg ORDER BY spend_b, ck
+                   ) AS BIGINT) AS q_after
+            FROM spend
+        )
+        SELECT seg, q_before, q_after, count(*) AS n_customers
+        FROM tiled GROUP BY seg, q_before, q_after
+    """,
+    tags=("mining", "segmentation", "migration", "extension"),
+)
+def q_spend_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-quartile migration matrix: quartile by spend
+    before vs after a split date (within market segment, ties broken by
+    custkey) cross-tabulated — who moved up, who churned down. The
+    upgrade-path / churn-risk view built purely from ranking windows
+    partitioned by segment (no global sort at any scale).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    split = F.lit(_MIGRATION_SPLIT).cast("date")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("ck"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate").cast("date") < split, F.col("o_totalprice")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("spend_a"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate").cast("date") >= split, F.col("o_totalprice")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("spend_b"),
+        )
+    )
+    seg = Window.partitionBy("seg")
+    tiled = spend.select(
+        "seg",
+        F.ntile(4).over(seg.orderBy("spend_a", "ck")).cast("long").alias("q_before"),
+        F.ntile(4).over(seg.orderBy("spend_b", "ck")).cast("long").alias("q_after"),
+    )
+    return tiled.groupBy("seg", "q_before", "q_after").agg(
+        F.count("*").alias("n_customers")
+    )
