@@ -26,6 +26,8 @@ PARITY_QUERIES = [
     "error_rate_burn",
     "discount_elasticity_by_brand",
     "spend_quartile_migration",
+    "weighted_median_quantity",
+    "longest_order_streak",
 ]
 
 

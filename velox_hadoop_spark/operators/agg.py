@@ -23,7 +23,7 @@ so results are stable under any partition/reduction order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velox_hadoop_spark.plans.registry import register
@@ -537,4 +537,110 @@ def q_topk_parts_per_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("entry.p").alias("p"),
         F.round(F.col("entry.qty"), 2).alias("qty"),
         (F.col("pos") + 1).cast("long").alias("rnk"),
+    )
+
+
+@register(
+    "weighted_median_quantity",
+    oracle="""
+        WITH wq AS (
+            SELECT l_returnflag, l_quantity,
+                   SUM(l_extendedprice) AS w
+            FROM lineitem GROUP BY l_returnflag, l_quantity
+        ),
+        cum AS (
+            SELECT l_returnflag, l_quantity,
+                   SUM(w) OVER (
+                       PARTITION BY l_returnflag ORDER BY l_quantity
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cw,
+                   SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM wq
+        )
+        SELECT l_returnflag,
+               ROUND(min(l_quantity), 2) AS weighted_median
+        FROM cum
+        WHERE cw >= tw / 2
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "window", "weighted-percentile", "extension"),
+)
+def q_weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median quantity per return flag: the smallest
+    quantity whose cumulative revenue weight reaches half the group
+    total — the weighted-percentile primitive neither engine ships as
+    a builtin, composed from a pre-aggregate (one row per distinct
+    value, so the window input is value-cardinality-bounded) and a
+    cumulative-sum window.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    wq = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum("l_extendedprice").alias("w")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = wq.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_quantity"), 2).alias("weighted_median"))
+    )
+
+
+@register(
+    "longest_order_streak",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
+            FROM orders
+        ),
+        islands AS (
+            SELECT ck,
+                   d - CAST(row_number() OVER (
+                       PARTITION BY ck ORDER BY d
+                   ) AS INT) AS grp
+            FROM days
+        ),
+        streaks AS (
+            SELECT ck, grp, count(*) AS len FROM islands GROUP BY ck, grp
+        )
+        SELECT len AS streak_days,
+               count(*) AS n_customers
+        FROM (SELECT ck, max(len) AS len FROM streaks GROUP BY ck)
+        GROUP BY len
+    """,
+    tags=("window", "gaps-and-islands", "extension"),
+)
+def q_longest_order_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day ordering streak per customer, reported
+    as a streak-length histogram — the gaps-and-islands pattern: a
+    date minus its per-customer row_number is constant exactly within
+    a run of consecutive days, so one window plus two aggregates finds
+    every maximal streak with a single shuffle on the customer key.
+    """
+    days = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("ck").orderBy("d")
+    islands = days.select(
+        "ck", F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp")
+    )
+    streaks = islands.groupBy("ck", "grp").agg(F.count("*").alias("len"))
+    best = streaks.groupBy("ck").agg(F.max("len").alias("len"))
+    return best.groupBy(F.col("len").alias("streak_days")).agg(
+        F.count("*").alias("n_customers")
     )
