@@ -28,6 +28,9 @@ PARITY_QUERIES = [
     "spend_quartile_migration",
     "weighted_median_quantity",
     "longest_order_streak",
+    "order_fill_latency",
+    "supplier_concentration_hhi",
+    "order_interarrival_histogram",
 ]
 
 

@@ -947,3 +947,168 @@ def q_spend_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.groupBy("seg", "q_before", "q_after").agg(
         F.count("*").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supply-chain fill latency percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_fill_latency",
+    oracle="""
+        WITH fill AS (
+            SELECT o.o_orderpriority,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(min(l.l_shipdate) AS DATE)) AS first_ship_days,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(max(l.l_shipdate) AS DATE)) AS full_ship_days
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               ROUND(quantile_cont(first_ship_days, 0.5), 4) AS p50_first,
+               ROUND(quantile_cont(first_ship_days, 0.95), 4) AS p95_first,
+               ROUND(quantile_cont(full_ship_days, 0.5), 4) AS p50_full,
+               ROUND(quantile_cont(full_ship_days, 0.95), 4) AS p95_full
+        FROM fill GROUP BY o_orderpriority
+    """,
+    tags=("mining", "latency", "percentile", "extension"),
+)
+def q_order_fill_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fill latency SLAs per priority class: days from order to
+    FIRST shipment (responsiveness) and to LAST shipment (completion),
+    summarized as exact interpolated p50/p95 — the supply-chain twin of
+    the operational SLI report.
+
+    One join keyed on orderkey feeds a per-order min/max aggregate
+    (partial-agg friendly), then exact percentiles run per priority
+    class over the order-cardinality frame.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fill = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.min(F.col("l_shipdate").cast("date")),
+                F.col("o_orderdate").cast("date"),
+            ).alias("first_ship_days"),
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.col("o_orderdate").cast("date"),
+            ).alias("full_ship_days"),
+        )
+    )
+    return fill.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.expr("percentile(first_ship_days, 0.5)"), 4).alias("p50_first"),
+        F.round(F.expr("percentile(first_ship_days, 0.95)"), 4).alias("p95_first"),
+        F.round(F.expr("percentile(full_ship_days, 0.5)"), 4).alias("p50_full"),
+        F.round(F.expr("percentile(full_ship_days, 0.95)"), 4).alias("p95_full"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier revenue concentration (Herfindahl index) per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey, l.l_suppkey,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey, l.l_suppkey
+        ),
+        tot AS (SELECT s_nationkey, SUM(r) AS t, count(*) AS n_suppliers
+                FROM rev GROUP BY s_nationkey)
+        SELECT n.n_name,
+               tot.n_suppliers,
+               ROUND(SUM((rev.r / tot.t) * (rev.r / tot.t)), 6) AS hhi
+        FROM rev
+        JOIN tot ON rev.s_nationkey = tot.s_nationkey
+        JOIN nation n ON rev.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, tot.n_suppliers
+    """,
+    tags=("mining", "concentration", "extension"),
+)
+def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation (1/n = perfectly even, →1 = monopolized) — the
+    market-structure diagnostic, composed as: per-supplier revenue
+    aggregate → per-nation totals broadcast back → sum of squared
+    shares. Everything after the first fact aggregate runs on
+    supplier-cardinality frames.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("t"), F.count("*").alias("n_suppliers")
+    )
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(nation), rev.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "n_suppliers")
+        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order inter-arrival time distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_interarrival_histogram",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                       ),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+        )
+        SELECT CAST(floor(gap_days / 30) AS BIGINT) AS gap_month_bucket,
+               count(*) AS n_gaps,
+               ROUND(avg(gap_days), 4) AS avg_gap_days
+        FROM seq WHERE gap_days IS NOT NULL
+        GROUP BY 1
+    """,
+    tags=("mining", "interarrival", "window", "extension"),
+)
+def q_order_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of days between a customer's consecutive orders,
+    bucketed to 30-day bands — the inter-arrival-time profile behind
+    churn models and reorder-reminder products. One lag window on the
+    customer key (ties broken by orderkey), then a bounded histogram
+    aggregate.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return seq.groupBy(
+        F.floor(F.col("gap_days") / 30).cast("long").alias("gap_month_bucket")
+    ).agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+    )
