@@ -31,6 +31,7 @@ PARITY_QUERIES = [
     "order_fill_latency",
     "supplier_concentration_hhi",
     "order_interarrival_histogram",
+    "stateful_sessions_batch_twin",
 ]
 
 

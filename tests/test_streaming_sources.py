@@ -230,3 +230,55 @@ def test_stream_upsert_latest_matches_batch(spark, event_stream_dir, tmp_path):
         for r in latest_per_key(ev, "user_id", "ts", "event_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessions_stream_matches_batch(spark, event_stream_dir):
+    """The streaming sessionizer's CLOSED sessions equal the batch
+    kernel's sessions minus each user's final (still-open) one."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from velox_hadoop_spark.catalog import read_table
+    from velox_hadoop_spark.streaming.events import read_event_stream
+    from velox_hadoop_spark.streaming.stateful import (
+        _ms,
+        _walk_sessions,
+        stream_user_sessions,
+    )
+
+    q = (
+        stream_user_sessions(read_event_stream(spark, event_stream_dir))
+        .writeStream.format("memory")
+        .queryName("user_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM user_sessions").collect()
+    }
+
+    # batch reference: run the shared kernel per user on the full data
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+    expected = set()
+    for uid, pdf in ev.groupby("user_id"):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        closed, _cur = _walk_sessions(_ms(pdf["ts"]), pdf["value"].tolist(), None)
+        for s, e, n, t in closed:  # open session never emitted
+            expected.add(
+                (
+                    int(uid),
+                    pd.Timestamp(s, unit="ms").to_pydatetime(),
+                    pd.Timestamp(e, unit="ms").to_pydatetime(),
+                    n,
+                    round(t, 2),
+                )
+            )
+    assert streamed == expected
+    assert len(streamed) > 0

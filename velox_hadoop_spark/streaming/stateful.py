@@ -99,3 +99,168 @@ def _register():
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionizer: 30-minute-gap sessions with one shared kernel
+# for the streaming and batch forms
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MINUTES = 30
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+SESSION_SUMMARY_SCHEMA = (
+    "user_id long, n_sessions long, max_session_events long, "
+    "max_session_secs long, total_value double"
+)
+# state carries the OPEN session as epoch-millis (GroupState tuples are
+# plain scalars; millis avoid tz ambiguity in the state store)
+_SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long, total double"
+
+
+def _walk_sessions(ts_list, val_list, open_state):
+    """Shared sessionization kernel: fold (ts, value) pairs (sorted by
+    caller) into (start, last, n, total) sessions split on >= 30-minute
+    gaps. ``open_state`` seeds the walk; returns (closed, open)."""
+    gap_ms = SESSION_GAP_MINUTES * 60_000
+    closed = []
+    cur = open_state  # (start_ms, last_ms, n, total) or None
+    for ts_ms, v in zip(ts_list, val_list):
+        if cur is not None and ts_ms - cur[1] >= gap_ms:
+            closed.append(cur)
+            cur = None
+        if cur is None:
+            cur = (ts_ms, ts_ms, 1, float(v))
+        else:
+            cur = (cur[0], ts_ms, cur[2] + 1, cur[3] + float(v))
+    return closed, cur
+
+
+def _ms(series: pd.Series):
+    return (series.astype("datetime64[ns]").astype("int64") // 1_000_000).tolist()
+
+
+def _update_sessions(key, pdfs, state: GroupState):
+    """Streaming form: emit sessions CLOSED by this batch's events; the
+    still-open session stays in state for the next micro-batch."""
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    open_state = tuple(state.get) if state.exists else None
+    closed, cur = _walk_sessions(_ms(pdf["ts"]), pdf["value"].tolist(), open_state)
+    if cur is not None:
+        state.update(cur)
+    if closed:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "session_start": pd.Timestamp(s, unit="ms"),
+                    "session_end": pd.Timestamp(e, unit="ms"),
+                    "n_events": n,
+                    "total_value": round(t, 2),
+                }
+                for (s, e, n, t) in closed
+            ]
+        )
+
+
+def stream_user_sessions(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful operator — the
+    semantics ``session_window`` gives you built-in, re-expressed on
+    applyInPandasWithState to carry arbitrary per-session state (here
+    the running value total; in production: feature vectors, pattern
+    automata). One shuffle on user_id per micro-batch; idle keys would
+    use EventTimeTimeout to flush their open session at the watermark —
+    the availableNow test closes sessions by comparing against the
+    batch twin minus each key's final (still-open) session instead.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_user_session_summary(events: DataFrame) -> DataFrame:
+    """Batch twin: the SAME kernel over each user's full history via
+    grouped-map applyInPandas, rolled up to a per-user session summary
+    (registered with a SQL islands oracle — the Python kernel is
+    hash-verified against pure SQL)."""
+    from velox_hadoop_spark.functions.vectors import round_half_away
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        closed, cur = _walk_sessions(_ms(pdf["ts"]), pdf["value"].tolist(), None)
+        sessions = closed + ([cur] if cur is not None else [])
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_sessions": len(sessions),
+                    "max_session_events": max(s[2] for s in sessions),
+                    # second-BOUNDARY count (floor each endpoint, then
+                    # diff) to match date_diff('second', ...) semantics
+                    "max_session_secs": max(
+                        s[1] // 1000 - s[0] // 1000 for s in sessions
+                    ),
+                    "total_value": float(
+                        round_half_away(sum(s[3] for s in sessions), 2)
+                    ),
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandas(summarize, SESSION_SUMMARY_SCHEMA)
+
+
+def _register_sessions():
+    from velox_hadoop_spark.plans.registry import register
+
+    @register(
+        "stateful_sessions_batch_twin",
+        oracle=f"""
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    >= INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT *, SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS sid
+                FROM flagged
+            ),
+            sessions AS (
+                SELECT user_id, sid, count(*) AS n,
+                       date_diff('second', min(ts), max(ts)) AS secs,
+                       SUM(value) AS v
+                FROM numbered GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   max(n) AS max_session_events,
+                   CAST(max(secs) AS BIGINT) AS max_session_secs,
+                   ROUND(SUM(v), 2) AS total_value
+            FROM sessions GROUP BY user_id
+        """,
+        tags=("streaming", "stateful", "sessionization", "extension"),
+    )
+    def q_stateful_sessions_batch_twin(spark, sf_dir):
+        """Final per-user session summary from the shared kernel."""
+        from velox_hadoop_spark.catalog import read_table
+
+        ev = read_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        return batch_user_session_summary(ev)
+
+
+_register_sessions()
