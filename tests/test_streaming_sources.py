@@ -241,7 +241,7 @@ def test_stateful_sessions_stream_matches_batch(spark, event_stream_dir):
     from velox_hadoop_spark.catalog import read_table
     from velox_hadoop_spark.streaming.events import read_event_stream
     from velox_hadoop_spark.streaming.stateful import (
-        _ms,
+        _us,
         _walk_sessions,
         stream_user_sessions,
     )
@@ -269,13 +269,13 @@ def test_stateful_sessions_stream_matches_batch(spark, event_stream_dir):
     expected = set()
     for uid, pdf in ev.groupby("user_id"):
         pdf = pdf.sort_values(["ts", "event_id"])
-        closed, _cur = _walk_sessions(_ms(pdf["ts"]), pdf["value"].tolist(), None)
+        closed, _cur = _walk_sessions(_us(pdf["ts"]), pdf["value"].tolist(), None)
         for s, e, n, t in closed:  # open session never emitted
             expected.add(
                 (
                     int(uid),
-                    pd.Timestamp(s, unit="ms").to_pydatetime(),
-                    pd.Timestamp(e, unit="ms").to_pydatetime(),
+                    pd.Timestamp(s, unit="us").to_pydatetime(),
+                    pd.Timestamp(e, unit="us").to_pydatetime(),
                     n,
                     round(t, 2),
                 )

@@ -987,9 +987,19 @@ _MH_EQ = " + ".join(
     oracle=_duck_minhash_cte()
     + f""",
         bands AS ({_BAND_KEYS}),
+        cool AS (
+            SELECT band_id, band_key FROM bands
+            GROUP BY band_id, band_key
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        capped AS (
+            SELECT bands.* FROM bands
+            JOIN cool ON bands.band_id = cool.band_id
+                     AND bands.band_key = cool.band_key
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
+            FROM capped a JOIN capped b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
         )
@@ -1128,9 +1138,15 @@ def q_incremental_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join dedup uses, minus the corpus×corpus quadrant (the whole
     point: incremental cost is batch-sized, not corpus-sized).
     """
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs_par(spark, sf_dir)
     sig = minhash_signature_inline(docs, "doc_id", "text")
-    bands = lsh_bands(sig, "doc_id")
+    # persist: the corpus and batch branches filter the SAME band frame,
+    # and without a materialization point each side would re-run the
+    # whole shingle->minhash->band pipeline (there is no shuffle for
+    # Spark to reuse in this zero-exchange plan)
+    bands = lsh_bands(sig, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     corpus = bands.where(F.col("doc_id") % 10 != 0).select(
         "band_id", "band_key", F.col("doc_id").alias("corpus_id")
     )

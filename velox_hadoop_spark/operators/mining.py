@@ -34,11 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from velox_hadoop_spark.catalog import read_table
 from velox_hadoop_spark.plans.registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # catalog.read_table (not a bare parquet read): it owns the
+    # events.ts nanos-normalization seam, so every mining query sees
+    # the same timestamp representation as the rest of the engine
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -397,19 +401,26 @@ def _peel_once(edges: DataFrame, k: int) -> DataFrame:
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
-    """Unrolled SQL mirror of ``rounds`` peel passes."""
-    core = "SELECT DISTINCT l_suppkey AS s, l_partkey AS part FROM lineitem"
-    for _ in range(rounds):
-        core = f"""
-            SELECT e.s, e.part FROM ({core}) e
-            JOIN (SELECT s, count(*) AS sd FROM ({core}) GROUP BY s) sd
-              ON e.s = sd.s AND sd.sd >= {k}
-            JOIN (SELECT part, count(*) AS pd FROM ({core}) GROUP BY part) pd
-              ON e.part = pd.part AND pd.pd >= {k}
-        """
+    """Unrolled SQL mirror of ``rounds`` peel passes — as a NAMED-CTE
+    chain (r0 -> r1 -> ...), not textual inlining: inlining the prior
+    round three times per pass grows the SQL 3^rounds and makes DuckDB
+    re-execute the base edge scan dozens of times."""
+    ctes = ["r0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS part FROM lineitem)"]
+    for i in range(1, rounds + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"""r{i} AS (
+                SELECT e.s, e.part FROM {prev} e
+                JOIN (SELECT s, count(*) AS sd FROM {prev} GROUP BY s) sd
+                  ON e.s = sd.s AND sd.sd >= {k}
+                JOIN (SELECT part, count(*) AS pd FROM {prev} GROUP BY part) pd
+                  ON e.part = pd.part AND pd.pd >= {k}
+            )"""
+        )
     return f"""
+        WITH {", ".join(ctes)}
         SELECT s, count(*) AS core_degree
-        FROM ({core})
+        FROM r{rounds}
         GROUP BY s
     """
 

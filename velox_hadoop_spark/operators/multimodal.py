@@ -194,6 +194,8 @@ def sample_frames(media: DataFrame, every_k: int = 30) -> DataFrame:
                    ELSE CAST(1 + octet_length(encode(text)) % 48000 AS INT)
                END AS n_frames
         FROM documents
+        WHERE octet_length(encode(text)) > 0
+          AND length(text) = octet_length(encode(text))
     """,
     tags=("multimodal", "mapInPandas", "extension"),
 )
@@ -209,6 +211,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than behind a rows-only check.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # ASCII + non-empty guard ON BOTH SIDES: the oracle mirrors the
+    # byte-level fake decoder with codepoint arithmetic, which is only
+    # an identity for single-byte text; and payload[0] needs bytes.
+    # char-count == byte-count  <=>  pure ASCII. The verified corpus
+    # passes this filter in full, so the guard is a no-op there and a
+    # deterministic exclusion anywhere else.
+    docs = docs.where(
+        (F.octet_length(F.encode(F.col("text"), "UTF-8")) > 0)
+        & (F.length("text") == F.octet_length(F.encode(F.col("text"), "UTF-8")))
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

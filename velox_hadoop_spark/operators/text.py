@@ -257,7 +257,12 @@ def q_udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, bigram string")
     class WordBigrams:
         def eval(self, text: str):  # noqa: ANN001 - Spark UDTF contract
-            ws = (text or "").split()
+            import re as _re
+
+            # regex split, NOT str.split(): leading/trailing whitespace
+            # must yield the same empty-token behavior as the oracle's
+            # string_split_regex (and F.split everywhere else)
+            ws = _re.split(r"\s+", text or "")
             for i in range(len(ws) - 1):
                 yield i, ws[i] + " " + ws[i + 1]
 

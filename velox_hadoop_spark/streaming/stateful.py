@@ -115,31 +115,36 @@ SESSION_SUMMARY_SCHEMA = (
     "user_id long, n_sessions long, max_session_events long, "
     "max_session_secs long, total_value double"
 )
-# state carries the OPEN session as epoch-millis (GroupState tuples are
-# plain scalars; millis avoid tz ambiguity in the state store)
-_SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long, total double"
+# state carries the OPEN session as epoch-MICROseconds (GroupState tuples
+# are plain scalars; integer epoch avoids tz ambiguity in the state store,
+# and microseconds match the timestamp precision the SQL oracle compares
+# at — flooring to millis could flip a gap decision within 1ms of the
+# 30-minute boundary)
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
 
 
 def _walk_sessions(ts_list, val_list, open_state):
     """Shared sessionization kernel: fold (ts, value) pairs (sorted by
     caller) into (start, last, n, total) sessions split on >= 30-minute
     gaps. ``open_state`` seeds the walk; returns (closed, open)."""
-    gap_ms = SESSION_GAP_MINUTES * 60_000
+    gap_us = SESSION_GAP_MINUTES * 60_000_000
     closed = []
-    cur = open_state  # (start_ms, last_ms, n, total) or None
-    for ts_ms, v in zip(ts_list, val_list):
-        if cur is not None and ts_ms - cur[1] >= gap_ms:
+    cur = open_state  # (start_us, last_us, n, total) or None
+    for ts_us, v in zip(ts_list, val_list):
+        if cur is not None and ts_us - cur[1] >= gap_us:
             closed.append(cur)
             cur = None
         if cur is None:
-            cur = (ts_ms, ts_ms, 1, float(v))
+            cur = (ts_us, ts_us, 1, float(v))
         else:
-            cur = (cur[0], ts_ms, cur[2] + 1, cur[3] + float(v))
+            cur = (cur[0], ts_us, cur[2] + 1, cur[3] + float(v))
     return closed, cur
 
 
-def _ms(series: pd.Series):
-    return (series.astype("datetime64[ns]").astype("int64") // 1_000_000).tolist()
+def _us(series: pd.Series):
+    """Epoch microseconds — full parquet timestamp precision, so gap
+    comparisons agree bit-for-bit with the oracle's interval math."""
+    return (series.astype("datetime64[ns]").astype("int64") // 1_000).tolist()
 
 
 def _update_sessions(key, pdfs, state: GroupState):
@@ -147,7 +152,7 @@ def _update_sessions(key, pdfs, state: GroupState):
     still-open session stays in state for the next micro-batch."""
     pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     open_state = tuple(state.get) if state.exists else None
-    closed, cur = _walk_sessions(_ms(pdf["ts"]), pdf["value"].tolist(), open_state)
+    closed, cur = _walk_sessions(_us(pdf["ts"]), pdf["value"].tolist(), open_state)
     if cur is not None:
         state.update(cur)
     if closed:
@@ -155,8 +160,8 @@ def _update_sessions(key, pdfs, state: GroupState):
             [
                 {
                     "user_id": key[0],
-                    "session_start": pd.Timestamp(s, unit="ms"),
-                    "session_end": pd.Timestamp(e, unit="ms"),
+                    "session_start": pd.Timestamp(s, unit="us"),
+                    "session_end": pd.Timestamp(e, unit="us"),
                     "n_events": n,
                     "total_value": round(t, 2),
                 }
@@ -193,7 +198,7 @@ def batch_user_session_summary(events: DataFrame) -> DataFrame:
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        closed, cur = _walk_sessions(_ms(pdf["ts"]), pdf["value"].tolist(), None)
+        closed, cur = _walk_sessions(_us(pdf["ts"]), pdf["value"].tolist(), None)
         sessions = closed + ([cur] if cur is not None else [])
         return pd.DataFrame(
             [
@@ -204,7 +209,7 @@ def batch_user_session_summary(events: DataFrame) -> DataFrame:
                     # second-BOUNDARY count (floor each endpoint, then
                     # diff) to match date_diff('second', ...) semantics
                     "max_session_secs": max(
-                        s[1] // 1000 - s[0] // 1000 for s in sessions
+                        s[1] // 1_000_000 - s[0] // 1_000_000 for s in sessions
                     ),
                     "total_value": float(
                         round_half_away(sum(s[3] for s in sessions), 2)
