@@ -468,9 +468,17 @@ _BAND_KEYS = " UNION ALL ".join(
     "lsh_candidate_pairs",
     oracle=_duck_minhash_cte()
     + f""",
-        bands AS ({_BAND_KEYS})
+        bands AS ({_BAND_KEYS}),
+        cool AS (
+            SELECT band_id, band_key FROM bands
+            GROUP BY band_id, band_key
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        capped AS (
+            SELECT bands.* FROM bands JOIN cool USING (band_id, band_key)
+        )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
+        FROM capped a JOIN capped b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     """,
@@ -486,7 +494,12 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-        WITH sh AS ({H.duck_shingle_cte('documents', 'doc_id', 'text', SHINGLE_K)}),
+        WITH sh0 AS ({H.duck_shingle_cte('documents', 'doc_id', 'text', SHINGLE_K)}),
+        cool AS (
+            SELECT shingle FROM sh0
+            GROUP BY shingle HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        sh AS (SELECT sh0.* FROM sh0 JOIN cool USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
@@ -731,10 +744,18 @@ def simhash_near_dup_pairs(
             FROM sig
             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id) p
         ),
+        cool AS (
+            SELECT band_id, band_key FROM bands
+            GROUP BY band_id, band_key
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        capped AS (
+            SELECT bands.* FROM bands JOIN cool USING (band_id, band_key)
+        ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-            FROM bands a JOIN bands b
+            FROM capped a JOIN capped b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
         )
@@ -785,12 +806,17 @@ def fuzzy_pairs_blocked(
 
 @register(
     "fuzzy_part_name_pairs",
-    oracle="""
-        WITH keyed AS (
+    oracle=f"""
+        WITH keyed0 AS (
             SELECT p_partkey AS rec_id, p_name AS name,
                    list_extract(string_split_regex(p_name, '\\s+'), -1) AS blk
             FROM part
-        )
+        ),
+        cool AS (
+            SELECT blk FROM keyed0
+            GROUP BY blk HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        keyed AS (SELECT keyed0.* FROM keyed0 JOIN cool USING (blk))
         SELECT a.rec_id AS id_a, b.rec_id AS id_b,
                CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
         FROM keyed a JOIN keyed b
@@ -926,9 +952,17 @@ def connected_components(
     oracle=_duck_minhash_cte().replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
     + f""",
         bands AS ({_BAND_KEYS}),
+        cool AS (
+            SELECT band_id, band_key FROM bands
+            GROUP BY band_id, band_key
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        capped AS (
+            SELECT bands.* FROM bands JOIN cool USING (band_id, band_key)
+        ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
+            FROM capped a JOIN capped b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
         ),
