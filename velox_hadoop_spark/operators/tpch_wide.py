@@ -79,8 +79,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_profit_by_nation_year",
     oracle="""
         SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-               ROUND(sum(l.l_extendedprice * (1 - l.l_discount)
-                         - 0.4 * p.p_retailprice * l.l_quantity), 2) AS profit
+               ROUND(sum(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                                      - 0.4 * p.p_retailprice * l.l_quantity)
+                                     * 10000) AS BIGINT)) / 10000.0, 4) AS profit
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -106,9 +107,17 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
+    # line profit is an exact 4-decimal rational (2dp price x 2dp
+    # multiplier, 2dp retail x integral qty): sum it as integer
+    # ten-thousandths so no summation-order rounding tie can flip the
+    # last cent at any scale (same scheme as nation_trade_flow_matrix)
     return joined.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-    ).agg(F.round(F.sum(profit), 2).alias("profit"))
+    ).agg(
+        F.round(F.sum(F.round(profit * 10000).cast("long")) / 10000.0, 4).alias(
+            "profit"
+        )
+    )
 
 
 @register(
