@@ -33,6 +33,7 @@ PARITY_QUERIES = [
     "order_interarrival_histogram",
     "stateful_sessions_batch_twin",
     "nation_trade_flow_matrix",
+    "nation_revenue_share",
 ]
 
 

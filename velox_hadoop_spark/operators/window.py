@@ -459,3 +459,70 @@ def q_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y", "m", "revenue",
         F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta"),
     )
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                        * 10000) AS BIGINT)) / 10000.0, 4)
+                       AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT region, nation, revenue,
+               floor(revenue / SUM(revenue) OVER (PARTITION BY region)
+                     * 1000000 + 0.5) / 1000000 AS share_in_region,
+               floor(revenue / SUM(revenue) OVER () * 1000000 + 0.5) / 1000000
+                   AS share_global
+        FROM rev
+    """,
+    tags=("window", "ratio-to-report", "extension"),
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report at two grouping levels: each nation's revenue as
+    a share of its region and of the world — the window-over-aggregate
+    report every BI layer ships. Both share windows run on the
+    |nations|-row aggregate (the global window's single partition holds
+    25 rows, not data-scale rows); revenue itself is summed as integer
+    ten-thousandths and the shares use the engine-identical floor
+    rounding, so no boundary tie can flip a digit.
+    """
+    from velox_hadoop_spark.catalog import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    line_rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.round(line_rev * 10000).cast("long")) / 10000.0, 4
+            ).alias("revenue")
+        )
+    )
+    in_region = Window.partitionBy("region")
+    win_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        (
+            F.floor(F.col("revenue") / F.sum("revenue").over(in_region) * 1000000 + 0.5)
+            / 1000000
+        ).alias("share_in_region"),
+        (
+            F.floor(F.col("revenue") / F.sum("revenue").over(win_all) * 1000000 + 0.5)
+            / 1000000
+        ).alias("share_global"),
+    )
