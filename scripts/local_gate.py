@@ -26,6 +26,36 @@ from velox_hadoop_spark.plans import registry  # noqa: E402
 from velox_hadoop_spark.session import get_spark  # noqa: E402
 
 
+# Spark simpleString dtype -> acceptable DuckDB/Arrow physical types.  The
+# driver's value hash is type-sensitive (DuckDB HUGEINT arrives as
+# decimal128(38,0) where Spark emits int64), so value-equal results can still
+# hash-mismatch.  fetchall() erases that (both become Python int), which is
+# how two HUGEINT oracles slipped past this gate in round 2 — compare the
+# Arrow schema explicitly instead.
+_ARROW_OK = {
+    "bigint": {"int64"},
+    "int": {"int32"},
+    "smallint": {"int16"},
+    "tinyint": {"int8"},
+    "double": {"double"},
+    "float": {"float"},
+    "string": {"string", "large_string"},
+    "boolean": {"bool"},
+    "date": {"date32[day]"},
+}
+
+
+def _type_mismatches(sdf_dtypes, arrow_schema):
+    duck_types = {f.name: str(f.type) for f in arrow_schema}
+    bad = []
+    for col, spark_t in sdf_dtypes:
+        allowed = _ARROW_OK.get(spark_t)
+        duck_t = duck_types.get(col)
+        if allowed is not None and duck_t is not None and duck_t not in allowed:
+            bad.append(f"{col}: spark={spark_t} duck={duck_t}")
+    return bad
+
+
 def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -66,11 +96,16 @@ def main() -> int:
                 print(f"{'ROWS' if ok else 'FAIL'}  {name} (rows-only, {len(srows)} rows)")
                 continue
             ddf = duck.sql(spec.oracle)
+            arrow_schema = duck.sql(spec.oracle).arrow().schema
             drows = ddf.fetchall()
             dcols = [d[0] for d in ddf.description]
             s_set, s_cols = _multiset(scols, srows)
             d_set, d_cols = _multiset(dcols, drows)
-            if s_cols != d_cols:
+            type_bad = _type_mismatches(sdf.dtypes, arrow_schema)
+            if type_bad:
+                n_fail += 1
+                print(f"FAIL  {name}: type-class {type_bad}")
+            elif s_cols != d_cols:
                 n_fail += 1
                 print(f"FAIL  {name}: cols spark={s_cols} duck={d_cols}")
             elif len(s_set) != len(d_set):

@@ -61,6 +61,25 @@ def test_pagerank_converged_emits_pass_count(spark):
     assert {r.iters for r in rows} == {5}
 
 
+def test_pagerank_converged_scale_pin_sf001(spark):
+    """The pagerank_converged oracle is SCALE-PINNED: its unrolled SQL
+    hard-codes _CONVERGED_ITERS_SF001 passes, which is a property of
+    the sf0.001/sf0.01 graphs, not of the algorithm. This asserts the
+    pin at sf0.01 — the driver's verification scale — so a testdata
+    regen that shifts the convergence pass fails HERE, locally, instead
+    of at the driver's hash gate."""
+    from velox_hadoop_spark.operators.graph import _CONVERGED_ITERS_SF001
+    from velox_hadoop_spark.plans import registry
+
+    df = registry.specs()["pagerank_converged"].fn(spark, "/root/testdata/sf0.01")
+    iters = {r.iters for r in df.select("iters").distinct().collect()}
+    assert iters == {_CONVERGED_ITERS_SF001}, (
+        f"sf0.01 graph now converges at pass {iters}, but the unrolled "
+        f"oracle is pinned at {_CONVERGED_ITERS_SF001} — update "
+        f"_CONVERGED_ITERS_SF001 and the oracle comment in operators/graph.py"
+    )
+
+
 @pytest.mark.parametrize(
     "name", ["bfs_levels_from_min_supplier", "supplier_triangle_counts"]
 )

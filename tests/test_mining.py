@@ -49,13 +49,39 @@ def test_ewma_bounded_by_window_extremes(spark):
     assert bad.count() == 0
 
 
-def test_kcore_degrees_meet_threshold(spark):
-    """After peeling, every reported supplier degree honors the k
-    floor (degrees can only have shrunk to >= k survivors)."""
-    from velox_hadoop_spark.operators.mining import _KCORE_K, q_kcore_suppliers
+def test_kcore_peel_enforces_prior_round_degrees(spark):
+    """The operator runs a FIXED 3 peel rounds, not to fixpoint, so the
+    only guaranteed invariant is: every edge surviving round 3 has
+    endpoints whose degree in the round-2 edge set was >= k (that is
+    the predicate round 3's filter applied). Asserting >= k on the
+    post-round-3 degrees would encode a convergence property the
+    operator doesn't promise and fail spuriously on corpora needing
+    more rounds."""
+    from velox_hadoop_spark.operators.mining import _KCORE_K, _peel_once, _t
 
-    df = q_kcore_suppliers(spark, SF_DIR)
-    assert df.where(F.col("core_degree") < _KCORE_K).count() == 0
+    li = _t(spark, SF_DIR, "lineitem")
+    prev = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_prev = prev.count()
+    assert n_prev > 0
+    for _ in range(3):
+        cur = _peel_once(prev, _KCORE_K)
+        deg_s = prev.groupBy("s").agg(F.count("*").alias("d"))
+        deg_p = prev.groupBy("part").agg(F.count("*").alias("d"))
+        bad_s = (
+            cur.select("s").distinct().join(deg_s, "s").where(F.col("d") < _KCORE_K)
+        )
+        bad_p = (
+            cur.select("part")
+            .distinct()
+            .join(deg_p, "part")
+            .where(F.col("d") < _KCORE_K)
+        )
+        assert bad_s.count() == 0 and bad_p.count() == 0
+        n_cur = cur.count()
+        assert n_cur <= n_prev  # peel only removes edges
+        prev, n_prev = cur, n_cur
 
 
 def test_affinity_rule_invariants(spark):

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from velox_hadoop_spark.catalog import read_table
+from velox_hadoop_spark.functions.vectors import round_half_away
 from velox_hadoop_spark.sources.multisource import read_text_lines, write_tsv
 from velox_hadoop_spark.streaming.events import (
     read_event_stream,
@@ -277,7 +278,11 @@ def test_stateful_sessions_stream_matches_batch(spark, event_stream_dir):
                     pd.Timestamp(s, unit="us").to_pydatetime(),
                     pd.Timestamp(e, unit="us").to_pydatetime(),
                     n,
-                    round(t, 2),
+                    # repo-wide half-away convention, NOT Python round():
+                    # using round() on both sides would mask a streaming
+                    # kernel that diverged from the batch twin at
+                    # half-cent totals.
+                    round_half_away(t, 2),
                 )
             )
     assert streamed == expected

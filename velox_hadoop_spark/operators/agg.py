@@ -147,7 +147,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            customer.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", "o_orderdate")
@@ -187,9 +187,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -409,7 +409,7 @@ def q_ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg_flags",
     oracle="""
         SELECT o_orderstatus,
-               count_if(o_totalprice > 200000) AS n_big,
+               CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
                bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
                bool_and(o_totalprice > 0) AS all_positive,
                max_by(o_orderkey, o_totalprice) AS top_order,

@@ -208,7 +208,7 @@ def pack_sequences(
         SELECT source,
                CAST(floor((cum - n_tok) / {PACK_BUDGET}) AS BIGINT) AS seq_id,
                count(*) AS n_docs,
-               sum(n_tok) AS n_tokens,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM laid

@@ -157,7 +157,21 @@ def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     HAVING > cap filter represents > cap input rows), so it broadcasts;
     the anti-join adds no shuffle of the big side, and the count agg is
     map-side partial. This bounds the downstream self-join to ≤ cap²
-    rows per key."""
+    rows per key.
+
+    The input is persisted HERE (memory+disk) before anything reads it:
+    the hot-key aggregate and every downstream consumer of the filtered
+    frame — typically both sides of a banded self-join over an
+    expensive minhash/simhash pipeline — then hit the cache, instead of
+    re-running the pipeline once for the count and once per join side
+    (the r2→r3 3× bench regression of ``lsh_candidate_pairs``). The
+    filtered frame itself is only a map-side broadcast anti-join on top
+    of the cache, so consumers need no second persist. Callers release
+    the cache via ``spark.catalog.clearCache()`` (the bench harness
+    does this between queries)."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     hot = (
         df.groupBy(*keys)
         .agg(F.count("*").alias("df_cnt"))
@@ -172,21 +186,18 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct id pairs (a < b) sharing at least one band bucket.
 
-    The band table is persisted before the self-join so the signature
-    pipeline (shingle → minhash → band) runs ONCE, not once per side;
-    band buckets hotter than ``max_bucket`` are dropped first (see
-    ``MAX_KEY_DOC_FREQ``).
+    The band table is persisted (inside ``_drop_hot_keys``) before the
+    hot-key count or either self-join side reads it, so the signature
+    pipeline (shingle → minhash → band) runs ONCE — not once for the
+    cap pre-pass plus once per side; band buckets hotter than
+    ``max_bucket`` are dropped first (see ``MAX_KEY_DOC_FREQ``).
 
     Cache ownership: the persist lives for the duration of the returned
     plan's consumption; callers running many queries in one session
     release it afterwards (the bench harness calls
     ``spark.catalog.clearCache()`` between queries).
     """
-    from pyspark.storagelevel import StorageLevel
-
-    bands_df = _drop_hot_keys(bands_df, ["band_id", "band_key"], max_bucket).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    bands_df = _drop_hot_keys(bands_df, ["band_id", "band_key"], max_bucket)
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_id", "band_key"
     )
@@ -214,12 +225,10 @@ def jaccard_pairs(
     to the uncapped value wherever no shingle exceeds the cap — which
     includes the sf0.001/sf0.01 verification corpora).
     """
-    from pyspark.storagelevel import StorageLevel
-
-    # persisted: consumed three times below (sizes + both join sides)
-    shingles = _drop_hot_keys(shingles, ["shingle"], max_doc_freq).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the raw shingle table is persisted inside _drop_hot_keys; the
+    # three consumers below (sizes + both join sides) each apply only
+    # the map-side anti-join on top of that cache
+    shingles = _drop_hot_keys(shingles, ["shingle"], max_doc_freq)
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")

@@ -145,7 +145,9 @@ def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(width, 2) per order with width bounded by the data model, so the
     join output is linear in order count (no hot-key cap needed, unlike
     unbounded document-shingle joins). The 1-row order-count aggregate
-    and the per-item counts are broadcast into the pair frame.
+    is force-broadcast; the per-item count frames are part-cardinality
+    (SF-proportional), so their equi-joins are left to Catalyst/AQE —
+    broadcast when small, shuffled when not.
     """
     li = _t(spark, sf_dir, "lineitem")
     baskets = li.select(
@@ -164,8 +166,8 @@ def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     i2 = item.select(F.col("pk").alias("p2"), F.col("n_item").alias("n2"))
     return (
         pair.crossJoin(F.broadcast(n_orders))
-        .join(F.broadcast(i1), "p1")
-        .join(F.broadcast(i2), "p2")
+        .join(i1, "p1")
+        .join(i2, "p2")
         .select(
             "p1",
             "p2",
@@ -192,15 +194,15 @@ _EWMA_WINDOW = 28  # truncation horizon: 0.8^28 ≈ 2e-3 residual weight
     oracle=f"""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS d,
-                   ROUND(SUM(o_totalprice), 2) AS rev
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS rev
             FROM orders GROUP BY 1
         )
         SELECT a.d, a.rev,
-               ROUND(
+               floor(
                    SUM(b.rev * POWER({_EWMA_DECAY}, date_diff('day', b.d, a.d)))
-                   / SUM(POWER({_EWMA_DECAY}, date_diff('day', b.d, a.d))),
-                   4
-               ) AS ewma
+                   / SUM(POWER({_EWMA_DECAY}, date_diff('day', b.d, a.d)))
+                   * 10000 + 0.5) / 10000 AS ewma
         FROM daily a
         JOIN daily b
           ON b.d <= a.d AND b.d >= a.d - INTERVAL {_EWMA_WINDOW - 1} DAY
@@ -218,10 +220,19 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join runs on a calendar-bounded spine (≈ 2.4k rows for the
     full TPC-H date range regardless of fact volume) and the probe side
     is broadcast — no shuffle grows with data size.
+
+    Parity hardening: daily revenue is summed as integer cents
+    (o_totalprice is an exact 2-decimal value), so `rev` is the same
+    double in both engines at any SF — no ROUND(SUM(double)) ordering
+    tie. The EWMA ratio itself is a 28-term double dot product whose
+    summation order differs between engines; both sides use the
+    engine-identical floor(x*1e4+0.5)/1e4 mapping, leaving only a
+    half-ulp-at-a-boundary hazard (same accepted class as the
+    documented pagerank scale pin).
     """
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("rev")
     )
     a, b = daily.alias("a"), daily.alias("b")
     age = F.datediff(F.col("a.d"), F.col("b.d"))
@@ -234,9 +245,9 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.d").alias("d"), F.col("a.rev").alias("rev"))
         .agg(
-            F.round(
-                F.sum(F.col("b.rev") * w) / F.sum(w),
-                4,
+            (
+                F.floor(F.sum(F.col("b.rev") * w) / F.sum(w) * 10000 + F.lit(0.5))
+                / 10000
             ).alias("ewma")
         )
     )
@@ -252,7 +263,7 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS d,
-                   dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+                   CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
                    ROUND(SUM(o_totalprice), 2) AS rev
             FROM orders GROUP BY 1, 2
         ),
@@ -865,14 +876,15 @@ def q_error_rate_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_discount_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand discount elasticity proxy: the OLS slope of shipped
     quantity against discount across a brand's line items (does
-    discounting move volume?). The dimension join broadcasts the part
-    table pruned to (partkey, brand); the regression is a single-pass
-    moment aggregate on the fact side.
+    discounting move volume?). The dimension join is an equi-join on
+    the part table pruned to (partkey, brand) — part is SF-proportional
+    so the strategy is left to Catalyst/AQE; the regression is a
+    single-pass moment aggregate on the fact side.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
@@ -928,7 +940,7 @@ def q_spend_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     split = F.lit(_MIGRATION_SPLIT).cast("date")
     spend = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("ck"))
         .agg(
             F.round(
@@ -1032,15 +1044,18 @@ def q_order_fill_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT s.s_nationkey, l.l_suppkey,
-                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+                   CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT) AS r
             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY s.s_nationkey, l.l_suppkey
         ),
-        tot AS (SELECT s_nationkey, SUM(r) AS t, count(*) AS n_suppliers
+        tot AS (SELECT s_nationkey, CAST(SUM(r) AS BIGINT) AS t,
+                       count(*) AS n_suppliers
                 FROM rev GROUP BY s_nationkey)
         SELECT n.n_name,
                tot.n_suppliers,
-               ROUND(SUM((rev.r / tot.t) * (rev.r / tot.t)), 6) AS hhi
+               floor(SUM((rev.r / tot.t) * (rev.r / tot.t))
+                     * 1000000 + 0.5) / 1000000 AS hhi
         FROM rev
         JOIN tot ON rev.s_nationkey = tot.s_nationkey
         JOIN nation n ON rev.s_nationkey = n.n_nationkey
@@ -1055,14 +1070,27 @@ def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate → per-nation totals broadcast back → sum of squared
     shares. Everything after the first fact aggregate runs on
     supplier-cardinality frames.
+
+    Parity hardening: per-supplier revenue is summed as integer
+    ten-thousandths (line revenue is an exact 4-decimal rational), so
+    r and t are exact BIGINTs and every share r/t is the same double
+    in both engines; the squared-share sum uses the engine-identical
+    floor(x*1e6+0.5)/1e6 mapping (residual half-ulp-at-boundary
+    hazard documented, same accepted class as the pagerank pin).
     """
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation")
     rev = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey", "l_suppkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("r")
+        )
     )
     tot = rev.groupBy("s_nationkey").agg(
         F.sum("r").alias("t"), F.count("*").alias("n_suppliers")
@@ -1072,7 +1100,11 @@ def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(tot), "s_nationkey")
         .join(F.broadcast(nation), rev.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", "n_suppliers")
-        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
+        .agg(
+            (F.floor(F.sum(share * share) * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "hhi"
+            )
+        )
     )
 
 

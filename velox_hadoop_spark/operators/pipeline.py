@@ -75,7 +75,7 @@ def curate(docs: DataFrame) -> DataFrame:
             WHERE 1 + i * {_STRIDE} <= greatest(len(w), 1)
         )
         SELECT lang, count(*) AS n_chunks,
-               sum(n_tokens) AS total_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                count(DISTINCT doc_id) AS n_docs
         FROM chunks GROUP BY lang
     """,

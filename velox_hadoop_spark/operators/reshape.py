@@ -50,9 +50,9 @@ def pivot_status_counts(orders: DataFrame) -> DataFrame:
     "pivot_orders_status",
     oracle="""
         SELECT o_orderpriority,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_p
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p
         FROM orders GROUP BY o_orderpriority
     """,
     tags=("reshape", "pivot", "extension"),
@@ -130,9 +130,9 @@ _TIME_ROLLUP_SQL = """
                o_totalprice
         FROM orders
     )
-    SELECT COALESCE(y, -1) AS y,
-           COALESCE(q, -1) AS q,
-           COALESCE(m, -1) AS m,
+    SELECT CAST(COALESCE(y, -1) AS INTEGER) AS y,
+           CAST(COALESCE(q, -1) AS INTEGER) AS q,
+           CAST(COALESCE(m, -1) AS INTEGER) AS m,
            ROUND(sum(o_totalprice), 2) AS revenue,
            count(*) AS n_orders
     FROM d

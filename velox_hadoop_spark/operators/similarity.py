@@ -583,7 +583,8 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     "embedding_label_centroids",
     oracle="""
         WITH dims AS (
-            SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+                   CAST(embedding[i] AS DOUBLE) AS x
             FROM embeddings
             CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS t(i)
         )

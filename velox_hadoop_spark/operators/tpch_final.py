@@ -108,7 +108,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     brand = part.where(F.col("p_brand") == "Brand#1").select("p_partkey")
     return (
-        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part_avg, F.col("l_partkey") == F.col("avg_partkey"))
         .where(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -147,7 +147,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(
             (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
         )
-        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(red, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 50)
@@ -211,7 +211,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        qual.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        qual.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

@@ -71,7 +71,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.where(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -88,10 +88,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_by_flag",
     oracle="""
         SELECT l.l_returnflag,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -137,7 +137,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -281,48 +281,35 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts_per_supplier",
-    # HLL sketch VALUES are engine-specific, so the hash-verifiable
-    # contract is the accuracy bound instead: the plan emits the exact
-    # count plus an in-plan |approx−exact|/exact ≤ 10% flag, and the
-    # oracle asserts the flag true for every group. A sketch regression
-    # (wrong merge, wrong rsd) flips the flag and fails the hash.
-    oracle="""
-        SELECT s_nationkey,
-               count(DISTINCT l_partkey) AS exact_parts,
-               TRUE AS within_10pct
-        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY s_nationkey
-    """,
+    # HLL sketch VALUES are engine-specific, so this is a rows-only
+    # query by design: a DuckDB oracle could only be satisfied by ALSO
+    # computing the exact distinct count in the production plan, and
+    # that exact (nation, partkey) distinct shuffle is precisely the
+    # cost the sketch exists to avoid — at 100 TB the "verifiable"
+    # variant is more expensive than not having the sketch at all.
+    # The |approx − exact|/exact ≤ 10% accuracy contract is asserted
+    # by the local test (tests/test_tpch_more.py), which computes the
+    # exact side OUT of band.
+    oracle=None,
     tags=("sketch", "approx", "extension"),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-part estimate per supplier nation.
+    """HyperLogLog++ distinct-part estimate per supplier nation —
+    sketch ONLY in the production plan.
 
     The sketch aggregate is partial+final like any Tungsten agg — at
     100 TB this replaces a shuffle of (nation, partkey) pairs with
-    fixed-size sketch merges. The result carries the exact count and a
-    tolerance flag so the estimate is driver-verifiable (see oracle
-    note); tests additionally assert the 5%-rsd bound directly."""
+    fixed-size sketch merges (no Expand, no exact-distinct shuffle).
+    rsd=0.015 leaves the 10% accuracy contract ~6 sigma of margin (the
+    default 0.05 sketch missed 10% on one nation at sf0.1)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    per_nation = (
+    return (
         li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_nationkey")
         .agg(
-            # rsd=0.015: the 10%% flag then has ~6 sigma of margin — the
-            # default 0.05 sketch missed 10%% on one nation at sf0.1
             F.approx_count_distinct("l_partkey", rsd=0.015).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
         )
-    )
-    return per_nation.select(
-        "s_nationkey",
-        "exact_parts",
-        (
-            F.abs(F.col("approx_parts") - F.col("exact_parts"))
-            / F.col("exact_parts")
-            <= 0.10
-        ).alias("within_10pct"),
     )
 
 

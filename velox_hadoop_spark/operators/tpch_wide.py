@@ -36,7 +36,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "tpch_q7_nation_volume",
     oracle="""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               year(l.l_shipdate) AS l_year,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
                ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -78,7 +78,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_profit_by_nation_year",
     oracle="""
-        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+        SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
                ROUND(sum(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
                                       - 0.4 * p.p_retailprice * l.l_quantity)
                                      * 10000) AS BIGINT)) / 10000.0, 4) AS profit
@@ -327,7 +327,7 @@ _Q8_SQL = """
            ROUND(sum(CASE WHEN nation = 'NATION_5' THEN revenue ELSE 0 END)
                  / sum(revenue), 4) AS mkt_share
     FROM (
-        SELECT year(o.o_orderdate) AS o_year,
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
                l.l_extendedprice * (1 - l.l_discount) AS revenue,
                n.n_name AS nation
         FROM lineitem l
@@ -380,10 +380,12 @@ def q_nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent dimension paths (supplier side and order→customer
     side) before a |nations|²-bounded aggregate.
 
-    Join order matters at scale and is declared accordingly: all four
-    dimension hops are broadcasts onto the fact flow (supplier,
-    customer, and both nation copies); the only data-sized shuffle is
-    the lineitem→orders key join, and the final aggregate's
+    Join order matters at scale and is declared accordingly: only the
+    two nation copies are force-broadcast (25 rows at every SF).
+    supplier and customer are SF-proportional (~100M / ~1.5B rows at
+    100 TB), so their joins are left to Catalyst/AQE — equi-joins that
+    AQE will broadcast at small SF and shuffle-hash at scale instead
+    of OOMing executors on a forced broadcast. The final aggregate's
     cardinality is the square of the nation count regardless of fact
     volume.
     """
@@ -400,8 +402,8 @@ def q_nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .groupBy("supp_nation", "cust_nation")

@@ -428,7 +428,8 @@ def q_bitmap_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "monthly_revenue_mom",
     oracle="""
         WITH m AS (
-            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+                   CAST(month(o_orderdate) AS INTEGER) AS m,
                    ROUND(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY 1, 2
         )
@@ -501,7 +502,7 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region")
     line_rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rev = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

@@ -264,16 +264,19 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
-    """Stream-static enrichment: events joined to the customer dimension
-    (broadcast — the static side ships once per executor, the stream
-    never shuffles), rolled up per market segment.
+    """Stream-static enrichment: events joined to the customer dimension,
+    rolled up per market segment. The dimension is SF-proportional
+    (~1.5B customers at 100 TB), so the join strategy is left to the
+    planner — broadcast when the dim fits the threshold, shuffled
+    stream-static join otherwise — rather than force-broadcasting a
+    table that grows with the data.
 
     Works identically on a batch frame and a readStream frame — the
     standard Spark pattern for dimension enrichment of an event feed.
     """
     dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     return (
-        events.join(F.broadcast(dim), "user_id")
+        events.join(dim, "user_id")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
@@ -355,9 +358,10 @@ def q_events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_click_to_purchase",
     oracle="""
         SELECT count(*) AS n_users,
-               sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS n_clicked,
-               sum(CASE WHEN first_click IS NOT NULL AND first_purchase > first_click
-                        THEN 1 ELSE 0 END) AS n_converted
+               CAST(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clicked,
+               CAST(sum(CASE WHEN first_click IS NOT NULL AND first_purchase > first_click
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         FROM (
             SELECT user_id,
                    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,

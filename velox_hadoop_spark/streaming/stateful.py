@@ -149,7 +149,13 @@ def _us(series: pd.Series):
 
 def _update_sessions(key, pdfs, state: GroupState):
     """Streaming form: emit sessions CLOSED by this batch's events; the
-    still-open session stays in state for the next micro-batch."""
+    still-open session stays in state for the next micro-batch.
+
+    total_value uses the repo-wide half-away rounding (NOT Python's
+    banker's round()) so the streamed totals match the oracle-verified
+    batch-twin convention at half-cent values."""
+    from velox_hadoop_spark.functions.vectors import round_half_away
+
     pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     open_state = tuple(state.get) if state.exists else None
     closed, cur = _walk_sessions(_us(pdf["ts"]), pdf["value"].tolist(), open_state)
@@ -163,7 +169,7 @@ def _update_sessions(key, pdfs, state: GroupState):
                     "session_start": pd.Timestamp(s, unit="us"),
                     "session_end": pd.Timestamp(e, unit="us"),
                     "n_events": n,
-                    "total_value": round(t, 2),
+                    "total_value": round_half_away(t, 2),
                 }
                 for (s, e, n, t) in closed
             ]
