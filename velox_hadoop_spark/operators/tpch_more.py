@@ -315,51 +315,40 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentiles_price",
-    # Same verifiable-tolerance contract as the HLL query: sketch values
-    # are engine-specific, so the plan emits the EXACT interpolated
-    # percentiles plus an in-plan "GK estimate within 1% of exact" flag
-    # per quantile, and the oracle asserts the flags.
-    # (No raw percentile values in the contract: interpolated quantiles
-    # differ between engines at the ~1e-10 level, which can flip any
-    # fixed rounding on a boundary value — exact values are verified by
-    # the `exact_percentiles` query on a tie-free column instead.)
-    oracle="""
-        SELECT l_returnflag,
-               count(*) AS n_rows,
-               TRUE AS all_within_1pct
-        FROM lineitem
-        GROUP BY l_returnflag
-    """,
+    # Rows-only by design, like the HLL query: sketch values are
+    # engine-specific, and the only way to make them hash-verifiable
+    # in-plan was to ALSO compute exact `percentile` — a full
+    # sort-based aggregate of the value column per group, which is
+    # precisely the cost the GK sketch exists to avoid at 100 TB. The
+    # 1% accuracy contract is asserted by the local test
+    # (tests/test_tpch_more.py) with the exact side computed out of
+    # band; exact percentile VALUES are verified by the
+    # `exact_percentiles` query on a tie-free column instead.
+    oracle=None,
     tags=("sketch", "approx", "percentile", "extension"),
 )
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of extended price per return flag via
     Spark's GK-sketch ``approx_percentile`` (accuracy 10_000 ≈ 0.01%
-    rank error).
+    rank error) — sketch ONLY in the production plan.
 
     Like the HLL query, the sketch is a partial+final aggregate: at
     100 TB each partition condenses to a fixed-size summary and only
     sketches merge at the shuffle — exact percentiles would instead
-    sort-shuffle the full value column per group. The emitted tolerance
-    flag makes the estimate driver-verifiable against the exact oracle."""
+    sort-shuffle the full value column per group."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     apcts = F.expr(
         "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
     )
-    epcts = F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
     per_flag = li.groupBy("l_returnflag").agg(
-        apcts.alias("ap"), epcts.alias("ep"), F.count("*").alias("n_rows")
-    )
-    close = F.forall(
-        F.zip_with(
-            F.col("ap"), F.col("ep"), lambda a, e: F.abs(a - e) / e <= 0.01
-        ),
-        lambda x: x,
+        apcts.alias("ap"), F.count("*").alias("n_rows")
     )
     return per_flag.select(
         "l_returnflag",
         "n_rows",
-        close.alias("all_within_1pct"),
+        F.col("ap").getItem(0).alias("p50_approx"),
+        F.col("ap").getItem(1).alias("p95_approx"),
+        F.col("ap").getItem(2).alias("p99_approx"),
     )
 
 
