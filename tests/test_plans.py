@@ -246,6 +246,46 @@ def test_pack_sequences_single_exchange(spark):
     assert n == 1, plan
 
 
+def _n_exchanges(plan: str) -> int:
+    return sum(
+        1 for line in plan.splitlines() if line.startswith("(") and "Exchange" in line
+    )
+
+
+def test_lsh_candidate_pairs_bucket_group_no_join(spark):
+    """The LSH candidate generator is bucket-grouping, not a self-join:
+    one groupBy shuffle of the band table + one distinct shuffle of the
+    emitted pairs, zero join operators of any kind. (The earlier shape
+    — hot-key count + anti-join + two-sided self-join — cost two extra
+    shuffles and three passes over the minhash pipeline.)"""
+    df = registry.queries()["lsh_candidate_pairs"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "Join" not in plan, plan
+    # bucket groupBy + pair distinct (+ the narrow-input round-robin
+    # repartition _docs_par adds in front of the signature pipeline)
+    assert _n_exchanges(plan) == 3, plan
+
+
+def test_simhash_pairs_bucket_group_no_join(spark):
+    """SimHash banded pairs: same bucket-grouping contract — the only
+    shuffles are the bucket groupBy and the pair distinct."""
+    df = registry.queries()["simhash_near_dup_pairs"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "Join" not in plan, plan
+    # _docs_par input repartition + per-doc simhash aggregate + bucket
+    # groupBy + pair distinct
+    assert _n_exchanges(plan) == 4, plan
+
+
+def test_fuzzy_blocking_single_shuffle_no_join(spark):
+    """Blocked edit-distance pairs: one block-groupBy shuffle, pairs
+    scored in-row during generation — no join, no second shuffle."""
+    df = registry.queries()["fuzzy_part_name_pairs"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
 def test_embedding_outliers_broadcasts_centroids(spark):
     df = registry.queries()["embedding_outliers"](spark, SF_DIR)
     plan = _formatted_plan(df)

@@ -117,6 +117,14 @@ def minhash_signature_inline(
     all-to-all shuffles of the shingle multiset (~10× the corpus size).
     Docs with fewer than ``k`` words have no shingles and are dropped,
     matching the exploded/oracle behavior.
+
+    Hash-cost note: this computes ``n_seeds`` seeded MD5s per shingle
+    because MD5 is the one hash both engines evaluate bit-identically
+    (the verifiability contract). At 100 TB you'd switch to the
+    classic one-base-hash + per-seed affine mix
+    (``(a_s*h + b_s) mod p``, ~16× less hashing, same min-wise family)
+    — measured here, the md5 tax is <0.1s per 5k docs, so the
+    cross-engine-checkable form wins at every verification scale.
     """
     words = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("words"))
     shing = words.where(F.size("words") >= k).select(
@@ -150,35 +158,11 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS, r: int = _R) 
     )
 
 
-def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
-    """Remove rows whose key appears in more than ``cap`` rows.
-
-    The hot-key set is tiny BY CONSTRUCTION (each survivor of the
-    HAVING > cap filter represents > cap input rows), so it broadcasts;
-    the anti-join adds no shuffle of the big side, and the count agg is
-    map-side partial. This bounds the downstream self-join to ≤ cap²
-    rows per key.
-
-    The input is persisted HERE (memory+disk) before anything reads it:
-    the hot-key aggregate and every downstream consumer of the filtered
-    frame — typically both sides of a banded self-join over an
-    expensive minhash/simhash pipeline — then hit the cache, instead of
-    re-running the pipeline once for the count and once per join side
-    (the r2→r3 3× bench regression of ``lsh_candidate_pairs``). The
-    filtered frame itself is only a map-side broadcast anti-join on top
-    of the cache, so consumers need no second persist. Callers release
-    the cache via ``spark.catalog.clearCache()`` (the bench harness
-    does this between queries)."""
-    from pyspark.storagelevel import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    hot = (
-        df.groupBy(*keys)
-        .agg(F.count("*").alias("df_cnt"))
-        .where(F.col("df_cnt") > cap)
-        .select(*keys)
-    )
-    return df.join(F.broadcast(hot), keys, "left_anti")
+# Hot-key capping convention: every banded/blocked self-join in this
+# module groups its key table into per-key arrays and drops buckets
+# larger than the cap with a size filter — one shuffle, no hot-key
+# count pre-pass, no anti-join, per-bucket memory bounded by the cap.
+# Each oracle mirrors the cap with `HAVING count(*) <= cap`.
 
 
 def lsh_candidate_pairs(
@@ -195,9 +179,8 @@ def lsh_candidate_pairs(
     shuffle] plan — three passes over the expensive minhash pipeline's
     output and two extra shuffles — with a single pass needing no
     persist at all. Per-bucket memory is bounded by the cap (≤ 512
-    ids), and the cap semantics are identical to ``_drop_hot_keys``
-    (buckets with > cap members contribute nothing), so the oracle's
-    ``HAVING count(*) <= cap`` mirror is unchanged.
+    ids), and the cap drops exactly the buckets with > cap members, so
+    the oracle's ``HAVING count(*) <= cap`` mirror is unchanged.
     """
     grouped = (
         bands_df.groupBy("band_id", "band_key")
@@ -226,25 +209,45 @@ def jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard for every pair sharing ≥ 1 (non-boilerplate) shingle.
 
-    |A∩B| from the shingle equi-join; |A∪B| = |A|+|B|−|A∩B|. Shingles
-    with doc-frequency > ``max_doc_freq`` are dropped up front, bounding
-    the self-join to ≤ cap² rows per shingle; sizes are computed over
-    the SAME capped shingle universe, so the emitted value is a true
-    Jaccard of the filtered sets (internally consistent, and identical
-    to the uncapped value wherever no shingle exceeds the cap — which
-    includes the sf0.001/sf0.01 verification corpora).
+    |A∩B| from per-shingle pair generation; |A∪B| = |A|+|B|−|A∩B|.
+    Shingles with doc-frequency > ``max_doc_freq`` are dropped by the
+    bucket-size filter, bounding pair fanout to ≤ cap²/2 per shingle;
+    sizes are computed over the SAME capped shingle universe, so the
+    emitted value is a true Jaccard of the filtered sets (internally
+    consistent, and identical to the uncapped value wherever no shingle
+    exceeds the cap — which includes the sf0.001/sf0.01 verification
+    corpora).
+
+    Shape: ONE groupBy of (id, shingle) into per-shingle id arrays with
+    the cap as a size filter — replacing the earlier hot-key count
+    shuffle + broadcast anti-join + two-sided self-join (three passes
+    over the shingle table, a persist, and two extra shuffles). The
+    per-doc sizes and the pair counts both derive from the capped
+    grouped table.
     """
-    # the raw shingle table is persisted inside _drop_hot_keys; the
-    # three consumers below (sizes + both join sides) each apply only
-    # the map-side anti-join on top of that cache
-    shingles = _drop_hot_keys(shingles, ["shingle"], max_doc_freq)
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    grouped = (
+        shingles.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") <= max_doc_freq)
+        .select(F.sort_array("ids").alias("ids"))
+        .persist()
+    )
+    sizes = grouped.select(F.explode("ids").alias(id_col)).groupBy(id_col).agg(
+        F.count("*").alias("n")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        grouped.where(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count("*").alias("n_shared"))
     )
     return (
@@ -715,10 +718,15 @@ def simhash_near_dup_pairs(
 
     The 60-bit signature splits into ``n_bands`` 15-bit bands; two
     signatures within hamming ≤ n_bands − 1 MUST agree on at least one
-    whole band (pigeonhole), so candidates come from a band equi-join —
-    never an all-pairs scan — then the exact popcount(xor) filter keeps
-    pairs within ``max_hamming``. Same hot-bucket cap as the MinHash
-    path (an all-zero band is this scheme's stop-phrase)."""
+    whole band (pigeonhole), so candidates come from per-bucket pair
+    generation — never an all-pairs scan — then the exact popcount(xor)
+    filter keeps pairs within ``max_hamming``. Same single-shuffle
+    bucket-grouping shape as ``lsh_candidate_pairs``: ONE groupBy of
+    the band table into (id, simhash) arrays, the hot-bucket cap as a
+    size filter (an all-zero band is this scheme's stop-phrase), then
+    in-row upper-triangle pairs — no hot-key count shuffle, no
+    two-sided self-join, no persist. Per-bucket memory bounded by the
+    cap (≤ 512 structs)."""
     width = 60 // n_bands
     bands = signatures.select(
         F.col(id_col),
@@ -732,21 +740,34 @@ def simhash_near_dup_pairs(
             )
         ).alias("band_id", "band_key"),
     )
-    bands = _drop_hot_keys(bands, ["band_id", "band_key"], max_bucket)
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band_id", "band_key"
+    grouped = (
+        bands.groupBy("band_id", "band_key")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+            ).alias("ms")
+        )
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .select(F.sort_array("ms").alias("ms"))  # struct sort: id first
     )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band_id", "band_key"
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    F.bit_count(x["s"].bitwiseXOR(y["s"]))
+                    .cast("long")
+                    .alias("hamming"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, ["band_id", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.expr("bit_count(sig_a ^ sig_b)").cast("long").alias("hamming"),
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
@@ -801,23 +822,44 @@ def fuzzy_pairs_blocked(
     noun-phrase names); only within-block pairs are scored. Standard
     blocking-join shape: candidate volume is Σ block² bounded by the
     same hot-key cap as the LSH paths; at 100 TB you add more blocking
-    keys (phonetic, prefix), never widen a block."""
+    keys (phonetic, prefix), never widen a block.
+
+    Same single-shuffle bucket-grouping shape as the LSH/SimHash paths:
+    ONE groupBy of (id, name) into per-block arrays with the cap as a
+    size filter, then in-row upper-triangle pairs scored by levenshtein
+    during generation — no hot-key count shuffle, no two-sided
+    self-join, no persist."""
     keyed = df.select(
         F.col(id_col).alias("rec_id"),
         F.col(name_col).alias("name"),
         F.element_at(F.split(F.col(name_col), r"\s+"), -1).alias("blk"),
     )
-    keyed = _drop_hot_keys(keyed, ["blk"], max_block)
-    a = keyed.select(F.col("rec_id").alias("id_a"), F.col("name").alias("name_a"), "blk")
-    b = keyed.select(F.col("rec_id").alias("id_b"), F.col("name").alias("name_b"), "blk")
-    return (
-        a.join(b, "blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long").alias("edit_dist"),
+    grouped = (
+        keyed.groupBy("blk")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("rec_id").alias("i"), F.col("name").alias("nm"))
+            ).alias("ms")
         )
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_block))
+        .select(F.sort_array("ms").alias("ms"))  # struct sort: id first
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    F.levenshtein(x["nm"], y["nm"]).cast("long").alias("edit_dist"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.edit_dist")
         .where(F.col("edit_dist") <= max_edit)
     )
 
