@@ -41,12 +41,31 @@ def _verified_names() -> set[str]:
     return green
 
 
+# SURVEY §2 core source/sink rows (S8/S9/S11/S12 and the format-federation
+# family): the reference's I/O surface deserves driver rows before more
+# exotic operators get theirs, so within the never-verified group these go
+# first regardless of registration order.
+_BOOST = (
+    "tsv_roundtrip_lineitem",
+    "jsonl_roundtrip_orders",
+    "orc_roundtrip_customer",
+    "partitioned_parquet_prune",
+    "schema_evolution_union",
+    "dynamic_partition_prune_join",
+    "federated_format_union",
+)
+
+
 def _priority_order(names: list[str]) -> list[str]:
-    """Never-verified queries first (registration order preserved within
-    each group) so the driver's per-round verification budget lands on
-    the queries that still lack a green CORRECTNESS row."""
+    """Never-verified queries first (§2 source/sink rows boosted to the
+    very front, registration order preserved otherwise) so the driver's
+    per-round verification budget lands on the queries that still lack
+    a green CORRECTNESS row."""
     green = _verified_names()
-    return [n for n in names if n not in green] + [n for n in names if n in green]
+    unverified = [n for n in names if n not in green]
+    boosted = [n for n in _BOOST if n in unverified]
+    rest = [n for n in unverified if n not in _BOOST]
+    return boosted + rest + [n for n in names if n in green]
 
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
