@@ -342,3 +342,70 @@ def test_connected_components_raises_without_fixed_point(spark):
     pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
     with _pytest.raises(RuntimeError, match="no fixed point"):
         connected_components(pairs, driver_threshold=0, max_iters=1)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "near_dup_verified_pairs",
+        "normalization_dedup_stats",
+        "charclass_stats_by_lang",
+    ],
+)
+def test_round3_additions_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_verify_stage_scores_only_candidates(spark):
+    """verify_candidate_jaccard scores exactly the candidate pairs (and
+    agrees with the brute-force jaccard_pairs on them)."""
+    from velox_hadoop_spark.operators.dedup import verify_candidate_jaccard
+
+    df = _docs(
+        spark,
+        [
+            "a b c d e f g h",       # 0: near-dup of 1
+            "a b c d e f g x",       # 1
+            "p q r s t u v w",       # 2: unrelated
+        ],
+    )
+    sh = shingle_set(df, "doc_id", "text")
+    cand = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    got = verify_candidate_jaccard(cand, sh, "doc_id").collect()
+    assert len(got) == 1 and got[0].id_a == 0 and got[0].id_b == 1
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(sh, "doc_id").collect()
+    }
+    assert got[0].jaccard == brute[(0, 1)]
+
+
+def test_normalization_collapses_cosmetic_variants(spark):
+    from velox_hadoop_spark.plans.registry import specs as _specs
+    import tempfile, os as _os
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, "Hello,   World!", "en", "web", 15),
+                (2, "hello world", "en", "web", 11),
+                (3, "different doc", "en", "web", 13),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(_os.path.join(d, "documents.parquet"))
+        out = _specs()["normalization_dedup_stats"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.n_norm_distinct, r.n_norm_dups) == (3, 2, 1)
+
+
+def test_charclass_fracs_sum_to_one(spark):
+    from velox_hadoop_spark.plans.registry import specs as _specs
+
+    rows = _specs()["charclass_stats_by_lang"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        total = r.letter_frac + r.digit_frac + r.space_frac + r.other_frac
+        assert abs(total - 1.0) < 5e-6

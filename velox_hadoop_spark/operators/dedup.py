@@ -1250,3 +1250,170 @@ def q_incremental_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("corpus_id").alias("n_corpus_matches"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage verified near-dup: LSH candidates -> exact Jaccard verification
+# ---------------------------------------------------------------------------
+
+_VERIFY_JACC_T = 0.5
+
+
+def verify_candidate_jaccard(
+    cand: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    max_doc_freq: int = MAX_KEY_DOC_FREQ,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for candidate pairs.
+
+    The verification stage of the standard two-stage near-dup pipeline:
+    the candidate table (id_a < id_b) attaches each side's capped
+    shingle set through two equi-joins — join 1 on ``id_a`` fans each
+    pair out to a's shingles, join 2 on ``(id_b, shingle)`` keeps
+    exactly the shared ones — then one hash-agg counts |A∩B| and set
+    sizes from the SAME capped universe give |A∪B|.
+
+    Scale shape: unlike ``jaccard_pairs`` (which scores every
+    co-shingled pair and is the brute-force oracle here), all work is
+    proportional to |candidates| × avg-shingles, never to the corpus
+    pair space — so verification cost tracks the LSH output no matter
+    how big the corpus is. No driver collect; both joins are plain
+    equi-joins Catalyst/AQE can pick a strategy for.
+    """
+    df_cap = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    # persist: the capped shingle table feeds three branches (sizes and
+    # both join sides); without a materialization point each branch
+    # re-runs the shingle explode over the full corpus
+    sh = shingles.join(df_cap, "shingle", "left_semi").persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "near_dup_verified_pairs",
+    oracle=_duck_minhash_cte()
+    + f""",
+        bands AS ({_BAND_KEYS}),
+        cool AS (
+            SELECT band_id, band_key FROM bands
+            GROUP BY band_id, band_key
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        capped AS (
+            SELECT bands.* FROM bands JOIN cool USING (band_id, band_key)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a JOIN capped b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        cool_sh AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        shc AS (SELECT sh.* FROM sh JOIN cool_sh USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_shared
+            FROM cand c
+            JOIN shc a ON a.doc_id = c.id_a
+            JOIN shc b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               ROUND(i.n_shared / (sa.n + sb.n - i.n_shared), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.doc_id
+        JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE i.n_shared / (sa.n + sb.n - i.n_shared) >= {_VERIFY_JACC_T}
+    """,
+    tags=("dedup", "minhash", "lsh", "verify", "extension"),
+)
+def q_near_dup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end two-stage near-dup: MinHash-LSH candidate generation
+    followed by exact-Jaccard verification at τ = 0.5 — the production
+    dedup recipe (candidates are probabilistic; the verify pass makes
+    the emitted pairs exact, so downstream clustering never acts on an
+    LSH false positive). Candidate cost is LSH-bounded, verify cost is
+    candidate-bounded; nothing scales with the corpus pair space."""
+    docs = _docs_par(spark, sf_dir)
+    sig = minhash_signature_inline(docs, "doc_id", "text")
+    cand = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    sh = shingle_set(docs, "doc_id", "text")
+    verified = verify_candidate_jaccard(cand, sh, "doc_id")
+    return verified.where(F.col("jaccard") >= _VERIFY_JACC_T)
+
+
+@register(
+    "normalization_dedup_stats",
+    oracle="""
+        WITH n AS (
+            SELECT source,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_norm_distinct,
+               CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_norm_dups
+        FROM n GROUP BY source
+    """,
+    tags=("dedup", "normalization", "extension"),
+)
+def q_normalization_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text exact dedup audit per source: lowercase, strip
+    non-alphanumerics, collapse runs of spaces, then hash — counting
+    how many documents collapse together once cosmetic differences are
+    removed. The normalization chain is pure codegen'd string
+    expressions (identical semantics in the DuckDB oracle: after the
+    first replace only [a-z0-9 ] remains, so the whitespace collapse
+    only ever sees plain spaces — no regex-engine divergence).
+    Shape: map-only projection + one hash-agg; at 100 TB the digest
+    (16 bytes) is what shuffles, never the text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    return (
+        docs.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_norm_distinct"),
+            (F.count("*") - F.countDistinct("h")).alias("n_norm_dups"),
+        )
+    )

@@ -470,3 +470,72 @@ def q_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.pow("n_docs", F.lit(0.5)) / F.col("z"), 6).alias("weight"),
     )
+
+
+@register(
+    "charclass_stats_by_lang",
+    # Ratio-of-sums (one integer-exact division per group), never
+    # avg-of-ratios: the integer char-class counts sum exactly in both
+    # engines, so each emitted fraction is ONE double division of
+    # identical integers — engine-order independent. floor-form
+    # rounding avoids the HALF_UP/HALF_EVEN divergence class.
+    oracle="""
+        WITH c AS (
+            SELECT lang,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_letters,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               FLOOR(sum(n_letters) / CAST(sum(n_chars) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS letter_frac,
+               FLOOR(sum(n_digits) / CAST(sum(n_chars) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS digit_frac,
+               FLOOR(sum(n_spaces) / CAST(sum(n_chars) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS space_frac,
+               FLOOR((sum(n_chars) - sum(n_letters) - sum(n_digits) - sum(n_spaces))
+                     / CAST(sum(n_chars) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS other_frac
+        FROM c GROUP BY lang
+    """,
+    tags=("textstats", "lang", "charclass", "extension"),
+)
+def q_charclass_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per language: corpus-level fractions
+    of ASCII letters, digits, spaces, and everything else (CJK, accents,
+    punctuation). The cheap script-detection signal that catches
+    mislabeled-language and mojibake documents before tokenization.
+
+    Char-class counts are length-difference expressions (length minus
+    length after stripping the class) — pure codegen, no explode, no
+    per-char processing; the group-by shuffles 4 integers per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_chars = F.length("text")
+    def strip_len(pat: str):
+        return F.length("text") - F.length(F.regexp_replace(F.col("text"), pat, ""))
+    c = docs.select(
+        "lang",
+        n_chars.cast("long").alias("n_chars"),
+        strip_len("[a-zA-Z]").cast("long").alias("n_letters"),
+        strip_len("[0-9]").cast("long").alias("n_digits"),
+        strip_len(" ").cast("long").alias("n_spaces"),
+    )
+    def frac(num):
+        x = num / F.col("sum_chars").cast("double")
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    g = c.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_letters").alias("sum_letters"),
+        F.sum("n_digits").alias("sum_digits"),
+        F.sum("n_spaces").alias("sum_spaces"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        frac(F.col("sum_letters")).alias("letter_frac"),
+        frac(F.col("sum_digits")).alias("digit_frac"),
+        frac(F.col("sum_spaces")).alias("space_frac"),
+        frac(
+            F.col("sum_chars") - F.col("sum_letters") - F.col("sum_digits") - F.col("sum_spaces")
+        ).alias("other_frac"),
+    )
