@@ -391,3 +391,36 @@ def test_funnel_steps_prune_event_type(spark):
     assert "EqualTo(event_type,view)" in plan
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_cooccurrence_rewrites_are_bucket_group(spark):
+    """The round-3 co-occurrence conversions (triangle edge build,
+    neighborhood Jaccard wedge, market-basket pairs, cross-language
+    overlap) share the single-shuffle bucket-grouping contract: the
+    distinct-pair space is generated in-row from a grouped array, never
+    by a two-sided self-join of the exploded key table — so no plan may
+    contain a join keyed on the grouping column."""
+    for name, group_key in [
+        ("neighbor_jaccard_links", "part"),
+        ("part_affinity_lift", "ok"),
+        ("cross_lang_shingle_overlap", "shingle"),
+    ]:
+        df = registry.queries()[name](spark, SF_DIR)
+        plan = _formatted_plan(df)
+        assert "SortMergeJoin" not in plan, name
+        # collect_set / collect_list aggregate present = bucket grouping
+        assert "collect_set" in plan or "collect_list" in plan, (name, group_key)
+
+
+def test_bfs_broadcasts_small_frontier(spark):
+    """The first BFS level must broadcast the 1-node frontier into the
+    edge join (the runtime-adaptive plan choice driven by the level
+    counts the loop already pulls)."""
+    from velox_hadoop_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = bfs_levels(edges, start=1)
+    got = {r.node: r.lvl for r in out.collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}

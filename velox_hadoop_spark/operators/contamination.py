@@ -255,14 +255,36 @@ def q_cross_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto the tiny pair frame.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = shingle_set(docs, "lang", "text", k=5).distinct()
-    sizes = sh.groupBy("lang").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("lang").alias("lang_a"), "shingle")
-    b = sh.select(F.col("lang").alias("lang_b"), "shingle")
+    # ONE groupBy replaces [distinct + self-join by shingle]: each
+    # shingle's distinct language set is collected in-row (collect_set
+    # dedups inside the aggregate — no upstream distinct() exchange),
+    # per-language set sizes fall out of exploding the same grouped
+    # frame, and language pairs (≤ |langs|² of them) are generated
+    # in-row from the sorted array.
+    grouped = (
+        shingle_set(docs, "lang", "text", k=5)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("lang")).alias("langs"))
+        .persist()
+    )
+    sizes = (
+        grouped.select(F.explode("langs").alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("langs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("langs"), i + F.lit(2), F.size(F.col("langs"))),
+                lambda y: F.struct(x.alias("lang_a"), y.alias("lang_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("lang_a") < F.col("lang_b"))
-        .groupBy("lang_a", "lang_b")
+        grouped.where(F.size("langs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.lang_a", "p.lang_b")
         .agg(F.count("*").alias("n_shared"))
     )
     sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))

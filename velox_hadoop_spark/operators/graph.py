@@ -34,6 +34,11 @@ from velox_hadoop_spark.plans.registry import register
 
 DAMPING = 0.85
 
+# BFS frontier/visited broadcast budget: ~1M node ids ≈ tens of MB —
+# comfortably inside executor broadcast limits; beyond it the level
+# joins fall back to shuffle plans.
+BFS_BROADCAST_NODES = 1_000_000
+
 
 def adjacency(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Edge list → per-node sorted distinct-outlink array + initial rank 1.0.
@@ -256,6 +261,16 @@ def bfs_levels(
     PageRank. Integer levels — no FP concerns, so the oracle (a
     recursive CTE running to the fixpoint) must match exactly once the
     loop drains the frontier.
+
+    Physical strategy is runtime-adaptive at zero extra cost: the loop
+    already pulls each level's frontier size, so the frontier (and the
+    cumulative visited set, whose size is the running sum) is broadcast
+    into the edge join while it fits ``BFS_BROADCAST_NODES`` rows and
+    shuffled as an ordinary equi-join once it outgrows that. Early BFS
+    levels — tiny frontiers probing a huge edge list, the common case —
+    therefore never shuffle the persisted edge table; a frontier that
+    explodes to O(N) falls back to the exchange plan instead of OOMing
+    executors.
     """
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
@@ -273,21 +288,29 @@ def bfs_levels(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     frontier = visited
+    n_frontier = n_visited = 1
+
+    def _maybe_bc(df: DataFrame, n_rows: int) -> DataFrame:
+        return F.broadcast(df) if n_rows <= BFS_BROADCAST_NODES else df
+
     for lvl in range(1, max_levels + 1):
         neigh = (
-            und.join(frontier.select(F.col("node").alias("src")), "src")
+            und.join(_maybe_bc(frontier.select(F.col("node").alias("src")), n_frontier), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
         )
         new_frontier = (
-            neigh.join(visited.select("node"), "node", "left_anti")
+            neigh.join(_maybe_bc(visited.select("node"), n_visited), "node", "left_anti")
             .select("node", F.lit(lvl).cast("int").alias("lvl"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # Full count, not limit(1): it materializes the ENTIRE persisted
         # frontier, so the union below reads the cache instead of
-        # re-running the join + anti-join lineage a second time.
-        if new_frontier.count() == 0:
+        # re-running the join + anti-join lineage a second time. The
+        # count doubles as the next pass's broadcast-vs-shuffle gauge.
+        n_frontier = new_frontier.count()
+        n_visited += n_frontier
+        if n_frontier == 0:
             new_frontier.unpersist()
             break
         new_visited = visited.union(new_frontier).localCheckpoint(eager=True)
@@ -385,21 +408,35 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic truncation bounds the join at O(V·D²) at ANY scale
     while remaining exactly reproducible by the oracle)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    ps = li.select(
-        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    deg = ps.groupBy("part").agg(F.count("*").alias("c"))
-    hot = deg.where(F.col("c") > 256).select("part")
-    ok = ps.join(F.broadcast(hot), "part", "left_anti")
-    a = ok.select("part", F.col("s").alias("s1"))
-    b = ok.select("part", F.col("s").alias("s2"))
+    # Single-shuffle co-supply edge build (same bucket-grouping shape as
+    # the dedup module's banded self-joins): ONE groupBy collects each
+    # part's distinct supplier set in-row — collect_set dedups inside
+    # the aggregate, so no upstream distinct() exchange — the hot-part
+    # cap becomes a free size filter on the grouped array, and oriented
+    # (s1 < s2) pairs are generated in-row from the sorted array. This
+    # replaces the earlier [distinct + two-sided self-join by part +
+    # distinct] plan — four exchanges — with groupBy + pair-distinct.
+    grouped = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= 256))
+        .select("ids")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
+        )
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("s1").orderBy("s2")
     e = (
-        a.join(b, "part")
-        .where(F.col("s1") < F.col("s2"))
-        .select("s1", "s2")
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.s1", "p.s2")
         .distinct()
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TRIANGLE_ADJ_CAP)
@@ -466,18 +503,36 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from velox_hadoop_spark.operators.sort import top_k
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    e = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("part")).distinct()
-    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
-    hot = e.groupBy("part").agg(F.count("*").alias("c")).where(
-        F.col("c") > NBR_PART_CAP
-    ).select("part")
-    ok = e.join(F.broadcast(hot), "part", "left_anti")
-    a = ok.select("part", F.col("s").alias("s1"))
-    b = ok.select("part", F.col("s").alias("s2"))
+    # ONE groupBy replaces [distinct + degree shuffle + hot-part count +
+    # anti-join + two-sided wedge self-join]: each part's distinct
+    # supplier set is collected in-row (collect_set dedups inside the
+    # aggregate), the hot-part cap becomes a size filter on the array,
+    # wedge pairs are generated in-row from the sorted array, and the
+    # EXACT per-supplier degrees fall out of exploding the same grouped
+    # frame (uncapped — every part row, whatever its size).
+    grouped = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        grouped.select(F.explode("ids").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("deg"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "part")
-        .where(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
+        grouped.where((F.size("ids") >= 2) & (F.size("ids") <= NBR_PART_CAP))
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.s1", "p.s2")
         .agg(F.count("*").alias("n_common"))
     )
     scored = (

@@ -150,15 +150,36 @@ def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast when small, shuffled when not.
     """
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    n_orders = baskets.agg(F.countDistinct("ok").alias("n_orders"))
-    item = baskets.groupBy("pk").agg(F.count("*").alias("n_item"))
-    a, b = baskets.alias("a"), baskets.alias("b")
+    # ONE groupBy replaces [distinct + basket self-join]: each order's
+    # distinct part set is collected in-row (collect_set dedups inside
+    # the aggregate), and the order count, per-item counts, and co-order
+    # pair counts all derive from the same persisted grouped frame —
+    # the in-row upper-triangle pair generation is the same
+    # bucket-grouping shape as the dedup module's banded self-joins.
+    grouped = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("pks"))
+        .persist()
+    )
+    n_orders = grouped.agg(F.count("*").alias("n_orders"))
+    item = (
+        grouped.select(F.explode("pks").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n_item"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("pks"),
+            lambda x, i: F.transform(
+                F.slice(F.col("pks"), i + F.lit(2), F.size(F.col("pks"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     pair = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        grouped.where(F.size("pks") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.p1", "p.p2")
         .agg(F.count("*").alias("n_pair"))
         .where(F.col("n_pair") >= _MIN_PAIR_SUPPORT)
     )
@@ -458,8 +479,14 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("part")
     ).distinct()
+    # persist each round's surviving edge set: a round references its
+    # input three times (both degree aggregates + the join), so without
+    # a materialization point the unrolled plan re-derives every prior
+    # round 3^depth times (exchange reuse catches some, not all — and
+    # at cluster scale a re-derivation is a full extra shuffle).
+    edges = edges.persist()
     for _ in range(3):
-        edges = _peel_once(edges, _KCORE_K)
+        edges = _peel_once(edges, _KCORE_K).persist()
     return edges.groupBy("s").agg(F.count("*").alias("core_degree"))
 
 
