@@ -56,16 +56,29 @@ _BOOST = (
 )
 
 
+# Queries added in round 3+ (after the round-2 verification backlog was
+# queued): they go to the BACK of the never-verified group so each new
+# registration extends the burn-down queue instead of displacing older
+# queries out of the driver's per-round verification budget.
+_DEFER = (
+    "near_dup_verified_pairs",
+    "normalization_dedup_stats",
+    "charclass_stats_by_lang",
+)
+
+
 def _priority_order(names: list[str]) -> list[str]:
     """Never-verified queries first (§2 source/sink rows boosted to the
-    very front, registration order preserved otherwise) so the driver's
-    per-round verification budget lands on the queries that still lack
-    a green CORRECTNESS row."""
+    very front, this round's new registrations deferred to the back of
+    the unverified group, registration order preserved otherwise) so
+    the driver's per-round verification budget lands on the queries
+    that have waited longest for a green CORRECTNESS row."""
     green = _verified_names()
     unverified = [n for n in names if n not in green]
     boosted = [n for n in _BOOST if n in unverified]
-    rest = [n for n in unverified if n not in _BOOST]
-    return boosted + rest + [n for n in names if n in green]
+    deferred = [n for n in unverified if n in _DEFER]
+    rest = [n for n in unverified if n not in _BOOST and n not in _DEFER]
+    return boosted + rest + deferred + [n for n in names if n in green]
 
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
