@@ -64,6 +64,8 @@ _DEFER = (
     "near_dup_verified_pairs",
     "normalization_dedup_stats",
     "charclass_stats_by_lang",
+    "table_checksum_buckets",
+    "null_skew_left_join",
 )
 
 

@@ -329,3 +329,148 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_price"),
     )
     return merged.where(F.col("n_orders") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style bucket checksums: the 100 TB table-reconciliation primitive
+# ---------------------------------------------------------------------------
+
+CHECKSUM_BUCKETS = 64
+
+
+@register(
+    "table_checksum_buckets",
+    oracle=f"""
+        WITH canon AS (
+            SELECT o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+                   CAST(('0x' || substr(md5(
+                        concat_ws('|',
+                            CAST(o_orderkey AS VARCHAR),
+                            CAST(o_custkey AS VARCHAR),
+                            o_orderstatus,
+                            CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                            CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                            o_orderpriority)
+                   ), 1, 15)) AS BIGINT) AS digest
+            FROM orders
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               bit_xor(digest) AS bucket_digest
+        FROM canon GROUP BY bucket
+    """,
+    tags=("setops", "reconciliation", "checksum", "extension"),
+)
+def q_table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style per-bucket table checksum over orders: each row is
+    canonicalized to a delimited string (money as exact integer cents,
+    dates as ISO days — the engine-portable renderings), hashed to a
+    60-bit integer, and XOR-folded per key-hash bucket.
+
+    The table-reconciliation primitive at 100 TB: two replicas (or a
+    table before/after a migration) compare 64 (bucket, n_rows, digest)
+    rows instead of shipping data anywhere; only mismatched buckets —
+    1/64th of the keyspace each — need the row-level ``snapshot_diff``
+    pass. XOR is commutative/associative, so the digest is partition-
+    and order-independent, computed as a partial+final aggregate with
+    16 bytes of state per bucket; nothing but the 64-row summary ever
+    crosses the wire. Pure codegen (md5 + conv + bit_xor), bit-identical
+    in the DuckDB oracle via the shared hashing convention
+    (functions/hashing.py)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    canon_str = (
+        "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
+        "o_orderstatus, CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING), "
+        "CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)"
+    )
+    digest = (
+        "CAST(conv(substr(md5(" + canon_str + "), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        orders.select(
+            F.pmod(F.col("o_orderkey"), F.lit(CHECKSUM_BUCKETS)).alias("bucket"),
+            F.expr(digest).alias("digest"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(digest)").alias("bucket_digest"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-key skew split: the production left-join pattern for nullable FKs
+# ---------------------------------------------------------------------------
+
+
+def null_split_left_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """LEFT join where fact rows with a NULL key BYPASS the shuffle.
+
+    A nullable FK is the classic skew source: every null-key row hashes
+    to the same shuffle partition, and at 100 TB a 10%-null FK puts 10%
+    of the fact table in one task. SQL semantics guarantee a null key
+    can never match, so the null slice needs no join at all: split the
+    fact on key-nullness, join ONLY the non-null slice, and union the
+    null slice back with the dimension columns null-extended. Both
+    halves are one scan each (Catalyst collapses the filters into the
+    scans); output is row-identical to the plain left join the oracle
+    runs."""
+    dim_cols = [c for c in dim.columns if c != dim_key]
+    matched = fact.where(F.col(fact_key).isNotNull()).join(
+        dim, fact.__getattr__(fact_key) == dim.__getattr__(dim_key), "left"
+    ).drop(dim_key)
+    nulls = fact.where(F.col(fact_key).isNull()).select(
+        "*", *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in dim_cols]
+    )
+    return matched.unionByName(nulls)
+
+
+@register(
+    "null_skew_left_join",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS fk,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM o LEFT JOIN customer c ON o.fk = c.c_custkey
+        GROUP BY coalesce(c.c_mktsegment, 'UNMATCHED')
+    """,
+    tags=("join", "skew", "null-keys", "extension"),
+)
+def q_null_skew_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join over a nullable FK (every 7th customer key nulled to
+    model unattributed rows) using the null-split pattern: the null
+    slice never enters the join shuffle, so the single hot null
+    partition that sinks naive plans at scale simply does not exist.
+    Result (revenue by segment, nulls bucketed as UNMATCHED) is
+    verified against the oracle's ordinary left join."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("fk"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    joined = null_split_left_join(o, cust, "fk", "c_custkey")
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNMATCHED")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
