@@ -66,6 +66,7 @@ _DEFER = (
     "charclass_stats_by_lang",
     "table_checksum_buckets",
     "null_skew_left_join",
+    "merge_upsert_orders",
 )
 
 

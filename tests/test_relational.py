@@ -185,3 +185,36 @@ def test_null_slice_plan_has_no_join(spark):
     # a LocalTableScan/Project with null-extended dim columns
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan
+
+
+def test_merge_upsert_parity(spark, duck):
+    assert_parity(spark, duck, "merge_upsert_orders")
+
+
+def test_merge_upsert_semantics(spark):
+    from velox_hadoop_spark.operators.setops import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, v long"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99), (3, "c", 30)], "k long, s string, v long"
+    )
+    got = {r.k: (r.s, r.v) for r in merge_upsert(target, source, "k", ["s", "v"]).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30)}
+
+
+def test_merge_upsert_plan_is_single_shuffle_no_join(spark):
+    from velox_hadoop_spark.operators.setops import merge_upsert
+
+    target = spark.range(10).select(F.col("id").alias("k"), F.lit("t").alias("s"))
+    source = spark.range(5).select(F.col("id").alias("k"), F.lit("s").alias("s"))
+    out = merge_upsert(target, source, "k", ["s"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan, plan
+    n = sum(
+        1 for line in plan.splitlines() if line.startswith("(") and "Exchange" in line
+    )
+    assert n == 1, plan

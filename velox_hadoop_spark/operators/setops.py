@@ -474,3 +474,81 @@ def q_null_skew_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch MERGE (upsert): CDC batch into a base table, single-shuffle form
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """MERGE semantics (matched → update, not-matched → insert) without
+    a join: union both sides with a priority flag and keep each key's
+    highest-priority row via a partial+final ``max_by`` aggregate.
+
+    The full-outer-join MERGE shuffles BOTH sides and materializes join
+    state; the union form is ONE hash-agg shuffle whose per-key state is
+    a single struct, and the map-side partial already collapses
+    target/source pairs that share a partition. Exactly the
+    latest-per-key CDC compaction shape (window.py::latest_per_key)
+    applied to the upsert problem; at 100 TB the source batch is
+    typically ≪ target, and either way nothing quadratic or skew-prone
+    exists — key cardinality bounds everything."""
+    tgt = target.select(key, *cols).withColumn("__pri", F.lit(0))
+    src = source.select(key, *cols).withColumn("__pri", F.lit(1))
+    merged = (
+        tgt.unionByName(src)
+        .groupBy(key)
+        .agg(F.max_by(F.struct(*cols), F.col("__pri")).alias("__r"))
+    )
+    return merged.select(key, "__r.*")
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   o_orderstatus,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        batch AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus, cents + 777 AS cents
+            FROM base WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, 'I', cents
+            FROM base WHERE o_orderkey % 97 = 0
+        )
+        SELECT coalesce(b.o_orderkey, t.o_orderkey) AS o_orderkey,
+               coalesce(b.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+               coalesce(b.cents, t.cents) AS cents
+        FROM base t FULL OUTER JOIN batch b ON t.o_orderkey = b.o_orderkey
+    """,
+    tags=("setops", "merge", "upsert", "cdc", "extension"),
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a simulated CDC batch into orders: every 10th key is an
+    update (status 'U', price bumped), every 97th key re-enters as a
+    brand-new insert key. The Spark plan is the single-shuffle union +
+    max_by form; the oracle is the textbook FULL OUTER JOIN MERGE —
+    row-identical results prove the rewrite."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    updates = base.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"), (F.col("cents") + 777).alias("cents")
+    )
+    inserts = base.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        "cents",
+    )
+    return merge_upsert(
+        base, updates.unionByName(inserts), "o_orderkey", ["o_orderstatus", "cents"]
+    )
