@@ -58,3 +58,21 @@ def test_jaccard_estimate_covers_all_candidates(spark, duck):
     from pyspark.sql import functions as F
 
     assert est.where((F.col("n_equal") < 2) | (F.col("n_equal") > 8)).count() == 0
+
+
+def test_oracle_lint_no_hugeint_outputs():
+    """Every registered oracle must type its integer aggregates: DuckDB
+    HUGEINT (count_if, sum over ints) reaches the driver's Arrow hash
+    as decimal128 while Spark emits int64 — value-identical rows would
+    hash-mismatch. scripts/lint_oracles.py holds the class permanently."""
+    import subprocess
+    import sys as _sys
+
+    res = subprocess.run(
+        [_sys.executable, "scripts/lint_oracles.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
