@@ -67,6 +67,8 @@ _DEFER = (
     "table_checksum_buckets",
     "null_skew_left_join",
     "merge_upsert_orders",
+    "ann_lsh_recall_at_k",
+    "ann_multiprobe_recall",
 )
 
 

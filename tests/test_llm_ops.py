@@ -409,3 +409,20 @@ def test_charclass_fracs_sum_to_one(spark):
     for r in rows:
         total = r.letter_frac + r.digit_frac + r.space_frac + r.other_frac
         assert abs(total - 1.0) < 5e-6
+
+
+@pytest.mark.parametrize("name", ["ann_lsh_recall_at_k", "ann_multiprobe_recall"])
+def test_recall_gate_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_amplified_recall_dominates_single_table(spark):
+    """OR-amplification can only ADD candidates, so amplified recall
+    must be >= the single-table gate's recall on the same sample."""
+    from velox_hadoop_spark.plans.registry import specs as _specs
+
+    sf = "/root/testdata/sf0.001"
+    single = _specs()["ann_lsh_recall_at_k"].fn(spark, sf).collect()[0]
+    amp = _specs()["ann_multiprobe_recall"].fn(spark, sf).collect()[0]
+    assert amp.n_exact == single.n_exact
+    assert amp.recall >= single.recall

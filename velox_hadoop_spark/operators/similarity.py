@@ -238,10 +238,12 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _plane_weights(n_planes: int, dims: int) -> list[list[float]]:
+def _plane_weights(n_planes: int, dims: int, offset: int = 0) -> list[list[float]]:
     """±1 hyperplane weights from MD5 parity of "plane|pos" — computed
     once on the driver with the exact same formula the DuckDB oracle
-    evaluates (md5 hex → first 15 chars → int → parity)."""
+    evaluates (md5 hex → first 15 chars → int → parity). ``offset``
+    shifts the global plane ids, giving independent tables for
+    OR-amplified LSH."""
     import hashlib
 
     return [
@@ -251,12 +253,12 @@ def _plane_weights(n_planes: int, dims: int) -> list[list[float]]:
             else -1.0
             for d in range(dims)
         ]
-        for p in range(n_planes)
+        for p in range(offset, offset + n_planes)
     ]
 
 
 def hyperplane_buckets(
-    emb: DataFrame, n_planes: int = N_PLANES, dims: int = 64
+    emb: DataFrame, n_planes: int = N_PLANES, dims: int = 64, plane_offset: int = 0
 ) -> DataFrame:
     """Sign-random-projection LSH bucket per vector.
 
@@ -268,7 +270,7 @@ def hyperplane_buckets(
     shape — posexplode dims × cross-join planes — built 512 rows per
     vector and shuffled twice.)
     """
-    w = _plane_weights(n_planes, dims)
+    w = _plane_weights(n_planes, dims, plane_offset)
     v = to_double(F.col("embedding"))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
@@ -826,4 +828,295 @@ def q_centroid_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_b",
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality gate: recall@k of the LSH scale path vs exact top-k
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 3
+_RECALL_SAMPLE_MOD = 20  # 5% query sample
+
+
+@register(
+    "ann_lsh_recall_at_k",
+    oracle=f"""
+        WITH {_duck_bucket_ctes()},
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qs AS (SELECT vec_id FROM embeddings WHERE vec_id % {_RECALL_SAMPLE_MOD} = 0),
+        exact_pairs AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_DUCK_COS} AS cos
+            FROM e q JOIN qs ON q.vec_id = qs.vec_id
+            JOIN e n ON n.vec_id <> q.vec_id
+        ),
+        exact_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                ) AS rnk FROM exact_pairs
+            ) WHERE rnk <= {_RECALL_K}
+        ),
+        lsh_pairs AS (
+            SELECT qb.vec_id AS query_id, nb.vec_id AS neighbor_id, {_DUCK_COS} AS cos
+            FROM buckets qb
+            JOIN qs ON qb.vec_id = qs.vec_id
+            JOIN buckets nb ON qb.bucket = nb.bucket AND nb.vec_id <> qb.vec_id
+            JOIN e q ON q.vec_id = qb.vec_id
+            JOIN e n ON n.vec_id = nb.vec_id
+        ),
+        lsh_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                ) AS rnk FROM lsh_pairs
+            ) WHERE rnk <= {_RECALL_K}
+        )
+        SELECT CAST((SELECT count(DISTINCT query_id) FROM exact_top) AS BIGINT) AS n_queries,
+               CAST((SELECT count(*) FROM exact_top) AS BIGINT) AS n_exact,
+               CAST((SELECT count(*) FROM exact_top t
+                     JOIN lsh_top l ON t.query_id = l.query_id
+                                   AND t.neighbor_id = l.neighbor_id) AS BIGINT) AS n_hits,
+               FLOOR((SELECT count(*) FROM exact_top t
+                      JOIN lsh_top l ON t.query_id = l.query_id
+                                    AND t.neighbor_id = l.neighbor_id)
+                     / CAST((SELECT count(*) FROM exact_top) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS recall
+    """,
+    tags=("similarity", "ann", "lsh", "quality-gate", "extension"),
+)
+def q_ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the hyperplane-LSH ANN path against exact top-3 on a
+    deterministic 5% query sample — the measurable quality gate every
+    approximate index needs before it replaces the exact path.
+
+    Production shape: the exact side scores SAMPLE × corpus (a quality
+    audit is always sample-based — never all-pairs), broadcast on the
+    small query side; the LSH side is the per-bucket equi-join the
+    scale path already uses, filtered to the same sample; the recall
+    join is sample-top-k-sized. Recall is a ratio of integer counts —
+    one engine-order-independent division, floor-rounded in both
+    engines.
+
+    On this corpus the gate reads LOW (~1% at sf0.01) and that is the
+    point: the synthetic embeddings are near-isotropic, so a single
+    8-plane table slices the sphere into 256 cells whose occupants are
+    barely correlated with cosine rank — exactly the failure mode a
+    recall gate exists to expose before an index replaces the exact
+    path. The standard fix is OR-amplification across tables
+    (``ann_multiprobe_recall``), which trades candidate volume for
+    recall."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = emb.where(F.pmod(F.col("vec_id"), F.lit(_RECALL_SAMPLE_MOD)) == 0)
+    exact_top = topk_per_query(cosine_pairs(sample, emb), _RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    buckets = hyperplane_buckets(emb)
+    qb = (
+        buckets.join(
+            sample.select("vec_id"), "vec_id", "left_semi"
+        ).select(F.col("vec_id").alias("query_id"), "bucket")
+    )
+    nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    cand = qb.join(nb, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
+    from velox_hadoop_spark.functions.vectors import dot, norm
+
+    e_q = emb.select(
+        F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    e_n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("nv")
+    ).withColumn("nn", norm(F.col("nv")))
+    lsh_scored = (
+        cand.join(e_q, "query_id")
+        .join(e_n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("cos"),
+        )
+    )
+    lsh_top = topk_per_query(lsh_scored, _RECALL_K).select("query_id", "neighbor_id")
+    hits = exact_top.join(lsh_top, ["query_id", "neighbor_id"], "left_semi")
+    stats = exact_top.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+    )
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    return stats.crossJoin(F.broadcast(nh)).select(
+        "n_queries",
+        "n_exact",
+        "n_hits",
+        (
+            F.floor(
+                F.col("n_hits") / F.col("n_exact").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("recall"),
+    )
+
+
+_AMP_TABLES = 4        # OR-amplification: number of independent tables
+_AMP_PLANES = 4        # planes per table (16 buckets each)
+_AMP_STRIDE = 100      # global plane-id stride separating tables
+
+
+def _duck_multitable_cte(tables: int, planes: int, stride: int) -> str:
+    """CTE chain ``mdims, mproj, tbuckets(vec_id, tbl, bucket)`` — the
+    OR-amplified twin of ``_duck_bucket_ctes`` (plane ids offset by
+    ``tbl * stride`` so every table's hyperplanes are independent)."""
+    w = (
+        "CASE WHEN CAST(('0x' || substr(md5(concat(t.tbl * "
+        f"{stride}"
+        " + p.j, '|', d.pos)), 1, 15)) AS BIGINT) % 2 = 1 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+        mdims AS (
+            SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings
+            CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS g(i)
+        ),
+        mproj AS (
+            SELECT d.vec_id, t.tbl, p.j, sum(({w}) * d.x) AS proj
+            FROM mdims d
+            CROSS JOIN (SELECT unnest(generate_series(0, {tables - 1})) AS tbl) t
+            CROSS JOIN (SELECT unnest(generate_series(0, {planes - 1})) AS j) p
+            GROUP BY d.vec_id, t.tbl, p.j
+        ),
+        tbuckets AS (
+            SELECT vec_id, tbl,
+                   CAST(sum(CASE WHEN proj >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+            FROM mproj
+            GROUP BY vec_id, tbl
+        )
+    """
+
+
+@register(
+    "ann_multiprobe_recall",
+    oracle=f"""
+        WITH {_duck_multitable_cte(_AMP_TABLES, _AMP_PLANES, _AMP_STRIDE)},
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qs AS (SELECT vec_id FROM embeddings WHERE vec_id % {_RECALL_SAMPLE_MOD} = 0),
+        exact_pairs AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_DUCK_COS} AS cos
+            FROM e q JOIN qs ON q.vec_id = qs.vec_id
+            JOIN e n ON n.vec_id <> q.vec_id
+        ),
+        exact_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                ) AS rnk FROM exact_pairs
+            ) WHERE rnk <= {_RECALL_K}
+        ),
+        cand AS (
+            SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+            FROM tbuckets qb
+            JOIN qs ON qb.vec_id = qs.vec_id
+            JOIN tbuckets nb ON qb.tbl = nb.tbl AND qb.bucket = nb.bucket
+                            AND nb.vec_id <> qb.vec_id
+        ),
+        lsh_pairs AS (
+            SELECT c.query_id, c.neighbor_id, {_DUCK_COS} AS cos
+            FROM cand c
+            JOIN e q ON q.vec_id = c.query_id
+            JOIN e n ON n.vec_id = c.neighbor_id
+        ),
+        lsh_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                ) AS rnk FROM lsh_pairs
+            ) WHERE rnk <= {_RECALL_K}
+        )
+        SELECT CAST((SELECT count(DISTINCT query_id) FROM exact_top) AS BIGINT) AS n_queries,
+               CAST((SELECT count(*) FROM exact_top) AS BIGINT) AS n_exact,
+               CAST((SELECT count(*) FROM exact_top t
+                     JOIN lsh_top l ON t.query_id = l.query_id
+                                   AND t.neighbor_id = l.neighbor_id) AS BIGINT) AS n_hits,
+               FLOOR((SELECT count(*) FROM exact_top t
+                      JOIN lsh_top l ON t.query_id = l.query_id
+                                    AND t.neighbor_id = l.neighbor_id)
+                     / CAST((SELECT count(*) FROM exact_top) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS recall
+    """,
+    tags=("similarity", "ann", "lsh", "amplification", "quality-gate", "extension"),
+)
+def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of OR-amplified LSH (4 independent 4-plane tables,
+    candidates = union of same-bucket pairs over tables) on the same 5%
+    query sample as ``ann_lsh_recall_at_k`` — the standard recall lever:
+    coarser tables raise per-table collision probability, the OR across
+    tables compounds it, and the exact re-rank keeps precision. The
+    amplified index trades ~T× candidate volume for recall, and this
+    gate MEASURES the trade so the choice of (tables, planes) is
+    data-driven, not vibes-driven.
+
+    Plan shape per table is identical to the single-table scale path
+    (in-row bucket computation, per-(table, bucket) equi-join); the
+    union adds a branch per table over the same cached bucket frame,
+    and everything downstream is candidate-bounded."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = emb.where(F.pmod(F.col("vec_id"), F.lit(_RECALL_SAMPLE_MOD)) == 0)
+    exact_top = topk_per_query(cosine_pairs(sample, emb), _RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    tbuckets = None
+    for t in range(_AMP_TABLES):
+        b = hyperplane_buckets(
+            emb, n_planes=_AMP_PLANES, plane_offset=t * _AMP_STRIDE
+        ).withColumn("tbl", F.lit(t))
+        tbuckets = b if tbuckets is None else tbuckets.unionByName(b)
+    qb = tbuckets.join(sample.select("vec_id"), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    nb = tbuckets.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket")
+    cand = (
+        qb.join(nb, ["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    from velox_hadoop_spark.functions.vectors import dot, norm
+
+    e_q = emb.select(
+        F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    e_n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("nv")
+    ).withColumn("nn", norm(F.col("nv")))
+    lsh_scored = (
+        cand.join(e_q, "query_id")
+        .join(e_n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("cos"),
+        )
+    )
+    lsh_top = topk_per_query(lsh_scored, _RECALL_K).select("query_id", "neighbor_id")
+    hits = exact_top.join(lsh_top, ["query_id", "neighbor_id"], "left_semi")
+    stats = exact_top.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+    )
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    return stats.crossJoin(F.broadcast(nh)).select(
+        "n_queries",
+        "n_exact",
+        "n_hits",
+        (
+            F.floor(
+                F.col("n_hits") / F.col("n_exact").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("recall"),
     )
