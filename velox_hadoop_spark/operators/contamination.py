@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from velox_hadoop_spark.functions import hashing as H
 from velox_hadoop_spark.operators.dedup import shingle_set
+from velox_hadoop_spark.functions.pairs import id_pairs
 from velox_hadoop_spark.plans.registry import register
 
 DECONTAM_K = 8          # benchmark n-gram length (words)
@@ -272,15 +273,7 @@ def q_cross_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("langs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("langs"), i + F.lit(2), F.size(F.col("langs"))),
-                lambda y: F.struct(x.alias("lang_a"), y.alias("lang_b")),
-            ),
-        )
-    )
+    pair_structs = id_pairs(F.col("langs"), "lang_a", "lang_b")
     inter = (
         grouped.where(F.size("langs") >= 2)
         .select(F.explode(pair_structs).alias("p"))

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from velox_hadoop_spark.functions import hashing as H
+from velox_hadoop_spark.functions.pairs import id_pairs, upper_triangle_pairs
 from velox_hadoop_spark.plans.registry import register
 from velox_hadoop_spark.session import parallelize_if_narrow_input
 
@@ -188,15 +189,7 @@ def lsh_candidate_pairs(
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         .select(F.sort_array("ids").alias("ids"))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    pair_structs = id_pairs(F.col("ids"), "id_a", "id_b")
     return (
         grouped.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -235,15 +228,7 @@ def jaccard_pairs(
     sizes = grouped.select(F.explode("ids").alias(id_col)).groupBy(id_col).agg(
         F.count("*").alias("n")
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    pair_structs = id_pairs(F.col("ids"), "id_a", "id_b")
     inter = (
         grouped.where(F.size("ids") >= 2)
         .select(F.explode(pair_structs).alias("p"))
@@ -750,20 +735,13 @@ def simhash_near_dup_pairs(
         .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
         .select(F.sort_array("ms").alias("ms"))  # struct sort: id first
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["i"].alias("id_a"),
-                    y["i"].alias("id_b"),
-                    F.bit_count(x["s"].bitwiseXOR(y["s"]))
-                    .cast("long")
-                    .alias("hamming"),
-                ),
-            ),
-        )
+    pair_structs = upper_triangle_pairs(
+        F.col("ms"),
+        lambda x, y: F.struct(
+            x["i"].alias("id_a"),
+            y["i"].alias("id_b"),
+            F.bit_count(x["s"].bitwiseXOR(y["s"])).cast("long").alias("hamming"),
+        ),
     )
     return (
         grouped.select(F.explode(pair_structs).alias("p"))
@@ -844,18 +822,13 @@ def fuzzy_pairs_blocked(
         .where((F.size("ms") >= 2) & (F.size("ms") <= max_block))
         .select(F.sort_array("ms").alias("ms"))  # struct sort: id first
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["i"].alias("id_a"),
-                    y["i"].alias("id_b"),
-                    F.levenshtein(x["nm"], y["nm"]).cast("long").alias("edit_dist"),
-                ),
-            ),
-        )
+    pair_structs = upper_triangle_pairs(
+        F.col("ms"),
+        lambda x, y: F.struct(
+            x["i"].alias("id_a"),
+            y["i"].alias("id_b"),
+            F.levenshtein(x["nm"], y["nm"]).cast("long").alias("edit_dist"),
+        ),
     )
     return (
         grouped.select(F.explode(pair_structs).alias("p"))

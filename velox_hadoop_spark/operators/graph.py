@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from velox_hadoop_spark.functions.pairs import id_pairs
 from velox_hadoop_spark.plans.registry import register
 
 DAMPING = 0.85
@@ -422,15 +423,7 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.size("ids") >= 2) & (F.size("ids") <= 256))
         .select("ids")
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
-            ),
-        )
-    )
+    pair_structs = id_pairs(F.col("ids"), "s1", "s2")
     from pyspark.sql import Window
 
     w = Window.partitionBy("s1").orderBy("s2")
@@ -520,15 +513,7 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.count("*").alias("deg"))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
-            ),
-        )
-    )
+    pair_structs = id_pairs(F.col("ids"), "s1", "s2")
     common = (
         grouped.where((F.size("ids") >= 2) & (F.size("ids") <= NBR_PART_CAP))
         .select(F.explode(pair_structs).alias("p"))

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velox_hadoop_spark.catalog import read_table
+from velox_hadoop_spark.functions.pairs import id_pairs
 from velox_hadoop_spark.plans.registry import register
 
 
@@ -167,15 +168,7 @@ def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pk")
         .agg(F.count("*").alias("n_item"))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("pks"),
-            lambda x, i: F.transform(
-                F.slice(F.col("pks"), i + F.lit(2), F.size(F.col("pks"))),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
+    pair_structs = id_pairs(F.col("pks"), "p1", "p2")
     pair = (
         grouped.where(F.size("pks") >= 2)
         .select(F.explode(pair_structs).alias("p"))
