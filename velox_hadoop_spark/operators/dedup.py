@@ -6,17 +6,18 @@ shuffle-bounded on DataFrames:
 
   * exact dedup       — hash-groupBy on a content digest.
   * MinHash + LSH     — shingle → k seeded minhashes → band buckets →
-                        candidate pairs via band self-join. Pairwise work
-                        happens strictly AFTER LSH pruning, never n².
+                        candidate pairs via single-shuffle bucket grouping
+                        (functions/pairs.py). Pairwise work happens
+                        strictly AFTER LSH pruning, never n².
   * SimHash           — 64-bit signature by per-bit majority vote over
                         token hashes; near-pairs via 4×16-bit band
                         pigeonhole (hamming ≤ 3 ⇒ some band equal).
   * n-gram Jaccard    — exact similarity, computed only for candidate
                         pairs that share ≥ 1 shingle.
 
-Scale notes: every stage is explode → hash-agg → equi-join; the band
-self-join is the only quadratic-risk step and its blowup is bounded by
-bucket size (salt/AQE-skew handles hot buckets). All hashing is MD5-
+Scale notes: every stage is explode → hash-agg → equi-join; in-row
+bucket pair generation is the only quadratic-risk step and its blowup
+is bounded by the bucket-size cap (enforced as an array-size filter). All hashing is MD5-
 based JVM expressions (functions/hashing.py) — codegen'd, no Python,
 and bit-identical to the DuckDB oracles.
 """

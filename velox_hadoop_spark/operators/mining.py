@@ -14,10 +14,10 @@ Scale notes, per operator:
 
 * transitions — one shuffle on user_id serves the lag window; the
   (prev, next) matrix is at most |event_type|² rows. Scale-safe.
-* affinity — the basket self-join fans out quadratically PER ORDER,
-  but order width is bounded by the data model (TPC-H ≤ 7 lines per
-  order), so total fanout is linear in orders. No hot-key cap needed —
-  unlike the document shingle joins, the basket key cannot be hot.
+* affinity — in-row basket pair generation fans out quadratically PER
+  ORDER, but order width is bounded by the data model (TPC-H ≤ 7 lines
+  per order), so total fanout is linear in orders. No hot-key cap
+  needed — unlike document shingles, the basket key cannot be hot.
 * ewma / seasonal — operate on the DAILY grain, whose cardinality is
   bounded by the calendar (≈ 2.4k rows for the TPC-H date range), not
   by fact volume: one aggregate shrinks 100 TB to a broadcastable
