@@ -69,6 +69,7 @@ _DEFER = (
     "merge_upsert_orders",
     "ann_lsh_recall_at_k",
     "ann_multiprobe_recall",
+    "ann_ivf_recall",
 )
 
 

@@ -426,3 +426,7 @@ def test_amplified_recall_dominates_single_table(spark):
     amp = _specs()["ann_multiprobe_recall"].fn(spark, sf).collect()[0]
     assert amp.n_exact == single.n_exact
     assert amp.recall >= single.recall
+
+
+def test_ivf_recall_parity(spark, duck):
+    assert_parity(spark, duck, "ann_ivf_recall")

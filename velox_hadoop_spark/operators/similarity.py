@@ -838,6 +838,57 @@ def q_centroid_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECALL_K = 3
 _RECALL_SAMPLE_MOD = 20  # 5% query sample
 
+def _score_candidates(emb, cand):
+    """Exact cosine re-rank input for a (query_id, neighbor_id) candidate
+    frame — shared by the recall gates."""
+    from velox_hadoop_spark.functions.vectors import dot, norm
+
+    e_q = emb.select(
+        F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    e_n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("nv")
+    ).withColumn("nn", norm(F.col("nv")))
+    return (
+        cand.join(e_q, "query_id")
+        .join(e_n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("cos"),
+        )
+    )
+
+
+def _recall_vs_exact(emb, sample, approx_top):
+    """(n_queries, n_exact, n_hits, recall) of an approximate top-k frame
+    against the exact sample top-k — the shared tail of every recall
+    gate. Recall is a ratio of integer counts, floor-rounded at 6 dp."""
+    exact_top = topk_per_query(cosine_pairs(sample, emb), _RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact_top.join(approx_top, ["query_id", "neighbor_id"], "left_semi")
+    stats = exact_top.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+    )
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    return stats.crossJoin(F.broadcast(nh)).select(
+        "n_queries",
+        "n_exact",
+        "n_hits",
+        (
+            F.floor(
+                F.col("n_hits") / F.col("n_exact").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("recall"),
+    )
+
+
 
 @register(
     "ann_lsh_recall_at_k",
@@ -908,9 +959,6 @@ def q_ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sample = emb.where(F.pmod(F.col("vec_id"), F.lit(_RECALL_SAMPLE_MOD)) == 0)
-    exact_top = topk_per_query(cosine_pairs(sample, emb), _RECALL_K).select(
-        "query_id", "neighbor_id"
-    )
     buckets = hyperplane_buckets(emb)
     qb = (
         buckets.join(
@@ -919,44 +967,10 @@ def q_ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
     cand = qb.join(nb, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
-    from velox_hadoop_spark.functions.vectors import dot, norm
-
-    e_q = emb.select(
-        F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
-    e_n = emb.select(
-        F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("nv")
-    ).withColumn("nn", norm(F.col("nv")))
-    lsh_scored = (
-        cand.join(e_q, "query_id")
-        .join(e_n, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
-            ).alias("cos"),
-        )
+    lsh_top = topk_per_query(_score_candidates(emb, cand), _RECALL_K).select(
+        "query_id", "neighbor_id"
     )
-    lsh_top = topk_per_query(lsh_scored, _RECALL_K).select("query_id", "neighbor_id")
-    hits = exact_top.join(lsh_top, ["query_id", "neighbor_id"], "left_semi")
-    stats = exact_top.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count("*").alias("n_exact"),
-    )
-    nh = hits.agg(F.count("*").alias("n_hits"))
-    return stats.crossJoin(F.broadcast(nh)).select(
-        "n_queries",
-        "n_exact",
-        "n_hits",
-        (
-            F.floor(
-                F.col("n_hits") / F.col("n_exact").cast("double") * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            / F.lit(1e6)
-        ).alias("recall"),
-    )
+    return _recall_vs_exact(emb, sample, lsh_top)
 
 
 _AMP_TABLES = 4        # OR-amplification: number of independent tables
@@ -1063,9 +1077,6 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and everything downstream is candidate-bounded."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sample = emb.where(F.pmod(F.col("vec_id"), F.lit(_RECALL_SAMPLE_MOD)) == 0)
-    exact_top = topk_per_query(cosine_pairs(sample, emb), _RECALL_K).select(
-        "query_id", "neighbor_id"
-    )
     tbuckets = None
     for t in range(_AMP_TABLES):
         b = hyperplane_buckets(
@@ -1082,41 +1093,91 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    from velox_hadoop_spark.functions.vectors import dot, norm
+    lsh_top = topk_per_query(_score_candidates(emb, cand), _RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    return _recall_vs_exact(emb, sample, lsh_top)
 
-    e_q = emb.select(
-        F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
-    e_n = emb.select(
-        F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("nv")
-    ).withColumn("nn", norm(F.col("nv")))
-    lsh_scored = (
-        cand.join(e_q, "query_id")
-        .join(e_n, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
-            ).alias("cos"),
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qs AS (SELECT vec_id FROM embeddings WHERE vec_id % {_RECALL_SAMPLE_MOD} = 0),
+        cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        scored AS (
+            SELECT e.vec_id, c.centroid_id,
+                   ROUND(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+            FROM e CROSS JOIN cents c
+        ),
+        assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, centroid_id
+                ) AS rn FROM scored
+            ) WHERE rn = 1
+        ),
+        exact_pairs AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_DUCK_COS} AS cos
+            FROM e q JOIN qs ON q.vec_id = qs.vec_id
+            JOIN e n ON n.vec_id <> q.vec_id
+        ),
+        exact_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                ) AS rnk FROM exact_pairs
+            ) WHERE rnk <= {_RECALL_K}
+        ),
+        ivf_pairs AS (
+            SELECT qa.vec_id AS query_id, na.vec_id AS neighbor_id, {_DUCK_COS} AS cos
+            FROM assign qa
+            JOIN qs ON qa.vec_id = qs.vec_id
+            JOIN assign na ON na.centroid_id = qa.centroid_id AND na.vec_id <> qa.vec_id
+            JOIN e q ON q.vec_id = qa.vec_id
+            JOIN e n ON n.vec_id = na.vec_id
+        ),
+        ivf_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                ) AS rnk FROM ivf_pairs
+            ) WHERE rnk <= {_RECALL_K}
         )
+        SELECT CAST((SELECT count(DISTINCT query_id) FROM exact_top) AS BIGINT) AS n_queries,
+               CAST((SELECT count(*) FROM exact_top) AS BIGINT) AS n_exact,
+               CAST((SELECT count(*) FROM exact_top t
+                     JOIN ivf_top l ON t.query_id = l.query_id
+                                   AND t.neighbor_id = l.neighbor_id) AS BIGINT) AS n_hits,
+               FLOOR((SELECT count(*) FROM exact_top t
+                      JOIN ivf_top l ON t.query_id = l.query_id
+                                    AND t.neighbor_id = l.neighbor_id)
+                     / CAST((SELECT count(*) FROM exact_top) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS recall
+    """,
+    tags=("similarity", "ann", "ivf", "quality-gate", "extension"),
+)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF (nprobe=1) path on the same 5% query sample —
+    completing the index quality dashboard (single-table LSH, amplified
+    LSH, IVF): same exact baseline, same integer-ratio recall, so the
+    three gates are directly comparable and the index choice is a
+    measured decision. Candidate generation is the same-cell equi-join
+    the production ``ann_ivf_topk`` path uses."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = emb.where(F.pmod(F.col("vec_id"), F.lit(_RECALL_SAMPLE_MOD)) == 0)
+    assign = ivf_assign(emb)
+    qa = assign.join(sample.select("vec_id"), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
     )
-    lsh_top = topk_per_query(lsh_scored, _RECALL_K).select("query_id", "neighbor_id")
-    hits = exact_top.join(lsh_top, ["query_id", "neighbor_id"], "left_semi")
-    stats = exact_top.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count("*").alias("n_exact"),
+    na = assign.select(F.col("vec_id").alias("neighbor_id"), "centroid_id")
+    cand = (
+        qa.join(na, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
     )
-    nh = hits.agg(F.count("*").alias("n_hits"))
-    return stats.crossJoin(F.broadcast(nh)).select(
-        "n_queries",
-        "n_exact",
-        "n_hits",
-        (
-            F.floor(
-                F.col("n_hits") / F.col("n_exact").cast("double") * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            / F.lit(1e6)
-        ).alias("recall"),
+    ivf_top = topk_per_query(_score_candidates(emb, cand), _RECALL_K).select(
+        "query_id", "neighbor_id"
     )
+    return _recall_vs_exact(emb, sample, ivf_top)
