@@ -70,6 +70,7 @@ _DEFER = (
     "ann_lsh_recall_at_k",
     "ann_multiprobe_recall",
     "ann_ivf_recall",
+    "cascade_delete_audit",
 )
 
 

@@ -218,3 +218,7 @@ def test_merge_upsert_plan_is_single_shuffle_no_join(spark):
         1 for line in plan.splitlines() if line.startswith("(") and "Exchange" in line
     )
     assert n == 1, plan
+
+
+def test_cascade_delete_audit_parity(spark, duck):
+    assert_parity(spark, duck, "cascade_delete_audit")

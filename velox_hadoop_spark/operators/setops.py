@@ -552,3 +552,85 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         base, updates.unionByName(inserts), "o_orderkey", ["o_orderstatus", "cents"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Compliance: cascade-delete impact audit (right-to-erasure dry run)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cascade_delete_audit",
+    oracle="""
+        WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
+        o AS (
+            SELECT count(*) AS n FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM del)
+        ),
+        l AS (
+            SELECT count(*) AS n FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM del)
+            )
+        ),
+        e AS (
+            SELECT count(*) AS n FROM events
+            WHERE user_id IN (SELECT c_custkey FROM del)
+        )
+        SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows FROM del
+        UNION ALL SELECT 'orders', CAST(n AS BIGINT) FROM o
+        UNION ALL SELECT 'lineitem', CAST(n AS BIGINT) FROM l
+        UNION ALL SELECT 'events', CAST(n AS BIGINT) FROM e
+    """,
+    tags=("setops", "compliance", "erasure", "extension"),
+)
+def q_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure dry run: given a deletion cohort (every 50th
+    customer key), count the rows each downstream table would lose —
+    customer → orders → lineitem via the FK chain, plus the events
+    stream keyed by user id.
+
+    The plan is semi-join cascade all the way down: the cohort (and the
+    cohort's order keys) are DataFrames, each impact count is one
+    left-semi equi-join + count, and nothing but keys flows between
+    stages — Catalyst broadcasts the cohort side when it is small, AQE
+    decides otherwise. This dry-run shape is exactly the production
+    delete's first phase; the second phase rewrites only the files the
+    audit touched (see partitioned-sink compaction), so erasure cost is
+    audit cost plus targeted rewrites, never a full-table scan per
+    table."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    del_keys = cust.where(F.col("c_custkey") % 50 == 0).select("c_custkey")
+    del_orders = orders.join(
+        del_keys, orders.o_custkey == del_keys.c_custkey, "left_semi"
+    )
+    n_cust = del_keys.agg(F.count("*").alias("n_rows")).withColumn(
+        "tbl", F.lit("customer")
+    )
+    n_ord = del_orders.agg(F.count("*").alias("n_rows")).withColumn(
+        "tbl", F.lit("orders")
+    )
+    n_li = (
+        li.join(
+            del_orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("tbl", F.lit("lineitem"))
+    )
+    n_ev = (
+        ev.join(del_keys, ev.user_id == del_keys.c_custkey, "left_semi")
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("tbl", F.lit("events"))
+    )
+    return (
+        n_cust.unionByName(n_ord)
+        .unionByName(n_li)
+        .unionByName(n_ev)
+        .select("tbl", "n_rows")
+    )
