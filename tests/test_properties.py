@@ -119,3 +119,52 @@ def test_prefix_filtered_jaccard_equals_bruteforce(spark, texts, t):
         for r in prefix_filtered_jaccard(sh, "doc_id", t).collect()
     }
     assert fast == brute
+
+
+@given(
+    tgt=st.lists(st.tuples(keys, vals), min_size=0, max_size=40),
+    src=st.lists(st.tuples(keys, vals), min_size=0, max_size=40),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_equals_join_form_merge(spark, tgt, src):
+    """union+max_by MERGE == FULL OUTER JOIN merge, for any frames with
+    unique keys per side (the MERGE precondition)."""
+    from velox_hadoop_spark.operators.setops import merge_upsert
+
+    tgt = list({k: (k, v) for k, v in tgt}.values())  # unique keys per side
+    src = list({k: (k, v) for k, v in src}.values())
+    if not tgt and not src:
+        return
+    target = spark.createDataFrame(tgt or [(999, 0)], "k long, v long")
+    source = spark.createDataFrame(src or [(998, 0)], "k long, v long")
+    got = {r.k: r.v for r in merge_upsert(target, source, "k", ["v"]).collect()}
+    want = dict(tgt or [(999, 0)])
+    want.update(dict(src or [(998, 0)]))
+    assert got == want
+
+
+@given(rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_bucket_checksum_is_partition_and_order_invariant(spark, rows):
+    """XOR bucket digests must not depend on row order or partitioning —
+    the property reconciliation relies on."""
+    uid_rows = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    a = spark.createDataFrame(uid_rows, "uid long, k long, v long").repartition(7)
+    b = spark.createDataFrame(list(reversed(uid_rows)), "uid long, k long, v long").coalesce(1)
+    digest = (
+        "CAST(conv(substr(md5(concat_ws('|', CAST(uid AS STRING), "
+        "CAST(k AS STRING), CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+    def sums(df):
+        return {
+            r.bucket: (r.n, r.d)
+            for r in df.selectExpr(
+                "pmod(uid, 8) AS bucket", f"{digest} AS dg"
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"), F.expr("bit_xor(dg)").alias("d"))
+            .collect()
+        }
+
+    assert sums(a) == sums(b)
