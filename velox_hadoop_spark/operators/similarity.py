@@ -68,8 +68,11 @@ def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
-def knn_numpy(corpus: DataFrame, k: int = 1) -> DataFrame:
+def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -> DataFrame:
     """All-pairs cosine top-k via Arrow-batched numpy (BLAS matmul).
+
+    ``queries`` restricts the scored side to a query frame (defaults to
+    the whole corpus) — the sample-vs-corpus shape the recall gates use.
 
     The corpus matrix is broadcast to every executor once (vectors are
     the *small* side here — at 100 TB you LSH-bucket first, see
@@ -85,6 +88,7 @@ def knn_numpy(corpus: DataFrame, k: int = 1) -> DataFrame:
 
     spark = corpus.sparkSession
     pdf = corpus.select("vec_id", "embedding").toPandas()
+    queries = corpus if queries is None else queries
     ids = pdf["vec_id"].to_numpy()
     mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -112,7 +116,7 @@ def knn_numpy(corpus: DataFrame, k: int = 1) -> DataFrame:
             yield pd.DataFrame(rows)
 
     out_schema = "query_id long, neighbor_id long, cos double, rnk long"
-    return corpus.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    return queries.select("vec_id", "embedding").mapInPandas(score, out_schema)
 
 
 def _block_cogroup(corpus: DataFrame, n_blocks: int):
@@ -865,10 +869,22 @@ def _score_candidates(emb, cand):
 def _recall_vs_exact(emb, sample, approx_top):
     """(n_queries, n_exact, n_hits, recall) of an approximate top-k frame
     against the exact sample top-k — the shared tail of every recall
-    gate. Recall is a ratio of integer counts, floor-rounded at 6 dp."""
-    exact_top = topk_per_query(cosine_pairs(sample, emb), _RECALL_K).select(
-        "query_id", "neighbor_id"
-    )
+    gate. Recall is a ratio of integer counts, floor-rounded at 6 dp.
+
+    The exact baseline routes through the guarded dgemm kernel: sample
+    queries stream through mapInPandas against the broadcast-corpus
+    matrix (one BLAS matmul per Arrow batch — identical output to the
+    zip_with pair join, ~10× cheaper); corpora past the driver budget
+    fall back to the pair join, which is still sample-bounded."""
+    n = emb.count()
+    if n <= DRIVER_BROADCAST_ROWS:
+        exact_top = knn_numpy(emb, _RECALL_K, queries=sample).select(
+            "query_id", "neighbor_id"
+        )
+    else:
+        exact_top = topk_per_query(cosine_pairs(sample, emb), _RECALL_K).select(
+            "query_id", "neighbor_id"
+        )
     hits = exact_top.join(approx_top, ["query_id", "neighbor_id"], "left_semi")
     stats = exact_top.agg(
         F.countDistinct("query_id").alias("n_queries"),
