@@ -71,6 +71,7 @@ _DEFER = (
     "ann_multiprobe_recall",
     "ann_ivf_recall",
     "cascade_delete_audit",
+    "entity_resolution_parts",
 )
 
 

@@ -430,3 +430,18 @@ def test_amplified_recall_dominates_single_table(spark):
 
 def test_ivf_recall_parity(spark, duck):
     assert_parity(spark, duck, "ann_ivf_recall")
+
+
+def test_entity_resolution_parity(spark, duck):
+    assert_parity(spark, duck, "entity_resolution_parts")
+
+
+def test_entity_resolution_survivorship(spark):
+    """Canonical record is the longest name (ties by name then id)."""
+    from velox_hadoop_spark.plans.registry import specs as _specs
+
+    rows = _specs()["entity_resolution_parts"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert all(r.n_members >= 2 for r in rows)

@@ -1391,3 +1391,91 @@ def q_normalization_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.countDistinct("h")).alias("n_norm_dups"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: fuzzy pairs -> components -> canonical record
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "entity_resolution_parts",
+    oracle=f"""
+        WITH RECURSIVE keyed0 AS (
+            SELECT p_partkey AS rec_id, p_name AS name,
+                   list_extract(string_split_regex(p_name, '\\s+'), -1) AS blk
+            FROM part
+        ),
+        cool AS (
+            SELECT blk FROM keyed0
+            GROUP BY blk HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        keyed AS (SELECT keyed0.* FROM keyed0 JOIN cool USING (blk)),
+        fpairs AS (
+            SELECT a.rec_id AS id_a, b.rec_id AS id_b
+            FROM keyed a JOIN keyed b
+              ON a.blk = b.blk AND a.rec_id < b.rec_id
+            WHERE levenshtein(a.name, b.name) <= 2
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM fpairs
+            UNION SELECT id_b, id_a FROM fpairs
+        ),
+        reach(node, lbl) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        members AS (
+            SELECT c.cluster_id, p.p_partkey, p.p_name
+            FROM comp c JOIN part p ON p.p_partkey = c.node
+        ),
+        canon AS (
+            SELECT cluster_id, p_name AS canonical_name FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY cluster_id
+                    ORDER BY length(p_name) DESC, p_name, p_partkey
+                ) AS rn FROM members
+            ) WHERE rn = 1
+        )
+        SELECT m.cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               any_value(c.canonical_name) AS canonical_name
+        FROM members m JOIN canon c USING (cluster_id)
+        GROUP BY m.cluster_id
+    """,
+    tags=("dedup", "fuzzy", "entity-resolution", "connected-components", "extension"),
+)
+def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end over part names: blocked fuzzy
+    linkage (edit ≤ 2) → connected components → one canonical record
+    per entity cluster with longest-name survivorship (ties by name,
+    then id — fully deterministic, mirrored in the oracle's recursive
+    CTE fixpoint).
+
+    The production master-data shape: every stage reuses an existing
+    scale-audited operator — single-shuffle blocked pair generation,
+    regime-switched CC labeling, and a per-cluster window on the
+    (cluster-count-bounded) member table. Only clustered records appear;
+    unmatched records need no resolution."""
+    from pyspark.sql import Window
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pairs = fuzzy_pairs_blocked(part, "p_partkey", "p_name", max_edit=2)
+    cc = connected_components(pairs)
+    members = part.join(cc, part.p_partkey == cc.node, "inner").select(
+        F.col("lbl").alias("cluster_id"), "p_partkey", "p_name"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.length("p_name").desc(), F.asc("p_name"), F.asc("p_partkey")
+    )
+    canon = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("p_name").alias("canonical_name"))
+    )
+    sizes = members.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return sizes.join(canon, "cluster_id").select(
+        "cluster_id", "n_members", "canonical_name"
+    )
