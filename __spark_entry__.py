@@ -72,6 +72,7 @@ _DEFER = (
     "ann_ivf_recall",
     "cascade_delete_audit",
     "entity_resolution_parts",
+    "multimodal_frame_sample",
 )
 
 

@@ -137,6 +137,29 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """documents → MEDIA-shaped frame (payload = text bytes, modality by
+    ``doc_id % 3``) — the deterministic stand-in corpus the multimodal
+    queries run on. ASCII + non-empty guard ON BOTH SIDES of every
+    oracle: the SQL mirrors of the byte-level fake decoder use codepoint
+    arithmetic, which is only an identity for single-byte text (and
+    payload[0] needs bytes). char-count == byte-count <=> pure ASCII;
+    the verified corpus passes in full, so the guard is a no-op there
+    and a deterministic exclusion anywhere else."""
+    docs = docs.where(
+        (F.octet_length(F.encode(F.col("text"), "UTF-8")) > 0)
+        & (F.length("text") == F.octet_length(F.encode(F.col("text"), "UTF-8")))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
 def sample_frames(media: DataFrame, every_k: int = 30) -> DataFrame:
     """Video frame sampling: one output row per kept frame index — the
     1-row→N-rows mapInPandas shape for frame extraction pipelines.
@@ -217,16 +240,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # char-count == byte-count  <=>  pure ASCII. The verified corpus
     # passes this filter in full, so the guard is a no-op there and a
     # deterministic exclusion anywhere else.
-    docs = docs.where(
-        (F.octet_length(F.encode(F.col("text"), "UTF-8")) > 0)
-        & (F.length("text") == F.octet_length(F.encode(F.col("text"), "UTF-8")))
-    )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-    )
-    return extract_features(media)
+    return extract_features(documents_as_media(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH vids AS (
+            SELECT doc_id AS media_id,
+                   CAST(1 + octet_length(encode(text)) % 120 AS INT) AS n_frames
+            FROM documents
+            WHERE doc_id % 3 = 1
+              AND octet_length(encode(text)) > 0
+              AND length(text) = octet_length(encode(text))
+        )
+        SELECT media_id,
+               CAST(unnest(generate_series(0, n_frames - 1, 30)) AS INT) AS frame_idx
+        FROM vids
+    """,
+    tags=("multimodal", "mapInPandas", "frames", "extension"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 30th frame) through the real
+    Arrow-batched 1-row→N-rows mapInPandas boundary: the stub decoder
+    reports n_frames = 1 + bytes % 120 and the Python loop emits one row
+    per kept index — the oracle reproduces exactly that index set with
+    generate_series, hash-verifying the fan-out shape end-to-end. The
+    per-frame digest column (payload-dependent, exercised in unit tests)
+    is projected away here: the oracle grades the sampling semantics,
+    not the stub's byte mixing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = documents_as_media(docs)
+    return sample_frames(media, every_k=30).select("media_id", "frame_idx")
