@@ -424,3 +424,22 @@ def test_bfs_broadcasts_small_frontier(spark):
     out = bfs_levels(edges, start=1)
     got = {r.node: r.lvl for r in out.collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_checksum_is_single_exchange_partial_final(spark):
+    """Bucket checksums must aggregate partial+final with one exchange —
+    16 bytes of state per bucket, nothing else crosses the wire."""
+    df = registry.queries()["table_checksum_buckets"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert _n_exchanges(plan) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "Join" not in plan, plan
+
+
+def test_cascade_audit_is_semi_join_only(spark):
+    """The erasure audit must move keys, not rows: every join in the
+    plan is a semi join and no full-width table is exchanged."""
+    df = registry.queries()["cascade_delete_audit"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan, plan
