@@ -76,3 +76,29 @@ def test_oracle_lint_no_hugeint_outputs():
         timeout=300,
     )
     assert res.returncode == 0, res.stdout + res.stderr
+
+
+def test_priority_order_invariants():
+    """Driver-sample ordering contract: boosted source/sink rows first,
+    deferred round-3 additions at the back of the unverified group,
+    already-green queries last; every _BOOST/_DEFER name must exist in
+    the registry (typo guard)."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    registered = set(names)
+    assert set(entry._BOOST) <= registered
+    assert set(entry._DEFER) <= registered
+    green = entry._verified_names()
+    first_green = min(
+        (names.index(n) for n in names if n in green), default=len(names)
+    )
+    # no unverified query may come after the first green one
+    for n in names[first_green:]:
+        assert n in green, n
+    # deferred unverified names sit immediately before the green block
+    # (in registration order, not _DEFER order)
+    deferred_unverified = {n for n in entry._DEFER if n not in green}
+    if deferred_unverified:
+        block = names[first_green - len(deferred_unverified):first_green]
+        assert set(block) == deferred_unverified
