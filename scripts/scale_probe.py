@@ -80,6 +80,12 @@ DEFAULT_QUERIES = [
     "token_stats",
     "events_session_10m",
     "pagerank_3iter",
+    "neighbor_jaccard_links",
+    "part_affinity_lift",
+    "near_dup_verified_pairs",
+    "table_checksum_buckets",
+    "merge_upsert_orders",
+    "ann_multiprobe_recall",
 ]
 
 
