@@ -73,6 +73,7 @@ _DEFER = (
     "cascade_delete_audit",
     "entity_resolution_parts",
     "multimodal_frame_sample",
+    "cdc_apply_orders",
 )
 
 

@@ -222,3 +222,20 @@ def test_merge_upsert_plan_is_single_shuffle_no_join(spark):
 
 def test_cascade_delete_audit_parity(spark, duck):
     assert_parity(spark, duck, "cascade_delete_audit")
+
+
+def test_cdc_apply_parity(spark, duck):
+    assert_parity(spark, duck, "cdc_apply_orders")
+
+
+def test_cdc_apply_deletes_and_updates(spark):
+    from velox_hadoop_spark.operators.setops import cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, "c", "D"), (4, "d", "I")], "k long, v string, op string"
+    )
+    got = {r.k: r.v for r in cdc_apply(target, changes, "k", ["v"]).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}

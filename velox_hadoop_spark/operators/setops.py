@@ -634,3 +634,97 @@ def q_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(n_ev)
         .select("tbl", "n_rows")
     )
+
+
+def cdc_apply(
+    target: DataFrame, changes: DataFrame, key: str, cols: list[str], op_col: str = "op"
+) -> DataFrame:
+    """Apply a full CDC changeset (I/U/D op codes) in ONE shuffle.
+
+    Same union + priority + ``max_by`` collapse as ``merge_upsert``,
+    with the op code riding inside the winning struct: a key whose
+    latest change is a delete tombstone is filtered out AFTER the
+    collapse, so deletes cost nothing extra — no anti-join, no second
+    pass. Exactly the Debezium-style apply loop a lakehouse runs per
+    micro-batch; state per key is one struct regardless of how many
+    times the key churned inside the batch."""
+    tgt = (
+        target.select(key, *cols)
+        .withColumn("__op", F.lit("I"))
+        .withColumn("__pri", F.lit(0))
+    )
+    src = (
+        changes.select(key, *cols, F.col(op_col).alias("__op"))
+        .withColumn("__pri", F.lit(1))
+    )
+    merged = (
+        tgt.unionByName(src)
+        .groupBy(key)
+        .agg(F.max_by(F.struct("__op", *cols), F.col("__pri")).alias("__r"))
+    )
+    return merged.where(F.col("__r.__op") != "D").select(key, *[f"__r.{c}" for c in cols])
+
+
+@register(
+    "cdc_apply_orders",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        batch AS (
+            SELECT o_orderkey, 'U' AS op, 'U' AS o_orderstatus, cents + 777 AS cents
+            FROM base WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey, 'D', o_orderstatus, cents
+            FROM base WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, 'I', 'I', cents
+            FROM base WHERE o_orderkey % 97 = 0
+        ),
+        merged AS (
+            SELECT coalesce(b.o_orderkey, t.o_orderkey) AS o_orderkey,
+                   coalesce(b.op, 'I') AS op,
+                   coalesce(b.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+                   coalesce(b.cents, t.cents) AS cents
+            FROM base t FULL OUTER JOIN batch b ON t.o_orderkey = b.o_orderkey
+        )
+        SELECT o_orderkey, o_orderstatus, cents FROM merged WHERE op <> 'D'
+    """,
+    tags=("setops", "merge", "cdc", "deletes", "extension"),
+)
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply against orders: every 10th key updated, every 13th
+    (not already updated) deleted via tombstone, every 97th re-keyed as
+    an insert — deletes win over the base row through the same
+    single-shuffle collapse, verified row-identical against the
+    join-form oracle. The cohorts are disjoint by construction: a CDC
+    batch carries at most ONE change per key (the upstream log compaction
+    contract), which both the max_by collapse and the join oracle
+    assume."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    updates = base.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("cents") + 777).alias("cents"),
+        F.lit("U").alias("op"),
+    )
+    deletes = base.where(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 10 != 0)
+    ).select(
+        "o_orderkey", "o_orderstatus", "cents", F.lit("D").alias("op")
+    )
+    inserts = base.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        "cents",
+        F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return cdc_apply(base, changes, "o_orderkey", ["o_orderstatus", "cents"])
