@@ -143,12 +143,22 @@ def build_scaled(spark: SparkSession, k: int) -> str:
 
 
 def time_queries(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, float]:
+    """min-of-2 per query: the first run pays parquet page-cache misses
+    and any transient host contention (this box shows 2-5x swings on
+    cold reads), which would false-flag a linear operator as
+    super-linear. The min isolates the compute shape the probe is
+    actually auditing; queries own their persists, so the cache is
+    cleared between runs to keep run 2 honest."""
     qs = registry.queries()
     out: dict[str, float] = {}
     for n in names:
-        t0 = time.time()
-        qs[n](spark, sf_dir).count()
-        out[n] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[n](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        out[n] = round(best, 3)
     return out
 
 
