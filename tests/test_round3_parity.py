@@ -102,3 +102,26 @@ def test_priority_order_invariants():
     if deferred_unverified:
         block = names[first_green - len(deferred_unverified):first_green]
         assert set(block) == deferred_unverified
+
+
+def test_new_registrations_must_be_deferred():
+    """Burn-down discipline across rounds: any query registered AFTER
+    the round-3 snapshot must appear in __spark_entry__._DEFER (so it
+    queues behind the older never-driver-verified backlog instead of
+    displacing it). When adding a query: add its name to _DEFER; once
+    it earns a green CORRECTNESS row the deferral becomes a no-op."""
+    import os
+
+    import __spark_entry__ as entry
+    from velox_hadoop_spark.plans import registry as reg
+
+    snap_path = os.path.join(
+        os.path.dirname(reg.__file__), "registry_snapshot_r03.txt"
+    )
+    with open(snap_path) as f:
+        snapshot = {line.strip() for line in f if line.strip()}
+    new = set(reg.specs()) - snapshot
+    not_deferred = new - set(entry._DEFER)
+    assert not not_deferred, (
+        f"new queries missing from __spark_entry__._DEFER: {sorted(not_deferred)}"
+    )
