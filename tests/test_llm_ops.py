@@ -445,3 +445,28 @@ def test_entity_resolution_survivorship(spark):
     ).collect()
     assert rows
     assert all(r.n_members >= 2 for r in rows)
+
+
+def test_containment_found_regardless_of_id_order(spark):
+    """A truncated copy must be reported whether the shorter doc has the
+    lower OR the higher doc_id (regression: the length check was tied
+    to id order)."""
+    from velox_hadoop_spark.plans.registry import specs as _specs
+    import tempfile, os as _os
+
+    long_text = "word" + " tokens" * 30  # > block chars
+    short_text = long_text[:80]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, long_text, "en", "web", len(long_text)),    # longer has LOWER id
+                (2, short_text, "en", "web", len(short_text)),
+                (10, short_text + "x", "en", "web", 81),        # not a prefix pair
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(_os.path.join(d, "documents.parquet"))
+        got = {
+            (r.id_a, r.id_b)
+            for r in _specs()["contained_doc_pairs"].fn(spark, d).collect()
+        }
+    assert (1, 2) in got

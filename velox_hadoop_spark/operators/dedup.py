@@ -20,6 +20,14 @@ bucket pair generation is the only quadratic-risk step and its blowup
 is bounded by the bucket-size cap (enforced as an array-size filter). All hashing is MD5-
 based JVM expressions (functions/hashing.py) — codegen'd, no Python,
 and bit-identical to the DuckDB oracles.
+
+Cache lifetime contract: functions returning LAZY DataFrames persist
+multi-branch intermediates (capped shingle/bucket tables) and cannot
+unpersist them before the caller consumes the result — the CALLER owns
+the cache (the bench harness clears it per query; compose-and-collect
+callers should clearCache or unpersist when done). Operators that
+materialize internally (connected_components, the PageRank/BFS loops)
+release their own frames before returning.
 """
 
 from __future__ import annotations
@@ -388,8 +396,10 @@ _CONTAIN_BLOCK_CHARS = 40
                (length(a.text) = length(b.text)) AS is_exact
         FROM blk a JOIN blk b
           ON a.blk = b.blk AND a.doc_id < b.doc_id
-        WHERE length(a.text) <= length(b.text)
-          AND substr(b.text, 1, length(a.text)) = a.text
+        WHERE (length(a.text) <= length(b.text)
+               AND substr(b.text, 1, length(a.text)) = a.text)
+           OR (length(b.text) < length(a.text)
+               AND substr(a.text, 1, length(b.text)) = b.text)
     """,
     tags=("dedup", "containment", "extension"),
 )
@@ -423,8 +433,16 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "blk")
         .where(
             (F.col("id_a") < F.col("id_b"))
-            & (F.length("text_a") <= F.length("text_b"))
-            & (F.col("text_b").startswith(F.col("text_a")))
+            & (
+                (
+                    (F.length("text_a") <= F.length("text_b"))
+                    & F.col("text_b").startswith(F.col("text_a"))
+                )
+                | (
+                    (F.length("text_b") < F.length("text_a"))
+                    & F.col("text_a").startswith(F.col("text_b"))
+                )
+            )
         )
         .select(
             "id_a",
@@ -613,13 +631,9 @@ def _near_dup_broadcast(corpus: DataFrame, threshold: float) -> DataFrame:
     import pandas as pd
 
     from velox_hadoop_spark.functions.vectors import round_half_away
+    from velox_hadoop_spark.operators.similarity import broadcast_normalized_corpus
 
-    spark = corpus.sparkSession
-    pdf = corpus.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat_n))
+    bc = broadcast_normalized_corpus(corpus)
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_ids, c_n = bc.value

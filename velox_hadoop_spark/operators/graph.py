@@ -251,6 +251,7 @@ def bfs_levels(
     edges: DataFrame,
     start: int,
     max_levels: int = 20,
+    require_drained: bool = False,
 ) -> DataFrame:
     """Shortest hop-distance from ``start`` over an UNDIRECTED edge
     list — level-synchronous BFS as a driver loop.
@@ -290,6 +291,8 @@ def bfs_levels(
     )
     frontier = visited
     n_frontier = n_visited = 1
+    drained = False
+    stale_frontier = None  # superseded frontier awaiting unpersist
 
     def _maybe_bc(df: DataFrame, n_rows: int) -> DataFrame:
         return F.broadcast(df) if n_rows <= BFS_BROADCAST_NODES else df
@@ -313,12 +316,30 @@ def bfs_levels(
         n_visited += n_frontier
         if n_frontier == 0:
             new_frontier.unpersist()
+            drained = True
             break
         new_visited = visited.union(new_frontier).localCheckpoint(eager=True)
         visited.unpersist()
+        # the previous frontier fed this level's join and is now dead;
+        # unpersist it here (not earlier — the join above still read it)
+        if stale_frontier is not None:
+            stale_frontier.unpersist()
+        stale_frontier = frontier
         frontier = new_frontier
         visited = new_visited
+    if stale_frontier is not None:
+        stale_frontier.unpersist()
+    if frontier is not visited:
+        frontier.unpersist()
     und.unpersist()
+    if require_drained and not drained:
+        # a frontier still alive after max_levels means levels beyond the
+        # cap exist; silently returning a truncated level map would
+        # desynchronize from any bounded-recursion oracle. Same fail-loud
+        # contract as connected_components.
+        raise RuntimeError(
+            f"bfs_levels: frontier not drained after {max_levels} levels"
+        )
     return visited
 
 
@@ -354,7 +375,11 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the undirected supplier-part graph."""
     edges = _lineitem_edges(spark, sf_dir)
     start = edges.agg(F.min("src").alias("s")).first()["s"]
-    return bfs_levels(edges.distinct(), int(start))
+    # max_levels matches the oracle's recursion bound (lvl < 12 emits
+    # levels up to 12); require_drained makes a deeper-than-12 graph
+    # fail LOUDLY on the Spark side instead of hash-mismatching the
+    # bounded recursive CTE.
+    return bfs_levels(edges.distinct(), int(start), max_levels=12, require_drained=True)
 
 
 TRIANGLE_ADJ_CAP = 64

@@ -261,8 +261,10 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT o_custkey,
                count(*) AS n_orders,
-               ROUND(sum(CASE WHEN b >= 80 THEN o_totalprice + 1000.0
-                              ELSE o_totalprice END), 2) AS total_price
+               ROUND(sum(CASE WHEN b >= 80
+                              THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 100000
+                              ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+                     / 100.0, 2) AS total_price
         FROM bucketed WHERE b >= 10
         GROUP BY o_custkey
     """,
@@ -285,19 +287,26 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base aggregate is a stored table a fraction of the fact's size and
     the refresh shuffles ONLY |changeset| + |affected groups| rows.
     The oracle recomputes from scratch, proving the maintained result
-    is exact (2-dp sums survive the reordered arithmetic at 2-dp
-    rounding).
+    is exact — money flows as integer cents on both sides, so the
+    base+delta association order cannot drift from the single-pass
+    recompute by even an ulp.
     """
     from velox_hadoop_spark.functions.hashing import spark_md5_int60, seeded
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     b = F.expr(spark_md5_int60(seeded("o_orderkey", SNAP_SEED))) % 100
-    bucketed = orders.select("o_custkey", "o_totalprice", b.alias("b"))
+    # money as exact integer cents: base + delta sums accumulate in a
+    # DIFFERENT association order than the oracle's single-pass
+    # recompute, and double sums differ by ~1e-10 across groupings —
+    # enough to flip a 2-dp half boundary at larger SFs. Integer cents
+    # make both orders exact; one final division renders the decimal.
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    bucketed = orders.select("o_custkey", cents.alias("cents"), b.alias("b"))
 
     base = (
         bucketed.where(F.col("b") < 90)
         .groupBy("o_custkey")
-        .agg(F.count("*").alias("bn"), F.sum("o_totalprice").alias("bt"))
+        .agg(F.count("*").alias("bn"), F.sum("cents").alias("bt"))
     )
     # ONE pass over the changed buckets builds every delta kind via
     # conditional projection — a union of three filtered scans would
@@ -311,9 +320,9 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("b") >= 90, 1)       # churned in
             .otherwise(0)                    # restated in place
             .alias("dn"),
-            F.when(F.col("b") < 10, -F.col("o_totalprice"))
-            .when(F.col("b") >= 90, F.col("o_totalprice") + 1000.0)
-            .otherwise(F.lit(1000.0))
+            F.when(F.col("b") < 10, -F.col("cents"))
+            .when(F.col("b") >= 90, F.col("cents") + 100000)
+            .otherwise(F.lit(100000))
             .alias("dt"),
         )
         .groupBy("o_custkey")
@@ -325,7 +334,9 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders"
         ),
         F.round(
-            F.coalesce(F.col("bt"), F.lit(0.0)) + F.coalesce(F.col("dt"), F.lit(0.0)), 2
+            (F.coalesce(F.col("bt"), F.lit(0)) + F.coalesce(F.col("dt"), F.lit(0)))
+            / F.lit(100.0),
+            2,
         ).alias("total_price"),
     )
     return merged.where(F.col("n_orders") > 0)
@@ -519,7 +530,7 @@ def merge_upsert(
             SELECT o_orderkey, 'U' AS o_orderstatus, cents + 777 AS cents
             FROM base WHERE o_orderkey % 10 = 0
             UNION ALL
-            SELECT o_orderkey + 20000000, 'I', cents
+            SELECT -(o_orderkey + 1), 'I', cents
             FROM base WHERE o_orderkey % 97 = 0
         )
         SELECT coalesce(b.o_orderkey, t.o_orderkey) AS o_orderkey,
@@ -531,8 +542,10 @@ def merge_upsert(
 )
 def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE a simulated CDC batch into orders: every 10th key is an
-    update (status 'U', price bumped), every 97th key re-enters as a
-    brand-new insert key. The Spark plan is the single-shuffle union +
+    update (status 'U', price bumped), every 97th key re-enters under a
+    brand-new key -(k+1) (negated, shifted past zero) (structurally disjoint from the positive base
+    keyspace at ANY scale factor, so the one-change-per-key contract
+    cannot be violated by key collision). The Spark plan is the single-shuffle union +
     max_by form; the oracle is the textbook FULL OUTER JOIN MERGE —
     row-identical results prove the rewrite."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -545,7 +558,7 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.lit("U").alias("o_orderstatus"), (F.col("cents") + 777).alias("cents")
     )
     inserts = base.where(F.col("o_orderkey") % 97 == 0).select(
-        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
         F.lit("I").alias("o_orderstatus"),
         "cents",
     )
@@ -680,7 +693,7 @@ def cdc_apply(
             SELECT o_orderkey, 'D', o_orderstatus, cents
             FROM base WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
             UNION ALL
-            SELECT o_orderkey + 20000000, 'I', 'I', cents
+            SELECT -(o_orderkey + 1), 'I', 'I', cents
             FROM base WHERE o_orderkey % 97 = 0
         ),
         merged AS (
@@ -696,7 +709,7 @@ def cdc_apply(
 )
 def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC apply against orders: every 10th key updated, every 13th
-    (not already updated) deleted via tombstone, every 97th re-keyed as
+    (not already updated) deleted via tombstone, every 97th re-keyed (negated — collision-free at any SF) as
     an insert — deletes win over the base row through the same
     single-shuffle collapse, verified row-identical against the
     join-form oracle. The cohorts are disjoint by construction: a CDC
@@ -721,7 +734,7 @@ def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "cents", F.lit("D").alias("op")
     )
     inserts = base.where(F.col("o_orderkey") % 97 == 0).select(
-        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
         F.lit("I").alias("o_orderstatus"),
         "cents",
         F.lit("I").alias("op"),

@@ -68,6 +68,20 @@ def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
+def broadcast_normalized_corpus(corpus: DataFrame):
+    """Collect (vec_id, embedding) once, L2-normalize, and broadcast
+    (ids, mat_n) — the shared scaffold of every broadcast-dgemm kernel
+    (knn_numpy here, dedup._near_dup_broadcast). Only the normalized
+    matrix ships; the raw matrix is never broadcast."""
+    import numpy as np
+
+    pdf = corpus.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return corpus.sparkSession.sparkContext.broadcast((ids, mat_n))
+
+
 def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -> DataFrame:
     """All-pairs cosine top-k via Arrow-batched numpy (BLAS matmul).
 
@@ -86,16 +100,11 @@ def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -
     import numpy as np
     import pandas as pd
 
-    spark = corpus.sparkSession
-    pdf = corpus.select("vec_id", "embedding").toPandas()
     queries = corpus if queries is None else queries
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat, mat_n))
+    bc = broadcast_normalized_corpus(corpus)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_mat, c_mat_n = bc.value
+        c_ids, c_mat_n = bc.value
         order = np.argsort(c_ids)  # neighbor-id tiebreak: scan in id order
         s_ids, s_n = c_ids[order], c_mat_n[order]
         for pdf_q in batches:
@@ -275,6 +284,20 @@ def hyperplane_buckets(
     vector and shuffled twice.)
     """
     w = _plane_weights(n_planes, dims, plane_offset)
+    # Fail LOUDLY if the data is wider than the literal weight vectors:
+    # zip_with null-pads past len(wlit), the null poisons the projection
+    # sum, and every plane's when() would silently fall to bucket bit 0
+    # — all vectors in one bucket and a guaranteed oracle mismatch. The
+    # assert_true rides in a WHERE clause (never pruned as unused).
+    emb = emb.where(
+        F.coalesce(
+            F.assert_true(
+                F.size("embedding") <= F.lit(dims),
+                F.lit(f"embedding wider than hyperplane dims={dims}"),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+    )
     v = to_double(F.col("embedding"))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
@@ -471,17 +494,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid cell, then exact cosine top-3 within the query's own cell.
 
     The 100 TB shape: centroid assignment is a broadcast of K centroids
-    (never a corpus shuffle); candidate generation is an equi-join on
-    centroid_id whose fan-out is cell size, with AQE splitting hot
-    cells. Raising nprobe = unioning the next-nearest cells."""
+    (never a corpus shuffle); candidate generation groups by
+    centroid_id, so one task owns one cell (a grouped-map group cannot
+    be split by AQE — cell-size control belongs to the codebook: train
+    enough centroids that a cell fits a task, exactly as a real IVF
+    index does). Within a cell the kernel streams query BLOCKS against
+    the cell matrix, so peak memory is block x cell, never cell² —
+    the dense full-cell Gram matrix would be ~125 GB for a 125k-vector
+    cell. Raising nprobe = unioning the next-nearest cells."""
     import numpy as np
     import pandas as pd
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assign = ivf_assign(emb, n_centroids=8)
 
+    QUERY_BLOCK = 4096  # peak kernel memory = QUERY_BLOCK x |cell| doubles
+
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        # One dgemm per cell instead of |cell|² expression-tree cosines.
+        # Blocked dgemm per cell: query rows stream in fixed blocks
+        # against the (|cell| x dims) matrix, so memory is bounded by
+        # QUERY_BLOCK x |cell| regardless of cell size — the full-cell
+        # Gram matrix would be quadratic in the cell.
         n_rows = len(pdf)
         k = min(3, n_rows - 1)
         if k < 1:
@@ -492,18 +525,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()[order]
         mat = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
         nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        cos = round_half_away(nrm @ nrm.T, 6)
-        np.fill_diagonal(cos, -np.inf)  # ids unique ⇒ diagonal is self
-        top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(ids, k),
-                "neighbor_id": ids[top].ravel(),
-                "centroid_id": int(pdf["centroid_id"].iloc[0]),
-                "cos": np.take_along_axis(cos, top, axis=1).ravel(),
-                "rnk": np.tile(np.arange(1, k + 1), n_rows),
-            }
-        )
+        cid = int(pdf["centroid_id"].iloc[0])
+        outs = []
+        for lo in range(0, n_rows, QUERY_BLOCK):
+            hi = min(lo + QUERY_BLOCK, n_rows)
+            cos = round_half_away(nrm[lo:hi] @ nrm.T, 6)
+            for j in range(lo, hi):  # ids unique ⇒ diagonal is self
+                cos[j - lo, j] = -np.inf
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids[lo:hi], k),
+                        "neighbor_id": ids[top].ravel(),
+                        "centroid_id": cid,
+                        "cos": np.take_along_axis(cos, top, axis=1).ravel(),
+                        "rnk": np.tile(np.arange(1, k + 1), hi - lo),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     out_schema = "query_id long, neighbor_id long, centroid_id long, cos double, rnk long"
     return assign.groupBy("centroid_id").applyInPandas(cell_topk, out_schema)
