@@ -41,10 +41,11 @@ def _verified_names() -> set[str]:
     return green
 
 
-# SURVEY §2 core source/sink rows (S8/S9/S11/S12 and the format-federation
-# family): the reference's I/O surface deserves driver rows before more
-# exotic operators get theirs, so within the never-verified group these go
-# first regardless of registration order.
+# Front-of-queue rows within the never-verified group (entries already
+# driver-green are skipped automatically). Round 3 boosted the SURVEY §2
+# source/sink rows — all green now. Round 4 boosts the relational surface
+# users hit first: the 12 never-verified TPC-H queries plus the round-3
+# red row (inverted_index_tokens, output shape fixed this round).
 _BOOST = (
     "tsv_roundtrip_lineitem",
     "jsonl_roundtrip_orders",
@@ -53,6 +54,20 @@ _BOOST = (
     "schema_evolution_union",
     "dynamic_partition_prune_join",
     "federated_format_union",
+    "inverted_index_tokens",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_count_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_bulk_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_rich_customers",
+    "sql_q8_market_share",
 )
 
 

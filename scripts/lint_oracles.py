@@ -1,18 +1,25 @@
 #!/usr/bin/env python
-"""Static-ish lint for the DuckDB oracle strings: the HUGEINT class.
+"""Static-ish lint for the DuckDB oracle strings.
 
-DuckDB's count_if() / sum(<integer>) return HUGEINT (int128), which
-reaches the driver's Arrow hash as decimal128(38,0) while Spark emits
-int64 — so value-identical results hash-mismatch (two round-2 gate
-failures were exactly this). Every oracle must therefore cast such
-aggregates to BIGINT/INTEGER explicitly.
+Two output-type classes are rejected:
 
-This lint runs each registered oracle against the sf0.001 views and
-fails if ANY output column materializes as hugeint/int128/decimal128 —
-catching the class at commit time instead of at the driver gate. Pure
-schema probe: each query runs once at the smallest SF (LIMIT 0 is not
-used because DuckDB still types the full projection without it being
-materially slower at this scale).
+1. HUGEINT: DuckDB's count_if() / sum(<integer>) return HUGEINT
+   (int128), which reaches the driver's Arrow hash as decimal128(38,0)
+   while Spark emits int64 — so value-identical results hash-mismatch
+   (two round-2 gate failures were exactly this). Every oracle must
+   cast such aggregates to BIGINT/INTEGER explicitly.
+
+2. Nested types (list/struct/map): the driver's pandas canonicalizer
+   sorts result rows with ``sort_values``, which throws
+   ``TypeError: unhashable type: 'list'`` on any top-level array
+   column (the round-3 ``inverted_index_tokens`` red row). Repo
+   convention is ``array_join``/``array_to_string`` to a CSV string.
+   Oracles mirror the Spark output schema, so linting the oracle side
+   catches the class on both sides.
+
+Each oracle is planned against the sf0.001 views under a
+``SELECT * FROM (...) LIMIT 0`` wrapper — a schema-only probe: DuckDB
+types the full projection without materializing rows.
 
     python scripts/lint_oracles.py [sf_dir]
 """
@@ -30,6 +37,10 @@ from velox_hadoop_spark.catalog import TABLES  # noqa: E402
 from velox_hadoop_spark.plans import registry  # noqa: E402
 
 BAD_TYPES = ("hugeint", "int128", "decimal128(38, 0)", "decimal128(38,0)")
+
+# Nested Arrow types whose Python values are unhashable to the driver's
+# pandas sort_values canonicalizer (see module docstring, class 2).
+NESTED_TYPES = ("list", "struct", "map")
 
 
 def main() -> int:
@@ -55,7 +66,19 @@ def main() -> int:
         if bad:
             n_bad += 1
             print(f"FAIL  {name}: un-cast wide-integer columns {bad}")
-    print(f"{'OK' if n_bad == 0 else 'BAD'}: {n_bad} oracles with HUGEINT-class outputs")
+        nested = [
+            f"{f.name}:{f.type}"
+            for f in schema
+            if any(str(f.type).lower().startswith(b) for b in NESTED_TYPES)
+        ]
+        if nested:
+            n_bad += 1
+            print(
+                f"FAIL  {name}: top-level nested output columns {nested}"
+                " (array_join/array_to_string to CSV — driver canonicalizer"
+                " cannot sort list values)"
+            )
+    print(f"{'OK' if n_bad == 0 else 'BAD'}: {n_bad} oracles with HUGEINT-class or nested outputs")
     return 1 if n_bad else 0
 
 

@@ -61,8 +61,15 @@ def _canon(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.9g}"
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
+    if isinstance(v, (list, tuple, dict)):
+        # The DRIVER's pandas canonicalizer throws on unhashable list/dict
+        # values (round-3 inverted_index_tokens red row); tupling them here
+        # would make this gate more permissive than the real one. Fail the
+        # query instead — repo convention is array_join to a CSV string.
+        raise TypeError(
+            f"top-level nested value {type(v).__name__} in result — driver"
+            " canonicalizer cannot sort it; array_join to CSV instead"
+        )
     return v
 
 

@@ -82,7 +82,13 @@ DEFAULT_QUERIES = [
     "pagerank_3iter",
     "neighbor_jaccard_links",
     "part_affinity_lift",
+    # the end-to-end curation chain probed as one family (the north-star
+    # pipeline): two-stage LSH→verify near-dup, LSH→CC→keeper clustering,
+    # and the filter/sample funnel — composed shapes, not just their
+    # individual stages
     "near_dup_verified_pairs",
+    "dedup_clusters",
+    "curation_pipeline_stats",
     "table_checksum_buckets",
     "merge_upsert_orders",
     "ann_multiprobe_recall",

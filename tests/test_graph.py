@@ -94,3 +94,23 @@ def test_bfs_levels_on_path_graph(spark):
     edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
     got = {r.node: r.lvl for r in bfs_levels(edges, start=1).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_drained_probe_accepts_exact_cap(spark):
+    """max_levels exactly equal to the graph's eccentricity: the result
+    is complete, so require_drained must NOT raise — the final-level
+    probe (one extra neighbor join, no 13th loop pass) distinguishes
+    'last frontier landed on the cap' from 'levels exist beyond it'."""
+    import pytest
+
+    from velox_hadoop_spark.operators.graph import bfs_levels
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {
+        r.node: r.lvl
+        for r in bfs_levels(edges, start=1, max_levels=3, require_drained=True).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # one level short of the eccentricity must still fail loudly
+    with pytest.raises(RuntimeError, match="not drained"):
+        bfs_levels(edges, start=1, max_levels=2, require_drained=True).collect()

@@ -262,6 +262,33 @@ def test_knn_blocked_matches_broadcast(spark):
     assert blocked == fast
 
 
+def test_knn_blocked_query_frame_matches_broadcast(spark):
+    """The recall gates' >500k exact baseline: knn_blocked with a small
+    query frame and n_query_blocks=1 must equal the broadcast-dgemm
+    path restricted to the same queries, and its plan must not
+    broadcast anything (the corpus streams through the cogroup
+    un-replicated; the old fallback F.broadcast-ed an SF-proportional
+    sample)."""
+    from velox_hadoop_spark.operators.similarity import (
+        knn_blocked,
+        knn_numpy,
+        recall_query_sample,
+    )
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sample = recall_query_sample(emb).limit(40)
+    fast = {tuple(r) for r in knn_numpy(emb, k=3, queries=sample).collect()}
+    blocked_df = knn_blocked(emb, k=3, n_blocks=8, queries=sample, n_query_blocks=1)
+    blocked = {tuple(r) for r in blocked_df.collect()}
+    assert len(fast) > 0
+    assert blocked == fast
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_near_dup_blocked_matches_broadcast(spark):
     from velox_hadoop_spark.operators.dedup import cosine_near_dup_pairs
 

@@ -62,10 +62,15 @@ def test_stateful_running_totals_matches_batch(spark):
         """
     )
     got = {r.user_id: (r.n_events, r.total_value) for r in final.collect()}
+    # Compare against round_half_away of the UNROUNDED batch sum — the
+    # streamed kernel must land on the repo-wide half-away convention,
+    # not merely agree with some other pre-rounded Spark expression.
+    from velox_hadoop_spark.functions.vectors import round_half_away
+
     want = {
-        r.user_id: (r.n, r.total)
+        r.user_id: (r.n, float(round_half_away(r.total, 2)))
         for r in events.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
         .collect()
     }
     assert got == want

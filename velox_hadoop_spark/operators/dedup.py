@@ -1340,7 +1340,7 @@ def verify_candidate_jaccard(
         FROM inter i
         JOIN sizes sa ON i.id_a = sa.doc_id
         JOIN sizes sb ON i.id_b = sb.doc_id
-        WHERE i.n_shared / (sa.n + sb.n - i.n_shared) >= {_VERIFY_JACC_T}
+        WHERE ROUND(i.n_shared / (sa.n + sb.n - i.n_shared), 6) >= {_VERIFY_JACC_T}
     """,
     tags=("dedup", "minhash", "lsh", "verify", "extension"),
 )
@@ -1350,7 +1350,12 @@ def q_near_dup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup recipe (candidates are probabilistic; the verify pass makes
     the emitted pairs exact, so downstream clustering never acts on an
     LSH false positive). Candidate cost is LSH-bounded, verify cost is
-    candidate-bounded; nothing scales with the corpus pair space."""
+    candidate-bounded; nothing scales with the corpus pair space.
+
+    Both sides threshold on the 6-dp ROUNDED jaccard (the oracle WHERE
+    mirrors Spark's filter on ``verified.jaccard``), so a raw ratio in
+    [τ−5e-7, τ) can never be kept by one engine and dropped by the
+    other regardless of shingle-set size."""
     docs = _docs_par(spark, sf_dir)
     sig = minhash_signature_inline(docs, "doc_id", "text")
     cand = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")

@@ -327,6 +327,23 @@ def bfs_levels(
         stale_frontier = frontier
         frontier = new_frontier
         visited = new_visited
+    if require_drained and not drained:
+        # The loop only learns the frontier drained by OBSERVING an empty
+        # one, which takes an extra iteration — a graph whose last level
+        # is exactly max_levels would be falsely flagged even though the
+        # result is complete. Probe one level further (neighbor join +
+        # anti-join existence check, nothing added to visited) and fail
+        # only if genuinely-unvisited nodes remain beyond the cap.
+        probe = (
+            und.join(
+                _maybe_bc(frontier.select(F.col("node").alias("src")), n_frontier),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        drained = probe.limit(1).count() == 0
     if stale_frontier is not None:
         stale_frontier.unpersist()
     if frontier is not visited:

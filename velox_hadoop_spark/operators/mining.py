@@ -477,9 +477,15 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a materialization point the unrolled plan re-derives every prior
     # round 3^depth times (exchange reuse catches some, not all — and
     # at cluster scale a re-derivation is a full extra shuffle).
+    # Each round is materialized eagerly (count) so the SUPERSEDED
+    # round's cache can be freed immediately — same frontier discipline
+    # as the BFS loop (graph.py): only the final edge set stays cached.
     edges = edges.persist()
     for _ in range(3):
-        edges = _peel_once(edges, _KCORE_K).persist()
+        nxt = _peel_once(edges, _KCORE_K).persist()
+        nxt.count()
+        edges.unpersist()
+        edges = nxt
     return edges.groupBy("s").agg(F.count("*").alias("core_degree"))
 
 
@@ -1069,17 +1075,17 @@ def q_order_fill_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY s.s_nationkey, l.l_suppkey
         ),
-        tot AS (SELECT s_nationkey, CAST(SUM(r) AS BIGINT) AS t,
-                       count(*) AS n_suppliers
+        agg AS (SELECT s_nationkey,
+                       CAST(SUM(r) AS BIGINT) AS t,
+                       count(*) AS n_suppliers,
+                       SUM(CAST(r AS HUGEINT) * r) AS r2
                 FROM rev GROUP BY s_nationkey)
         SELECT n.n_name,
-               tot.n_suppliers,
-               floor(SUM((rev.r / tot.t) * (rev.r / tot.t))
+               agg.n_suppliers,
+               floor(CAST(r2 AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
                      * 1000000 + 0.5) / 1000000 AS hhi
-        FROM rev
-        JOIN tot ON rev.s_nationkey = tot.s_nationkey
-        JOIN nation n ON rev.s_nationkey = n.n_nationkey
-        GROUP BY n.n_name, tot.n_suppliers
+        FROM agg
+        JOIN nation n ON agg.s_nationkey = n.n_nationkey
     """,
     tags=("mining", "concentration", "extension"),
 )
@@ -1087,16 +1093,18 @@ def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl–Hirschman concentration of supplier revenue within
     each nation (1/n = perfectly even, →1 = monopolized) — the
     market-structure diagnostic, composed as: per-supplier revenue
-    aggregate → per-nation totals broadcast back → sum of squared
-    shares. Everything after the first fact aggregate runs on
-    supplier-cardinality frames.
+    aggregate → one per-nation aggregate → exact ratio.
 
-    Parity hardening: per-supplier revenue is summed as integer
-    ten-thousandths (line revenue is an exact 4-decimal rational), so
-    r and t are exact BIGINTs and every share r/t is the same double
-    in both engines; the squared-share sum uses the engine-identical
-    floor(x*1e6+0.5)/1e6 mapping (residual half-ulp-at-boundary
-    hazard documented, same accepted class as the pagerank pin).
+    Parity hardening (no double-SUM anywhere): per-supplier revenue is
+    summed as integer ten-thousandths (line revenue is an exact
+    4-decimal rational), so r and t are exact integers. Because t is
+    constant within a nation, HHI = Σ(r/t)² = (Σr²)/t² — the numerator
+    is an exact wide-integer sum (decimal(38,0) in Spark, HUGEINT in
+    DuckDB), and the ONLY floating-point step is one final division of
+    engine-identical exact operands, so the floor(x*1e6+0.5)/1e6
+    rounding can never straddle a summation-order ulp. This also drops
+    the rev→tot rejoin the share-based form needed — one aggregate per
+    nation instead of an aggregate plus a broadcast-back join.
     """
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -1112,19 +1120,24 @@ def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
     )
-    tot = rev.groupBy("s_nationkey").agg(
-        F.sum("r").alias("t"), F.count("*").alias("n_suppliers")
+    rdec = F.col("r").cast("decimal(38,0)")
+    agg = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("t"),
+        F.count("*").alias("n_suppliers"),
+        F.sum(rdec * rdec).alias("r2"),
     )
-    share = F.col("r") / F.col("t")
-    return (
-        rev.join(F.broadcast(tot), "s_nationkey")
-        .join(F.broadcast(nation), rev.s_nationkey == nation.n_nationkey)
-        .groupBy("n_name", "n_suppliers")
-        .agg(
-            (F.floor(F.sum(share * share) * 1000000 + F.lit(0.5)) / 1000000).alias(
-                "hhi"
-            )
+    hhi = (
+        F.floor(
+            F.col("r2").cast("double")
+            / (F.col("t").cast("double") * F.col("t").cast("double"))
+            * 1000000
+            + F.lit(0.5)
         )
+        / 1000000
+    )
+    return (
+        agg.join(F.broadcast(nation), agg.s_nationkey == nation.n_nationkey)
+        .select("n_name", "n_suppliers", hhi.alias("hhi"))
     )
 
 

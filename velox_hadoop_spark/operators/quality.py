@@ -344,7 +344,7 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT tok,
                count(*) AS df,
-               (list_sort(list(doc_id)))[1:10] AS postings
+               array_to_string((list_sort(list(doc_id)))[1:10], ',') AS postings
         FROM (SELECT DISTINCT doc_id, tok
               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents)
@@ -363,11 +363,17 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the true frequency. At 100 TB you'd shard the index by
     token range — the same plan with a ``repartitionByRange(tok)``
     before the write.
+
+    Postings are emitted as a CSV string (repo convention, see
+    ``operators/agg.py``): top-level array columns are unhashable to
+    the driver's pandas canonicalizer.
     """
     toks = _tokens(_docs(spark, sf_dir)).distinct()
     return toks.groupBy("tok").agg(
         F.count("*").alias("df"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("postings"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10), ","
+        ).alias("postings"),
     )
 
 

@@ -430,9 +430,12 @@ def null_split_left_join(
     scans); output is row-identical to the plain left join the oracle
     runs."""
     dim_cols = [c for c in dim.columns if c != dim_key]
+    # drop the dimension key BY REFERENCE: drop-by-name would also remove
+    # a same-named fact column (drop("x") strips every "x" in the join
+    # output), silently losing fact data for key-name collisions.
     matched = fact.where(F.col(fact_key).isNotNull()).join(
         dim, fact.__getattr__(fact_key) == dim.__getattr__(dim_key), "left"
-    ).drop(dim_key)
+    ).drop(dim.__getattr__(dim_key))
     nulls = fact.where(F.col(fact_key).isNull()).select(
         "*", *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in dim_cols]
     )

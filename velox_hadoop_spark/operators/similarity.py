@@ -128,19 +128,35 @@ def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -
     return queries.select("vec_id", "embedding").mapInPandas(score, out_schema)
 
 
-def _block_cogroup(corpus: DataFrame, n_blocks: int):
+def _block_cogroup(
+    corpus: DataFrame,
+    n_blocks: int,
+    queries: DataFrame | None = None,
+    n_query_blocks: int | None = None,
+):
     """Block-matrix cogroup for exact all-pairs scoring WITHOUT a driver
     collect: vectors get a block id (vec_id mod B); each side is
-    replicated B times so cogroup key (qblk, nblk) holds exactly the
-    (query-block, neighbor-block) pair. Shuffle volume is O(N·B) rows —
-    pick B ≈ N / BLOCK_ROWS so each block's matrix fits an executor —
-    versus O(N²) for a pair join; every (q, n) pair is scored exactly
-    once, so the result is EXACT, not approximate."""
+    replicated so cogroup key (qblk, nblk) holds exactly the
+    (query-block, neighbor-block) pair. Shuffle volume is O(N·Bq + Q·B)
+    rows — pick B ≈ N / BLOCK_ROWS so each block's matrix fits an
+    executor — versus O(N²) for a pair join; every (q, n) pair is
+    scored exactly once, so the result is EXACT, not approximate.
+
+    ``queries`` (default: the corpus itself) restricts the scored side
+    to a query frame, partitioned into ``n_query_blocks`` blocks
+    (default ``n_blocks``). A small fixed-size query frame should pass
+    ``n_query_blocks=1``: the corpus is then NOT replicated at all and
+    only the tiny query side fans out B ways — the sample-vs-corpus
+    shape the ANN recall gates use at scale."""
     e = corpus.select("vec_id", "embedding")
-    own = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
-    blks = F.array(*[F.lit(i) for i in range(n_blocks)])
-    q_rep = e.withColumn("qblk", own).withColumn("nblk", F.explode(blks))
-    n_rep = e.withColumn("nblk", own).withColumn("qblk", F.explode(blks))
+    qsrc = (corpus if queries is None else queries).select("vec_id", "embedding")
+    nq = n_blocks if n_query_blocks is None else n_query_blocks
+    own_n = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    own_q = F.pmod(F.col("vec_id"), F.lit(nq)).cast("int")
+    nblks = F.array(*[F.lit(i) for i in range(n_blocks)])
+    qblks = F.array(*[F.lit(i) for i in range(nq)])
+    q_rep = qsrc.withColumn("qblk", own_q).withColumn("nblk", F.explode(nblks))
+    n_rep = e.withColumn("nblk", own_n).withColumn("qblk", F.explode(qblks))
     return q_rep.groupBy("qblk", "nblk").cogroup(n_rep.groupBy("qblk", "nblk"))
 
 
@@ -154,13 +170,24 @@ def _mats(pdf):
     return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
 
-def knn_blocked(corpus: DataFrame, k: int = 1, n_blocks: int = 4) -> DataFrame:
+def knn_blocked(
+    corpus: DataFrame,
+    k: int = 1,
+    n_blocks: int = 4,
+    queries: DataFrame | None = None,
+    n_query_blocks: int | None = None,
+) -> DataFrame:
     """Exact cosine top-k at cluster scale: per-block dgemm + tournament
     merge. Each cogroup task scores one (query-block × neighbor-block)
     tile with BLAS and emits its local top-k per query; the global
     window then merges B candidate sets per query. A candidate in the
     global top-k is necessarily in its tile's local top-k under the same
-    (cos desc, id asc) order, so the merge loses nothing."""
+    (cos desc, id asc) order, so the merge loses nothing.
+
+    ``queries``/``n_query_blocks`` restrict the scored side to a query
+    frame (see ``_block_cogroup``) — with ``n_query_blocks=1`` the
+    corpus streams un-replicated and nothing is broadcast, so a
+    fixed-size query sample stays exact at any corpus size."""
     import numpy as np
     import pandas as pd
 
@@ -184,7 +211,7 @@ def knn_blocked(corpus: DataFrame, k: int = 1, n_blocks: int = 4) -> DataFrame:
         )
         return out[out["cos"] > -np.inf]
 
-    local = _block_cogroup(corpus, n_blocks).applyInPandas(
+    local = _block_cogroup(corpus, n_blocks, queries, n_query_blocks).applyInPandas(
         score, "query_id long, neighbor_id long, cos double"
     )
     return topk_per_query(local, k)
@@ -881,7 +908,27 @@ def q_centroid_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _RECALL_K = 3
-_RECALL_SAMPLE_MOD = 20  # 5% query sample
+# Fixed-COUNT deterministic query sample: the first N vec_ids in md5
+# order. A proportional sample (the old vec_id % 20) grows with the
+# corpus — at 100 TB it outgrows any broadcast/driver budget and makes
+# the exact baseline O(0.05·N²); a fixed count keeps the audit cost
+# O(SAMPLE·N) forever. md5 order is corpus-order-independent and
+# bias-free (ids may correlate with ingest time; their hashes don't).
+_RECALL_SAMPLE_N = 1000
+_DUCK_QS_CTE = (
+    "qs AS (SELECT vec_id FROM embeddings "
+    f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_RECALL_SAMPLE_N})"
+)
+
+
+def recall_query_sample(emb: DataFrame) -> DataFrame:
+    """The shared fixed-count query sample of the three recall gates —
+    identical derivation to the oracle's ``qs`` CTE (md5-of-decimal-id
+    order, id tiebreak, LIMIT N)."""
+    return emb.orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    ).limit(_RECALL_SAMPLE_N)
+
 
 def _score_candidates(emb, cand):
     """Exact cosine re-rank input for a (query_id, neighbor_id) candidate
@@ -915,17 +962,26 @@ def _recall_vs_exact(emb, sample, approx_top):
     The exact baseline routes through the guarded dgemm kernel: sample
     queries stream through mapInPandas against the broadcast-corpus
     matrix (one BLAS matmul per Arrow batch — identical output to the
-    zip_with pair join, ~10× cheaper); corpora past the driver budget
-    fall back to the pair join, which is still sample-bounded."""
+    zip_with pair join, ~10× cheaper). Corpora past the driver budget
+    route through ``knn_blocked`` with the fixed-count sample as the
+    query frame and ``n_query_blocks=1``: the corpus streams through
+    the cogroup un-replicated and NOTHING SF-proportional is ever
+    broadcast or collected, so the audit stays exact at any scale."""
+    import math
+
     n = emb.count()
     if n <= DRIVER_BROADCAST_ROWS:
         exact_top = knn_numpy(emb, _RECALL_K, queries=sample).select(
             "query_id", "neighbor_id"
         )
     else:
-        exact_top = topk_per_query(cosine_pairs(sample, emb), _RECALL_K).select(
-            "query_id", "neighbor_id"
-        )
+        exact_top = knn_blocked(
+            emb,
+            _RECALL_K,
+            n_blocks=max(2, math.ceil(n / BLOCK_ROWS)),
+            queries=sample,
+            n_query_blocks=1,
+        ).select("query_id", "neighbor_id")
     hits = exact_top.join(approx_top, ["query_id", "neighbor_id"], "left_semi")
     stats = exact_top.agg(
         F.countDistinct("query_id").alias("n_queries"),
@@ -952,7 +1008,7 @@ def _recall_vs_exact(emb, sample, approx_top):
     oracle=f"""
         WITH {_duck_bucket_ctes()},
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        qs AS (SELECT vec_id FROM embeddings WHERE vec_id % {_RECALL_SAMPLE_MOD} = 0),
+        {_DUCK_QS_CTE},
         exact_pairs AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_DUCK_COS} AS cos
             FROM e q JOIN qs ON q.vec_id = qs.vec_id
@@ -1015,7 +1071,7 @@ def q_ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ann_multiprobe_recall``), which trades candidate volume for
     recall."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    sample = emb.where(F.pmod(F.col("vec_id"), F.lit(_RECALL_SAMPLE_MOD)) == 0)
+    sample = recall_query_sample(emb)
     buckets = hyperplane_buckets(emb)
     qb = (
         buckets.join(
@@ -1072,7 +1128,7 @@ def _duck_multitable_cte(tables: int, planes: int, stride: int) -> str:
     oracle=f"""
         WITH {_duck_multitable_cte(_AMP_TABLES, _AMP_PLANES, _AMP_STRIDE)},
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        qs AS (SELECT vec_id FROM embeddings WHERE vec_id % {_RECALL_SAMPLE_MOD} = 0),
+        {_DUCK_QS_CTE},
         exact_pairs AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_DUCK_COS} AS cos
             FROM e q JOIN qs ON q.vec_id = qs.vec_id
@@ -1133,7 +1189,7 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     union adds a branch per table over the same cached bucket frame,
     and everything downstream is candidate-bounded."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    sample = emb.where(F.pmod(F.col("vec_id"), F.lit(_RECALL_SAMPLE_MOD)) == 0)
+    sample = recall_query_sample(emb)
     tbuckets = None
     for t in range(_AMP_TABLES):
         b = hyperplane_buckets(
@@ -1160,7 +1216,7 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_recall",
     oracle=f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        qs AS (SELECT vec_id FROM embeddings WHERE vec_id % {_RECALL_SAMPLE_MOD} = 0),
+        {_DUCK_QS_CTE},
         cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
         scored AS (
             SELECT e.vec_id, c.centroid_id,
@@ -1223,7 +1279,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured decision. Candidate generation is the same-cell equi-join
     the production ``ann_ivf_topk`` path uses."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    sample = emb.where(F.pmod(F.col("vec_id"), F.lit(_RECALL_SAMPLE_MOD)) == 0)
+    sample = recall_query_sample(emb)
     assign = ivf_assign(emb)
     qa = assign.join(sample.select("vec_id"), "vec_id", "left_semi").select(
         F.col("vec_id").alias("query_id"), "centroid_id"

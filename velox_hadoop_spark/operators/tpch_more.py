@@ -247,7 +247,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                qs[1] AS q_min,
                qs[-1] AS q_max,
                ROUND(list_aggregate(qs, 'sum'), 2) AS q_sum,
-               qs[1:3] AS first3,
+               array_to_string(qs[1:3], ',') AS first3,
                list_contains(qs, 1.0) AS has_one,
                CAST(len(list_distinct(qs)) AS BIGINT) AS n_uniq
         FROM per_order
@@ -273,7 +273,9 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate("qs", F.lit(0.0), lambda acc, x: acc + x), 2
         ).alias("q_sum"),
-        F.slice("qs", 1, 3).alias("first3"),
+        # CSV string, not a raw array slice: top-level array columns are
+        # unhashable to the driver's canonicalizer (lint_oracles class 2)
+        F.array_join(F.slice("qs", 1, 3), ",").alias("first3"),
         F.array_contains("qs", 1.0).alias("has_one"),
         F.size(F.array_distinct("qs")).cast("long").alias("n_uniq"),
     )

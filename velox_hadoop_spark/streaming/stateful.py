@@ -24,13 +24,24 @@ _STATE_SCHEMA = "n long, total double"
 
 
 def _update_running_totals(key, pdfs, state: GroupState):
+    # round_half_away, not Python's banker's round(): the batch twin and
+    # the SQL oracle both round half away from zero, and the streamed
+    # number must match them at half-cent totals.
+    from velox_hadoop_spark.functions.vectors import round_half_away
+
     (n, total) = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((n, total))
     yield pd.DataFrame(
-        [{"user_id": key[0], "n_events": n, "total_value": round(total, 2)}]
+        [
+            {
+                "user_id": key[0],
+                "n_events": n,
+                "total_value": float(round_half_away(total, 2)),
+            }
+        ]
     )
 
 
