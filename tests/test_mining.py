@@ -84,6 +84,22 @@ def test_kcore_peel_enforces_prior_round_degrees(spark):
         prev, n_prev = cur, n_cur
 
 
+def test_kcore_keeps_only_final_round_cached(spark):
+    """Cache discipline (same frontier rule as the BFS loop): each peel
+    round eagerly materializes, then the SUPERSEDED round is unpersisted
+    — after the action exactly one k-core edge set (the final round)
+    remains cached, regardless of peel depth."""
+    from velox_hadoop_spark.plans.registry import specs as _specs
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    _specs()["kcore_suppliers"].fn(spark, SF_DIR).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after - before == 1, (before, after)
+    spark.catalog.clearCache()
+
+
 def test_affinity_rule_invariants(spark):
     """support <= confidence <= 1 (n_a <= N), lift > 0, symmetric keys
     ordered p1 < p2."""
