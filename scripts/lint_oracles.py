@@ -64,7 +64,6 @@ def main() -> int:
             if any(b in str(f.type).lower() for b in BAD_TYPES)
         ]
         if bad:
-            n_bad += 1
             print(f"FAIL  {name}: un-cast wide-integer columns {bad}")
         nested = [
             f"{f.name}:{f.type}"
@@ -72,12 +71,13 @@ def main() -> int:
             if any(str(f.type).lower().startswith(b) for b in NESTED_TYPES)
         ]
         if nested:
-            n_bad += 1
             print(
                 f"FAIL  {name}: top-level nested output columns {nested}"
                 " (array_join/array_to_string to CSV — driver canonicalizer"
                 " cannot sort list values)"
             )
+        if bad or nested:
+            n_bad += 1  # count OFFENDING ORACLES once, not per class
     print(f"{'OK' if n_bad == 0 else 'BAD'}: {n_bad} oracles with HUGEINT-class or nested outputs")
     return 1 if n_bad else 0
 

@@ -96,6 +96,37 @@ def test_bfs_levels_on_path_graph(spark):
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
 
 
+def test_release_frees_local_checkpoint_rdd(spark):
+    """DataFrame.unpersist() is a NO-OP on a localCheckpoint's internal
+    RDD; functions/lineage.release must actually free it (this is what
+    bounds iterative-loop memory at O(1) snapshots instead of O(L))."""
+    from tests.test_mining import _persistent_rdd_ids
+    from velox_hadoop_spark.functions.lineage import release
+
+    before = _persistent_rdd_ids(spark)
+    df = spark.range(100).localCheckpoint(eager=True)
+    assert len(_persistent_rdd_ids(spark) - before) == 1
+    df.unpersist()  # documented no-op on the checkpoint RDD
+    assert len(_persistent_rdd_ids(spark) - before) == 1
+    release(df)
+    assert len(_persistent_rdd_ids(spark) - before) == 0
+
+
+def test_bfs_releases_superseded_visited_snapshots(spark):
+    """After a BFS run, exactly one new persistent RDD may remain (the
+    returned visited frame's final checkpoint) — superseded per-level
+    visited checkpoints and frontier persists must all be released."""
+    from tests.test_mining import _persistent_rdd_ids
+    from velox_hadoop_spark.operators.graph import bfs_levels
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    before = _persistent_rdd_ids(spark)
+    got = bfs_levels(edges, start=1).collect()
+    assert len(got) == 6
+    assert len(_persistent_rdd_ids(spark) - before) <= 1
+    spark.catalog.clearCache()
+
+
 def test_bfs_drained_probe_accepts_exact_cap(spark):
     """max_levels exactly equal to the graph's eccentricity: the result
     is complete, so require_drained must NOT raise — the final-level

@@ -84,19 +84,29 @@ def test_kcore_peel_enforces_prior_round_degrees(spark):
         prev, n_prev = cur, n_cur
 
 
+def _persistent_rdd_ids(spark):
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
 def test_kcore_keeps_only_final_round_cached(spark):
     """Cache discipline (same frontier rule as the BFS loop): each peel
     round eagerly materializes, then the SUPERSEDED round is unpersisted
-    — after the action exactly one k-core edge set (the final round)
-    remains cached, regardless of peel depth."""
+    — after the action exactly one NEW persistent RDD (the final round's
+    edge set) remains, regardless of peel depth. Compared on RDD *ids*,
+    not a global count: other tests' leftovers being reclaimed by the
+    async ContextCleaner between the two snapshots must not skew this."""
     from velox_hadoop_spark.plans.registry import specs as _specs
 
     spark.catalog.clearCache()
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    before = _persistent_rdd_ids(spark)
     _specs()["kcore_suppliers"].fn(spark, SF_DIR).collect()
-    after = jsc.getPersistentRDDs().size()
-    assert after - before == 1, (before, after)
+    new = _persistent_rdd_ids(spark) - before
+    assert len(new) == 1, new
     spark.catalog.clearCache()
 
 

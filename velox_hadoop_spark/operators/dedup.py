@@ -975,7 +975,11 @@ def connected_components(
             .count()
         )
         if prev_persisted is not None:
-            prev_persisted.unpersist()
+            # release, not unpersist: every 3rd frame is a localCheckpoint
+            # whose RDD unpersist() alone leaks (functions/lineage.py)
+            from velox_hadoop_spark.functions.lineage import release
+
+            release(prev_persisted)
         prev_persisted = new_labels
         labels = new_labels
         if changed == 0:

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from velox_hadoop_spark.functions.lineage import free_local_checkpoint, release
 from velox_hadoop_spark.functions.pairs import id_pairs
 from velox_hadoop_spark.plans.registry import register
 
@@ -93,6 +94,7 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     prev_persisted = None
+    last_ckpt = None  # fixed-iter mode: superseded checkpoint awaiting free
     iters_run = 0
 
     for i in range(max_iters):
@@ -114,6 +116,14 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             # cut lineage: without this the plan doubles in depth per pass
             new_ranks = new_ranks.localCheckpoint(eager=True)
+            if tol is None:
+                # fixed-iter mode has no supersede/release path below, so
+                # free the PREVIOUS checkpoint here (the new eager one no
+                # longer lineage-depends on it); the final checkpoint is
+                # what the caller receives and stays materialized.
+                if last_ckpt is not None:
+                    free_local_checkpoint(last_ckpt)
+                last_ckpt = new_ranks
         if tol is not None:
             # persist: new_ranks feeds BOTH the delta scalar and the next
             # iteration — without this the whole pass recomputes twice
@@ -125,7 +135,10 @@ def pagerank(
                 .first()["d"]
             )
             if prev_persisted is not None:
-                prev_persisted.unpersist()
+                # release = unpersist + free the checkpoint RDD when the
+                # superseded frame was a localCheckpoint (unpersist alone
+                # leaks it — see functions/lineage.py)
+                release(prev_persisted)
             prev_persisted = new_ranks
             ranks = new_ranks
             if delta is not None and delta < tol:
@@ -319,7 +332,10 @@ def bfs_levels(
             drained = True
             break
         new_visited = visited.union(new_frontier).localCheckpoint(eager=True)
-        visited.unpersist()
+        # release, not unpersist: every visited after level 1 is itself a
+        # localCheckpoint whose RDD unpersist() alone would leak — O(L)
+        # full visited snapshots would otherwise stay in executor memory
+        release(visited)
         # the previous frontier fed this level's join and is now dead;
         # unpersist it here (not earlier — the join above still read it)
         if stale_frontier is not None:

@@ -251,21 +251,35 @@ def knn_exact(
     k: int = 1,
     driver_broadcast_rows: int = DRIVER_BROADCAST_ROWS,
     block_rows: int = BLOCK_ROWS,
+    queries: DataFrame | None = None,
+    n_query_blocks: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs cosine top-k with a physical-strategy guard.
+    """Exact cosine top-k with a physical-strategy guard.
 
     Small corpora (≤ ``driver_broadcast_rows``) take the single-dgemm
     broadcast path; anything larger routes through the distributed
     blocked kernel, so no input size can OOM the driver. The one
     row-count action here is the plan-choice probe (the same runtime-
     statistics trick AQE uses) — it reads parquet metadata, not data.
+
+    ``queries``/``n_query_blocks`` restrict the scored side to a query
+    frame on BOTH regimes (the recall gates pass their fixed-count
+    sample with ``n_query_blocks=1``) — this is the single home of the
+    broadcast-vs-blocked policy so the threshold can never drift
+    between callers.
     """
     import math
 
     n = corpus.count()
     if n <= driver_broadcast_rows:
-        return knn_numpy(corpus, k)
-    return knn_blocked(corpus, k, n_blocks=max(2, math.ceil(n / block_rows)))
+        return knn_numpy(corpus, k, queries=queries)
+    return knn_blocked(
+        corpus,
+        k,
+        n_blocks=max(2, math.ceil(n / block_rows)),
+        queries=queries,
+        n_query_blocks=n_query_blocks,
+    )
 
 
 def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -959,29 +973,16 @@ def _recall_vs_exact(emb, sample, approx_top):
     against the exact sample top-k — the shared tail of every recall
     gate. Recall is a ratio of integer counts, floor-rounded at 6 dp.
 
-    The exact baseline routes through the guarded dgemm kernel: sample
-    queries stream through mapInPandas against the broadcast-corpus
-    matrix (one BLAS matmul per Arrow batch — identical output to the
-    zip_with pair join, ~10× cheaper). Corpora past the driver budget
-    route through ``knn_blocked`` with the fixed-count sample as the
-    query frame and ``n_query_blocks=1``: the corpus streams through
-    the cogroup un-replicated and NOTHING SF-proportional is ever
-    broadcast or collected, so the audit stays exact at any scale."""
-    import math
-
-    n = emb.count()
-    if n <= DRIVER_BROADCAST_ROWS:
-        exact_top = knn_numpy(emb, _RECALL_K, queries=sample).select(
-            "query_id", "neighbor_id"
-        )
-    else:
-        exact_top = knn_blocked(
-            emb,
-            _RECALL_K,
-            n_blocks=max(2, math.ceil(n / BLOCK_ROWS)),
-            queries=sample,
-            n_query_blocks=1,
-        ).select("query_id", "neighbor_id")
+    The exact baseline is ``knn_exact`` with the fixed-count sample as
+    the query frame: below the driver budget, sample queries stream
+    through mapInPandas against the broadcast-corpus matrix (one BLAS
+    matmul per Arrow batch); past it, ``knn_blocked`` with
+    ``n_query_blocks=1`` streams the corpus through the cogroup
+    un-replicated — NOTHING SF-proportional is ever broadcast or
+    collected, so the audit stays exact at any scale."""
+    exact_top = knn_exact(
+        emb, _RECALL_K, queries=sample, n_query_blocks=1
+    ).select("query_id", "neighbor_id")
     hits = exact_top.join(approx_top, ["query_id", "neighbor_id"], "left_semi")
     stats = exact_top.agg(
         F.countDistinct("query_id").alias("n_queries"),
@@ -1050,19 +1051,20 @@ def _recall_vs_exact(emb, sample, approx_top):
     tags=("similarity", "ann", "lsh", "quality-gate", "extension"),
 )
 def q_ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of the hyperplane-LSH ANN path against exact top-3 on a
-    deterministic 5% query sample — the measurable quality gate every
-    approximate index needs before it replaces the exact path.
+    """Recall@3 of the hyperplane-LSH ANN path against exact top-3 on
+    the fixed-count md5-order query sample (``recall_query_sample``) —
+    the measurable quality gate every approximate index needs before it
+    replaces the exact path.
 
     Production shape: the exact side scores SAMPLE × corpus (a quality
-    audit is always sample-based — never all-pairs), broadcast on the
-    small query side; the LSH side is the per-bucket equi-join the
-    scale path already uses, filtered to the same sample; the recall
-    join is sample-top-k-sized. Recall is a ratio of integer counts —
-    one engine-order-independent division, floor-rounded in both
-    engines.
+    audit is always sample-based — never all-pairs) through the guarded
+    dgemm kernels, so the audit stays O(sample·N) at any corpus size;
+    the LSH side is the per-bucket equi-join the scale path already
+    uses, filtered to the same sample; the recall join is
+    sample-top-k-sized. Recall is a ratio of integer counts — one
+    engine-order-independent division, floor-rounded in both engines.
 
-    On this corpus the gate reads LOW (~1% at sf0.01) and that is the
+    On this corpus the gate reads LOW (~2.5% at sf0.01) and that is the
     point: the synthetic embeddings are near-isotropic, so a single
     8-plane table slices the sphere into 256 cells whose occupants are
     barely correlated with cosine rank — exactly the failure mode a
@@ -1176,8 +1178,9 @@ def _duck_multitable_cte(tables: int, planes: int, stride: int) -> str:
 )
 def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of OR-amplified LSH (4 independent 4-plane tables,
-    candidates = union of same-bucket pairs over tables) on the same 5%
-    query sample as ``ann_lsh_recall_at_k`` — the standard recall lever:
+    candidates = union of same-bucket pairs over tables) on the same
+    fixed-count query sample as ``ann_lsh_recall_at_k`` — the standard
+    recall lever:
     coarser tables raise per-table collision probability, the OR across
     tables compounds it, and the exact re-rank keeps precision. The
     amplified index trades ~T× candidate volume for recall, and this
@@ -1272,7 +1275,7 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "ivf", "quality-gate", "extension"),
 )
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of the IVF (nprobe=1) path on the same 5% query sample —
+    """Recall@3 of the IVF (nprobe=1) path on the same fixed-count query sample —
     completing the index quality dashboard (single-table LSH, amplified
     LSH, IVF): same exact baseline, same integer-ratio recall, so the
     three gates are directly comparable and the index choice is a
