@@ -80,6 +80,12 @@ DEFAULT_QUERIES = [
     "token_stats",
     "events_session_10m",
     "pagerank_3iter",
+    # the bench's most expensive plans — the 100 TB claims need 10×
+    # evidence for these more than for anything cheap
+    "supplier_triangle_counts",
+    "kcore_suppliers",
+    "bfs_levels_from_min_supplier",
+    "ngram_jaccard_pairs",
     "neighbor_jaccard_links",
     "part_affinity_lift",
     # the end-to-end curation chain probed as one family (the north-star
