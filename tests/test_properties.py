@@ -168,3 +168,36 @@ def test_bucket_checksum_is_partition_and_order_invariant(spark, rows):
         }
 
     assert sums(a) == sums(b)
+
+
+_vec4 = st.lists(st.integers(min_value=-3, max_value=3), min_size=4, max_size=4).filter(
+    lambda v: any(v)
+)
+
+
+@given(
+    vecs=st.lists(_vec4, min_size=4, max_size=20),
+    nb=st.sampled_from([2, 3]),
+    nq=st.sampled_from([1, 2]),
+    k=st.sampled_from([1, 2]),
+)
+@settings(**SETTINGS)
+def test_knn_blocked_query_frame_law(spark, vecs, nb, nq, k):
+    """For ANY corpus and any block geometry, the distributed
+    block-matrix kernel restricted to a query frame must equal the
+    broadcast-dgemm kernel on the same queries — the law the recall
+    gates' >500k exact baseline rests on (every (q, n) pair lands in
+    exactly one tile, ties broken identically)."""
+    from velox_hadoop_spark.operators.similarity import knn_blocked, knn_numpy
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") % 2 == 0)
+    fast = {tuple(r) for r in knn_numpy(emb, k=k, queries=queries).collect()}
+    blocked = {
+        tuple(r)
+        for r in knn_blocked(
+            emb, k=k, n_blocks=nb, queries=queries, n_query_blocks=nq
+        ).collect()
+    }
+    assert fast and blocked == fast

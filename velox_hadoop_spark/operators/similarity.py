@@ -116,13 +116,18 @@ def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -
             cos[self_mask] = -np.inf
             # stable sort on -cos keeps id-order among ties
             top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-            rows = {
-                "query_id": np.repeat(qids, k),
-                "neighbor_id": s_ids[top].ravel(),
-                "cos": np.take_along_axis(cos, top, axis=1).ravel(),
-                "rnk": np.tile(np.arange(1, k + 1), len(qids)),
-            }
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, top.shape[1]),
+                    "neighbor_id": s_ids[top].ravel(),
+                    "cos": np.take_along_axis(cos, top, axis=1).ravel(),
+                    "rnk": np.tile(np.arange(1, top.shape[1] + 1), len(qids)),
+                }
+            )
+            # k >= corpus size would otherwise emit the masked self-pair
+            # (cos = -inf) as a phantom rank — same edge filter as
+            # knn_blocked, so the two kernels agree for every (k, N)
+            yield out[out["cos"] > -np.inf]
 
     out_schema = "query_id long, neighbor_id long, cos double, rnk long"
     return queries.select("vec_id", "embedding").mapInPandas(score, out_schema)
