@@ -443,3 +443,21 @@ def test_cascade_audit_is_semi_join_only(spark):
     plan = _formatted_plan(df)
     assert "LeftSemi" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hhi_single_nation_aggregate_no_rejoin(spark):
+    """The round-4 HHI rewrite (HHI = Σr²/t², t constant per nation)
+    must compile to exactly two shuffles — the per-(nation, supplier)
+    revenue aggregate and the per-nation (t, n, Σr²) aggregate — with
+    only broadcast joins (supplier dim in, nation dim out). The old
+    squared-share form needed a third exchange to join totals back."""
+    df = registry.queries()["supplier_concentration_hhi"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    detail = [line for line in plan.splitlines() if line.startswith("(")]
+    shuffles = sum(
+        1 for line in detail if "Exchange" in line and "BroadcastExchange" not in line
+    )
+    bhj = sum(1 for line in detail if "BroadcastHashJoin" in line)
+    assert shuffles == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert bhj == 2, plan
