@@ -318,6 +318,8 @@ def stream_user_extremes_tws(events: DataFrame) -> DataFrame:
         StatefulProcessorHandle,
     )
 
+    from velox_hadoop_spark.functions.vectors import round_half_away
+
     class Extremes(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState("extremes", "n long, mx double")
@@ -329,7 +331,7 @@ def stream_user_extremes_tws(events: DataFrame) -> DataFrame:
                 mx = max(mx, float(pdf["value"].max()))
             self._state.update((n, mx))
             yield pd.DataFrame(
-                [{"user_id": key[0], "n_events": n, "max_value": round(mx, 2)}]
+                [{"user_id": key[0], "n_events": n, "max_value": round_half_away(mx, 2)}]
             )
 
         def close(self) -> None:
