@@ -201,3 +201,50 @@ def test_knn_blocked_query_frame_law(spark, vecs, nb, nq, k):
         ).collect()
     }
     assert fast and blocked == fast
+
+
+_round_doubles = st.one_of(
+    st.floats(
+        min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+    ),
+    # dyadic .5 ties at the rounded digit (k/2^j scaled): the ONLY doubles
+    # that sit EXACTLY on a rounding boundary — where banker's rounding
+    # and half-away-from-zero genuinely disagree
+    st.integers(min_value=-4000, max_value=4000).map(lambda k: k / 8.0),
+    st.integers(min_value=-4000, max_value=4000).map(lambda k: k / 128.0),
+)
+
+
+@given(xs=st.lists(_round_doubles, min_size=1, max_size=50), dec=st.sampled_from([2, 4, 6]))
+@settings(**SETTINGS)
+def test_round_half_away_matches_duckdb_round(xs, dec):
+    """round_half_away (the helper every numpy/pandas kernel must round
+    through) is bit-identical to DuckDB ROUND for any double and any
+    repo-used precision — the cross-engine contract all pandas-kernel
+    oracles rest on. No Spark session involved: this is a pure
+    numpy-vs-DuckDB law."""
+    import numpy as np
+
+    from velox_hadoop_spark.functions.vectors import round_half_away
+
+    con = duckdb.connect()
+    duck = con.sql(
+        f"SELECT ROUND(x, {dec}) AS r FROM (SELECT unnest(?) AS x)", params=[xs]
+    ).fetchnumpy()["r"]
+    ours = np.asarray(round_half_away(np.array(xs, dtype="float64"), dec))
+    assert ours.tolist() == duck.tolist()
+
+
+def test_bankers_round_breaks_the_duckdb_contract():
+    """Canary documenting WHY round_half_away exists: numpy's np.round
+    (banker's) disagrees with DuckDB ROUND on exact dyadic .5 ties, so
+    any kernel rounding through np.round would flake against its
+    oracle. If this ever starts passing, the helper can be retired."""
+    import numpy as np
+
+    ties = np.array([0.125, -0.125, 0.375, 2.5, -2.5])
+    con = duckdb.connect()
+    duck = con.sql(
+        "SELECT ROUND(x, 2) AS r FROM (SELECT unnest([0.125, -0.125, 0.375, 2.5, -2.5]::DOUBLE[]) AS x)"
+    ).fetchnumpy()["r"]
+    assert np.round(ties, 2).tolist() != duck.tolist()
