@@ -1,0 +1,164 @@
+"""Empty / degenerate-input behavior of the custom kernels.
+
+A 100 TB pipeline routinely produces empty frames mid-plan (a filter
+that matches nothing, a partition with no rows, a day with no events).
+Every public kernel must return a correctly-typed EMPTY result there —
+never raise — so composed pipelines (filter → dedup → knn → sample)
+degrade to empty output instead of crashing the job. The knn kernels'
+empty-corpus edge was a real crash found by this probe (AxisError from
+a 1-D empty matrix in ``broadcast_normalized_corpus``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string, source string, lang string")
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def empty_edges(spark):
+    return spark.createDataFrame([], "src long, dst long")
+
+
+def test_graph_kernels_on_empty_edges(spark, empty_edges):
+    from velox_hadoop_spark.operators.graph import adjacency, bfs_levels, pagerank
+
+    assert adjacency(empty_edges).count() == 0
+    assert pagerank(empty_edges, max_iters=2).count() == 0
+    # tol mode: the Σ|Δ| scalar comes back NULL on an empty frame; the
+    # loop must not treat that as convergence-by-crash
+    assert pagerank(empty_edges, max_iters=3, tol=0.01).count() == 0
+    # BFS from an unknown start: the start node itself is level 0, the
+    # frontier drains on the first pass
+    out = bfs_levels(empty_edges, start=99, max_levels=3).collect()
+    assert [(r.node, r.lvl) for r in out] == [(99, 0)]
+
+
+def test_dedup_kernels_on_empty_docs(spark, empty_docs):
+    from velox_hadoop_spark.operators.dedup import (
+        exact_dedup_groups,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature_inline,
+        shingle_set,
+    )
+
+    assert exact_dedup_groups(empty_docs, "doc_id", "text").count() == 0
+    sig = minhash_signature_inline(empty_docs, "doc_id", "text")
+    assert sig.count() == 0
+    assert lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id").count() == 0
+    assert shingle_set(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_knn_kernels_on_empty_corpus(spark, empty_emb):
+    """The regression this file exists for: an empty corpus must yield a
+    typed empty top-k frame from every kNN kernel (broadcast-dgemm,
+    block-matrix, and the size-guarded router), not an AxisError."""
+    from velox_hadoop_spark.operators.similarity import knn_blocked, knn_exact, knn_numpy
+
+    for df in (
+        knn_numpy(empty_emb, k=2),
+        knn_blocked(empty_emb, k=2, n_blocks=2),
+        knn_exact(empty_emb, 2),
+    ):
+        assert df.count() == 0
+        assert df.columns == ["query_id", "neighbor_id", "cos", "rnk"]
+
+
+def test_knn_kernels_on_single_row_corpus(spark):
+    """One vector, k=2: the only candidate pair is the masked self-pair,
+    so both kernels must emit zero rows (no phantom -inf rank)."""
+    from velox_hadoop_spark.operators.similarity import knn_blocked, knn_numpy
+
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    assert knn_numpy(one, k=2).count() == 0
+    assert knn_blocked(one, k=2, n_blocks=2).count() == 0
+
+
+def test_kmeans_on_empty_corpus(spark, empty_emb):
+    from velox_hadoop_spark.operators.clustering import kmeans
+
+    assert kmeans(empty_emb, k=2, iters=1).count() == 0
+
+
+def test_sampling_kernels_on_empty_frame(spark, empty_docs):
+    from velox_hadoop_spark.operators.sampling import (
+        assign_split,
+        capped_per_group,
+        deterministic_sample,
+    )
+
+    assert deterministic_sample(empty_docs, "doc_id", 10).count() == 0
+    assert capped_per_group(empty_docs, "source", "doc_id", 3).count() == 0
+    assert assign_split(empty_docs, "doc_id").count() == 0
+
+
+def test_joins_on_empty_sides(spark):
+    from velox_hadoop_spark.operators.join import asof_join
+    from velox_hadoop_spark.operators.skew import salted_join
+
+    li = spark.createDataFrame([], "l_orderkey long, v double")
+    od = spark.createDataFrame([], "o_orderkey long, p string")
+    assert salted_join(li, od, "l_orderkey", "o_orderkey").count() == 0
+
+    # as-of against an empty right side: left rows survive with NULL
+    # carried values (the window finds no prior right row)
+    left = spark.createDataFrame([(1,)], "user_id long").select(
+        "user_id", F.current_timestamp().alias("lts")
+    )
+    empty_right = spark.createDataFrame([], "user_id long, rts timestamp, value double")
+    out = asof_join(left, empty_right, "user_id", "lts", "rts", ["value"]).collect()
+    assert len(out) == 1 and out[0]["asof_value"] is None
+
+
+def test_stateful_batch_twins_on_empty_events(spark):
+    from velox_hadoop_spark.streaming.stateful import (
+        batch_user_session_summary,
+        batch_user_totals,
+    )
+
+    ev = spark.createDataFrame([], "user_id long, event_id long, ts timestamp, value double")
+    assert batch_user_totals(ev).count() == 0
+    assert batch_user_session_summary(ev).count() == 0
+
+
+def test_text_kernels_on_empty_docs(spark, empty_docs):
+    from velox_hadoop_spark.operators.sort import global_rank
+    from velox_hadoop_spark.operators.textstats import token_stats
+
+    assert token_stats(empty_docs).count() == 0
+    assert global_rank(empty_docs, ["doc_id"]).count() == 0
+
+
+def test_vector_kernels_drop_null_embeddings(spark):
+    """A corpus row with a NULL embedding participates in no similarity
+    (SQL null semantics) — the matrix kernels must drop it at entry, not
+    crash mid-BLAS on the inhomogeneous batch, and kmeans must not hand
+    it an arbitrary centroid (a NULL L2 sorts first under asc)."""
+    from velox_hadoop_spark.operators.clustering import kmeans
+    from velox_hadoop_spark.operators.similarity import (
+        embedding_norms_arrow,
+        hyperplane_buckets,
+        knn_blocked,
+        knn_numpy,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for out in (knn_numpy(emb, k=1), knn_blocked(emb, k=1, n_blocks=2)):
+        rows = out.collect()
+        ids = {r.query_id for r in rows} | {r.neighbor_id for r in rows}
+        assert len(rows) == 3 and 1 not in ids
+    assert {r.vec_id for r in hyperplane_buckets(emb).collect()} == {2, 3, 4}
+    assert {r.vec_id for r in embedding_norms_arrow(emb).collect()} == {2, 3, 4}
+    assert {r.vec_id for r in kmeans(emb, k=2, iters=1).collect()} == {2, 3, 4}

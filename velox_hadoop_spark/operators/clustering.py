@@ -66,9 +66,19 @@ def _update(assigned: DataFrame) -> DataFrame:
 def kmeans(emb: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
     """Lloyd's k-means, deterministic init (k lowest vec_ids); returns
     the final (vec_id, cluster, dist) assignment."""
-    v = emb.select("vec_id", to_double(F.col("embedding")).alias("e"))
-    cents = v.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    # NULL embeddings get no assignment (a null L2² sorts FIRST under
+    # asc and would silently claim an arbitrary centroid)
+    v = emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id", to_double(F.col("embedding")).alias("e")
+    )
+    # TRUE k-lowest ids, not `vec_id < k`: the shorthand only matches on
+    # dense 0-based id spaces (where both forms agree — the registered
+    # oracle keeps the WHERE form for that reason) and silently
+    # under-fills the centroid set on any other id space
+    cents = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
     )
     assigned = None
     for _ in range(iters):

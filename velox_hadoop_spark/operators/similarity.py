@@ -41,6 +41,16 @@ _DUCK_COS = (
 )
 
 
+def drop_null_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """SQL null semantics for the vector kernels: a NULL embedding joins
+    no similarity computation. The SQL-expression kernels get this for
+    free (a null cosine fails every threshold), but the numpy/Arrow
+    matrix kernels would crash mid-batch on the inhomogeneous column —
+    and a real corpus at scale always carries a few nulls — so every
+    kernel that materializes embeddings into a matrix filters here."""
+    return df.where(F.col(col).isNotNull())
+
+
 def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     """All (query, candidate) cosine scores, candidate ≠ query.
 
@@ -75,9 +85,11 @@ def broadcast_normalized_corpus(corpus: DataFrame):
     matrix ships; the raw matrix is never broadcast."""
     import numpy as np
 
-    pdf = corpus.select("vec_id", "embedding").toPandas()
+    pdf = drop_null_vectors(corpus).select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy()
     mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    if mat.ndim == 1:  # empty corpus (filter-to-zero upstream): keep 2-D
+        mat = mat.reshape(0, 0)
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     return corpus.sparkSession.sparkContext.broadcast((ids, mat_n))
 
@@ -107,6 +119,8 @@ def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -
         c_ids, c_mat_n = bc.value
         order = np.argsort(c_ids)  # neighbor-id tiebreak: scan in id order
         s_ids, s_n = c_ids[order], c_mat_n[order]
+        if s_n.shape[0] == 0:  # empty corpus: no pairs, typed-empty result
+            return
         for pdf_q in batches:
             q = np.array(pdf_q["embedding"].tolist(), dtype=np.float64)
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
@@ -130,7 +144,9 @@ def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -
             yield out[out["cos"] > -np.inf]
 
     out_schema = "query_id long, neighbor_id long, cos double, rnk long"
-    return queries.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    return drop_null_vectors(queries).select("vec_id", "embedding").mapInPandas(
+        score, out_schema
+    )
 
 
 def _block_cogroup(
@@ -153,8 +169,10 @@ def _block_cogroup(
     ``n_query_blocks=1``: the corpus is then NOT replicated at all and
     only the tiny query side fans out B ways — the sample-vs-corpus
     shape the ANN recall gates use at scale."""
-    e = corpus.select("vec_id", "embedding")
-    qsrc = (corpus if queries is None else queries).select("vec_id", "embedding")
+    e = drop_null_vectors(corpus).select("vec_id", "embedding")
+    qsrc = drop_null_vectors(corpus if queries is None else queries).select(
+        "vec_id", "embedding"
+    )
     nq = n_blocks if n_query_blocks is None else n_query_blocks
     own_n = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
     own_q = F.pmod(F.col("vec_id"), F.lit(nq)).cast("int")
@@ -330,6 +348,7 @@ def hyperplane_buckets(
     vector and shuffled twice.)
     """
     w = _plane_weights(n_planes, dims, plane_offset)
+    emb = drop_null_vectors(emb)  # null would trip the width assert below
     # Fail LOUDLY if the data is wider than the literal weight vectors:
     # zip_with null-pads past len(wlit), the null poisons the projection
     # sum, and every plane's when() would silently fall to bucket bit 0
@@ -774,7 +793,7 @@ def embedding_norms_arrow(emb: DataFrame) -> DataFrame:
             for out in tbl.to_batches():
                 yield out
 
-    return emb.select(
+    return drop_null_vectors(emb).select(
         "vec_id", to_double(F.col("embedding")).alias("embedding")
     ).mapInArrow(kernel, "vec_id long, l2_norm double")
 
