@@ -162,3 +162,35 @@ def test_vector_kernels_drop_null_embeddings(spark):
     assert {r.vec_id for r in hyperplane_buckets(emb).collect()} == {2, 3, 4}
     assert {r.vec_id for r in embedding_norms_arrow(emb).collect()} == {2, 3, 4}
     assert {r.vec_id for r in kmeans(emb, k=2, iters=1).collect()} == {2, 3, 4}
+
+
+def test_asof_join_same_timestamp_right_rows_tie_deterministically(spark):
+    """Two right rows on the same (key, ts): the greatest value tuple
+    must win, regardless of partitioning — without a pinned tie order
+    the winner is whichever row the shuffle delivers last."""
+    import datetime
+
+    from velox_hadoop_spark.operators.join import asof_join
+
+    t = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t)], "user_id long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, t, 10.0), (1, t, 20.0)], "user_id long, rts timestamp, value double"
+    )
+    for r in (right.repartition(4), right.repartition(1), right.orderBy(F.desc("value"))):
+        out = asof_join(left, r, "user_id", "lts", "rts", ["value"]).collect()
+        assert len(out) == 1 and out[0]["asof_value"] == 20.0
+
+
+def test_multimodal_null_payload_yields_null_features(spark):
+    """A corrupt/missing blob (NULL payload) must flow through feature
+    extraction as typed NULLs, not crash the Arrow batch."""
+    from velox_hadoop_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, None, "image"), (2, b"\x89PNG123", "image"), (3, b"abc", "audio")],
+        "media_id long, payload binary, media_type string",
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[1].digest is None and rows[1].n_bytes is None and rows[1].width is None
+    assert rows[2].digest is not None and rows[3].n_frames is not None

@@ -59,6 +59,12 @@ def asof_join(
     shuffle on the key, linear in rows, no per-row lookups; this is the
     scale-correct pattern (a naive correlated max-subquery would be a
     join-per-row).
+
+    Two right rows on the SAME (key, ts) are a defined tie: the row
+    with the greatest ``value_cols`` tuple wins. Without that ordering
+    term the winner would be whichever row the shuffle happened to
+    deliver last — a run-to-run nondeterminism that only shows up at
+    scale (same-millisecond ticks), so the window order pins it.
     """
     lcols = left.columns
     l = left.withColumn("__t", F.col(left_ts).cast("timestamp")).withColumn(
@@ -80,7 +86,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy(key)
-        .orderBy("__t", "__tag")
+        .orderBy("__t", "__tag", *[F.col(f"__v_{v}") for v in value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
