@@ -40,6 +40,8 @@ BAD_TYPES = ("hugeint", "int128", "decimal128(38, 0)", "decimal128(38,0)")
 
 # Nested Arrow types whose Python values are unhashable to the driver's
 # pandas sort_values canonicalizer (see module docstring, class 2).
+# Prefix match would miss Arrow's fixed_size_list (DuckDB fixed-length
+# ARRAY) and large_list spellings — match anywhere in the type string.
 NESTED_TYPES = ("list", "struct", "map")
 
 
@@ -68,7 +70,7 @@ def main() -> int:
         nested = [
             f"{f.name}:{f.type}"
             for f in schema
-            if any(str(f.type).lower().startswith(b) for b in NESTED_TYPES)
+            if any(b in str(f.type).lower() for b in NESTED_TYPES)
         ]
         if nested:
             print(

@@ -194,3 +194,27 @@ def test_multimodal_null_payload_yields_null_features(spark):
     rows = {r.media_id: r for r in extract_features(media).collect()}
     assert rows[1].digest is None and rows[1].n_bytes is None and rows[1].width is None
     assert rows[2].digest is not None and rows[3].n_frames is not None
+
+
+def test_near_dup_and_ivf_kernels_drop_null_embeddings(spark):
+    """The broadcast near-dup pair kernel streams the corpus through the
+    SAME matrix path as knn — both its sides must drop nulls (review
+    follow-up: the stream side was missed in the first hardening pass).
+    ivf_assign likewise feeds matrix kernels, so a null vector must get
+    no cell assignment rather than a nondeterministic one."""
+    from velox_hadoop_spark.operators.dedup import cosine_near_dup_pairs
+    from velox_hadoop_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    ids = {r.a_id for r in pairs} | {r.b_id for r in pairs}
+    assert pairs and 1 not in ids
+
+    all_null = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    assert cosine_near_dup_pairs(all_null, threshold=0.5).count() == 0
+
+    assigned = ivf_assign(emb, n_centroids=2)
+    assert {r.vec_id for r in assigned.collect()} == {0, 2, 3}

@@ -97,7 +97,7 @@ def _duck_kmeans_oracle(k: int, iters: int) -> str:
         "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
     )
     parts = [
-        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)",
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL)",
         f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {k})",
     ]
     for i in range(1, iters + 1):

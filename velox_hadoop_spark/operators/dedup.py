@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from velox_hadoop_spark.functions import hashing as H
+from velox_hadoop_spark.functions.lineage import release
 from velox_hadoop_spark.functions.pairs import id_pairs, upper_triangle_pairs
 from velox_hadoop_spark.plans.registry import register
 from velox_hadoop_spark.session import parallelize_if_narrow_input
@@ -631,12 +632,17 @@ def _near_dup_broadcast(corpus: DataFrame, threshold: float) -> DataFrame:
     import pandas as pd
 
     from velox_hadoop_spark.functions.vectors import round_half_away
-    from velox_hadoop_spark.operators.similarity import broadcast_normalized_corpus
+    from velox_hadoop_spark.operators.similarity import (
+        broadcast_normalized_corpus,
+        drop_null_vectors,
+    )
 
     bc = broadcast_normalized_corpus(corpus)
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_ids, c_n = bc.value
+        if c_n.shape[0] == 0:  # empty/all-null corpus: no pairs
+            return
         for pdf_q in batches:
             q = np.array(pdf_q["embedding"].tolist(), dtype=np.float64)
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
@@ -654,7 +660,11 @@ def _near_dup_broadcast(corpus: DataFrame, threshold: float) -> DataFrame:
             )
 
     out_schema = "a_id long, b_id long, cos double"
-    return corpus.select("vec_id", "embedding").mapInPandas(pairs, out_schema)
+    # stream side must drop nulls like the broadcast side, or a single
+    # NULL embedding raggs the batch matrix and kills the job mid-BLAS
+    return drop_null_vectors(corpus).select("vec_id", "embedding").mapInPandas(
+        pairs, out_schema
+    )
 
 
 def cosine_near_dup_pairs(
@@ -690,7 +700,8 @@ def cosine_near_dup_pairs(
 @register(
     "embedding_near_dup",
     oracle="""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE embedding IS NOT NULL),
         pairs AS (
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                    ROUND(list_dot_product(a.v, b.v) /
@@ -977,8 +988,6 @@ def connected_components(
         if prev_persisted is not None:
             # release, not unpersist: every 3rd frame is a localCheckpoint
             # whose RDD unpersist() alone leaks (functions/lineage.py)
-            from velox_hadoop_spark.functions.lineage import release
-
             release(prev_persisted)
         prev_persisted = new_labels
         labels = new_labels

@@ -392,9 +392,9 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
 
     from velox_hadoop_spark.functions.vectors import dot, norm
 
-    e = emb.select("vec_id", to_double(F.col("embedding")).alias("v")).withColumn(
-        "n", norm(F.col("v"))
-    )
+    e = drop_null_vectors(emb).select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    ).withColumn("n", norm(F.col("v")))
     cents = e.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
@@ -449,7 +449,7 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_top1_all",
     oracle=f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         pairs AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                    {_DUCK_COS} AS cos
@@ -520,7 +520,7 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     oracle=f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
         scored AS (
             SELECT e.vec_id, c.centroid_id,
@@ -805,6 +805,7 @@ def embedding_norms_arrow(emb: DataFrame) -> DataFrame:
                ROUND(sqrt(list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
         FROM embeddings
+        WHERE embedding IS NOT NULL
     """,
     tags=("similarity", "mapInArrow", "udf", "extension"),
 )
@@ -825,6 +826,7 @@ def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
+            WHERE embedding IS NOT NULL
         ),
         scaled AS (
             SELECT vec_id, e,
@@ -879,9 +881,9 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return emb.select("vec_id", to_double(F.col("embedding")).alias("embedding")).mapInPandas(
-        kernel, "vec_id long, max_abs_err double, mean_abs_err double"
-    )
+    return drop_null_vectors(emb).select(
+        "vec_id", to_double(F.col("embedding")).alias("embedding")
+    ).mapInPandas(kernel, "vec_id long, max_abs_err double, mean_abs_err double")
 
 
 @register(
@@ -954,7 +956,7 @@ _RECALL_K = 3
 # bias-free (ids may correlate with ingest time; their hashes don't).
 _RECALL_SAMPLE_N = 1000
 _DUCK_QS_CTE = (
-    "qs AS (SELECT vec_id FROM embeddings "
+    "qs AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL "
     f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_RECALL_SAMPLE_N})"
 )
 
@@ -963,7 +965,7 @@ def recall_query_sample(emb: DataFrame) -> DataFrame:
     """The shared fixed-count query sample of the three recall gates —
     identical derivation to the oracle's ``qs`` CTE (md5-of-decimal-id
     order, id tiebreak, LIMIT N)."""
-    return emb.orderBy(
+    return drop_null_vectors(emb).orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
     ).limit(_RECALL_SAMPLE_N)
 
@@ -1032,7 +1034,7 @@ def _recall_vs_exact(emb, sample, approx_top):
     "ann_lsh_recall_at_k",
     oracle=f"""
         WITH {_duck_bucket_ctes()},
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         {_DUCK_QS_CTE},
         exact_pairs AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_DUCK_COS} AS cos
@@ -1153,7 +1155,7 @@ def _duck_multitable_cte(tables: int, planes: int, stride: int) -> str:
     "ann_multiprobe_recall",
     oracle=f"""
         WITH {_duck_multitable_cte(_AMP_TABLES, _AMP_PLANES, _AMP_STRIDE)},
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         {_DUCK_QS_CTE},
         exact_pairs AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_DUCK_COS} AS cos
@@ -1242,7 +1244,7 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_recall",
     oracle=f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         {_DUCK_QS_CTE},
         cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
         scored AS (
