@@ -218,3 +218,25 @@ def test_near_dup_and_ivf_kernels_drop_null_embeddings(spark):
 
     assigned = ivf_assign(emb, n_centroids=2)
     assert {r.vec_id for r in assigned.collect()} == {0, 2, 3}
+
+
+def test_token_stats_empty_text_yields_null_avg(spark):
+    """Empty / whitespace-only text: avg_token_len must be NULL in both
+    engines (DuckDB's list_aggregate sums an empty list to NULL; the
+    Spark side previously folded to the 0.0 initializer — a silent
+    cross-engine mismatch on any token-free document)."""
+    import duckdb
+
+    from velox_hadoop_spark.operators.textstats import token_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "ab cd")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert rows[1].avg_token_len is None and rows[2].avg_token_len is None
+    assert rows[3].avg_token_len == 2.0
+    duck = duckdb.sql(
+        "SELECT CASE WHEN len(w) > 0 THEN 1 END FROM (SELECT "
+        "list_filter(string_split_regex('', '\\s+'), t -> t <> '') AS w)"
+    ).fetchone()[0]
+    assert duck is None

@@ -188,8 +188,13 @@ def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pair",
             F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
             F.round(F.col("n_pair") / F.col("n1"), 6).alias("confidence"),
+            # numerator in DOUBLE: long*long wraps silently past 2^63
+            # (n_orders ~1e11 x a hot pair ~1e8 at the 100 TB scale)
+            # while the oracle multiplies in double — match it
             F.round(
-                (F.col("n_pair") * F.col("n_orders")) / (F.col("n1") * F.col("n2")), 4
+                (F.col("n_pair").cast("double") * F.col("n_orders"))
+                / (F.col("n1").cast("double") * F.col("n2")),
+                4,
             ).alias("lift"),
         )
     )
@@ -278,7 +283,8 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS d,
                    CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
-                   ROUND(SUM(o_totalprice), 2) AS rev
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS rev
             FROM orders GROUP BY 1, 2
         ),
         season AS (
@@ -288,7 +294,7 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d, daily.dow, rev,
                ROUND((rev - mu) / sigma, 4) AS z
         FROM daily JOIN season ON daily.dow = season.dow
-        WHERE abs((rev - mu) / sigma) > 2
+        WHERE floor(abs((rev - mu) / sigma) * 10000 + 0.5) / 10000 > 2
     """,
     tags=("mining", "timeseries", "anomaly", "extension"),
 )
@@ -302,17 +308,27 @@ def q_seasonal_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the calendar-bounded daily spine.
     """
     orders = _t(spark, sf_dir, "orders")
+    # daily rev as an exact integer-cent sum (the ewma/HHI convention):
+    # a ROUND(SUM(double)) rev at a 2-dp boundary could round apart
+    # between engines and, because rev feeds the 2-sigma MEMBERSHIP
+    # filter, flip whole rows in and out of the result
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("d"),
         (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("dow"),
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    ).agg(
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("rev")
+    )
     season = daily.groupBy("dow").agg(
         F.avg("rev").alias("mu"), F.stddev_samp("rev").alias("sigma")
     )
     z = (F.col("rev") - F.col("mu")) / F.col("sigma")
+    # membership on the 4-dp grid (floor form — identical IEEE math in
+    # both engines), not the raw double: avg/stddev accumulation order
+    # differs across engines, so a z within ulps of 2.0 must not decide
+    # row membership
     return (
         daily.join(F.broadcast(season), "dow")
-        .where(F.abs(z) > 2)
+        .where(F.floor(F.abs(z) * 10000 + F.lit(0.5)) / 10000 > 2)
         .select("d", "dow", "rev", F.round(z, 4).alias("z"))
     )
 

@@ -240,7 +240,7 @@ def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(e.value, 6) AS value,
                round((e.value - s.mu) / s.sd, 4) AS z
         FROM events e JOIN stats s USING (event_type)
-        WHERE abs((e.value - s.mu) / s.sd) > 3
+        WHERE floor(abs((e.value - s.mu) / s.sd) * 10000 + 0.5) / 10000 > 3
     """,
     tags=("events", "outliers", "qa", "extension"),
 )
@@ -260,9 +260,12 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
     )
     z = (F.col("value") - F.col("mu")) / F.col("sd")
+    # membership on the 4-dp grid (floor form, identical IEEE math in
+    # both engines): avg/stddev accumulation order differs across
+    # engines, so a z within ulps of 3.0 must not decide row membership
     return (
         events.join(F.broadcast(stats), "event_type")
-        .where(F.abs(z) > 3)
+        .where(F.floor(F.abs(z) * 10000 + F.lit(0.5)) / 10000 > 3)
         .select(
             "event_id",
             "event_type",

@@ -57,10 +57,18 @@ def token_stats(df: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_measured"),
-        F.round(
-            F.aggregate(words, F.lit(0.0), lambda acc, t: acc + F.length(t))
-            / F.greatest(F.size(words), F.lit(1)),
-            4,
+        # NULL (not 0.0) for a token-free document: DuckDB's
+        # list_aggregate sums an empty list to NULL while F.aggregate
+        # folds to the 0.0 initializer — emitting the mean only when
+        # tokens exist keeps the two engines identical on empty /
+        # whitespace-only text
+        F.when(
+            F.size(words) > 0,
+            F.round(
+                F.aggregate(words, F.lit(0.0), lambda acc, t: acc + F.length(t))
+                / F.size(words),
+                4,
+            ),
         ).alias("avg_token_len"),
     )
 
@@ -180,8 +188,10 @@ def fingerprint(df: DataFrame) -> DataFrame:
                CAST(len(words) AS BIGINT) AS n_ws_tokens,
                CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
                CAST(length(text) AS BIGINT) AS n_chars_measured,
-               ROUND(list_aggregate(list_transform(words, t -> CAST(length(t) AS DOUBLE)), 'sum')
-                     / greatest(len(words), 1), 4) AS avg_token_len
+               CASE WHEN len(words) > 0 THEN
+                   ROUND(list_aggregate(list_transform(words, t -> CAST(length(t) AS DOUBLE)), 'sum')
+                         / len(words), 4)
+               END AS avg_token_len
         FROM w
     """,
     tags=("textstats", "extension"),
@@ -337,7 +347,7 @@ def chunk_documents(
     tags=("llm", "chunking", "extension"),
 )
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping {CHUNK_TOKENS}-token chunks (stride {_STRIDE}) per doc."""
+    """Overlapping CHUNK_TOKENS-token chunks (stride _STRIDE) per doc."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return chunk_documents(docs)
 

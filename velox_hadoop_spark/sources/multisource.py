@@ -41,11 +41,6 @@ def read_tsv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.option("sep", "\t").schema(schema).csv(path)
 
 
-def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str]) -> None:
-    """Hive-layout parquet: readers prune partitions from the path."""
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-
-
 # ---------------------------------------------------------------------------
 # Registered query — sink/source roundtrip (S11 + S9 semantics)
 # ---------------------------------------------------------------------------
@@ -211,11 +206,14 @@ def compact_parquet(
     return n_files
 
 
-def write_partitioned_parquet(df: DataFrame, path: str, part_col: str) -> None:
-    """Hive-layout partitioned parquet sink (``part_col=value/``
-    directories) — the table layout that makes partition pruning
-    possible on read."""
-    df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: str | list[str]
+) -> None:
+    """Hive-layout partitioned parquet sink (``col=value/`` directories)
+    — the table layout that makes partition pruning possible on read.
+    Accepts one column or a list (multi-level layout)."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
 
 
 @register(
@@ -244,8 +242,10 @@ def q_partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
+    # per-QUERY sink dir: sharing one path with the DPP query would let
+    # a concurrent run's mode("overwrite") delete part-files mid-scan
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/velox_hadoop_spark_part_{tag}"
+    path = f"{tempfile.gettempdir()}/velox_hadoop_spark_part_prune_{tag}"
     write_partitioned_parquet(orders, path, "o_orderpriority")
     back = spark.read.parquet(path).where(F.col("o_orderpriority") == "1-URGENT")
     return back.groupBy("o_orderstatus").agg(
@@ -320,7 +320,7 @@ def q_dynamic_partition_prune_join(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/velox_hadoop_spark_part_{tag}"
+    path = f"{tempfile.gettempdir()}/velox_hadoop_spark_part_dpp_{tag}"
     write_partitioned_parquet(orders, path, "o_orderpriority")
     fact = spark.read.parquet(path)
     # The dim must carry a real selective Filter for the optimizer's
