@@ -41,6 +41,18 @@ def seeded(expr: str, seed: int | str) -> str:
     return f"concat('{seed}|', {expr})"
 
 
+def spark_bucket(key: str, seed: int | str, n: int = 100) -> str:
+    """0..n-1 hash bucket of ``key`` (Spark SQL fragment) — the one
+    formula behind deterministic sampling, train/test splits, and the
+    snapshot-diff cohorts; its DuckDB twin is ``duck_bucket``."""
+    return f"({spark_md5_int60(seeded(key, seed))} % {n})"
+
+
+def duck_bucket(key: str, seed: int | str, n: int = 100) -> str:
+    """DuckDB twin of ``spark_bucket`` — identical bucket for every key."""
+    return f"{duck_md5_int60(seeded(key, seed))} % {n}"
+
+
 # Word k-gram shingling (whitespace tokens, k-word windows, space-joined).
 # Guarded so docs shorter than k words yield an empty shingle set.
 

@@ -33,15 +33,21 @@ def grouped_sum(df: DataFrame, keys: list[str], value: str, out: str = "total") 
     return df.groupBy(*keys).agg(F.sum(value).alias(out))
 
 
-def collect_sorted_csv(df: DataFrame, key: str, value: str, out: str = "items") -> DataFrame:
-    """Gather group values into a deterministic comma-joined string
-    (reference Step1Reducer semantics, made order-stable)."""
-    return df.groupBy(key).agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(value)), lambda x: x.cast("string")),
-            ",",
-        ).alias(out)
+def sorted_csv_agg(value) -> "F.Column":
+    """Aggregate expression: group values as a deterministic
+    comma-joined string (reference Step1Reducer semantics, made
+    order-stable; the repo-standard hashable form for collected
+    lists). Single source for the expression so the registered queries
+    and the frame-level helper below cannot drift."""
+    return F.array_join(
+        F.transform(F.array_sort(F.collect_list(value)), lambda x: x.cast("string")),
+        ",",
     )
+
+
+def collect_sorted_csv(df: DataFrame, key: str, value: str, out: str = "items") -> DataFrame:
+    """Frame-level convenience over ``sorted_csv_agg``."""
+    return df.groupBy(key).agg(sorted_csv_agg(value).alias(out))
 
 
 # ---------------------------------------------------------------------------
@@ -66,13 +72,7 @@ def q_collect_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_custkey")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("o_orderkey")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("items"),
+            sorted_csv_agg("o_orderkey").alias("items"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -545,7 +545,7 @@ def q_topk_parts_per_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
         WITH wq AS (
             SELECT l_returnflag, l_quantity,
-                   SUM(l_extendedprice) AS w
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
             FROM lineitem GROUP BY l_returnflag, l_quantity
         ),
         cum AS (
@@ -560,7 +560,7 @@ def q_topk_parts_per_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT l_returnflag,
                ROUND(min(l_quantity), 2) AS weighted_median
         FROM cum
-        WHERE cw >= tw / 2
+        WHERE cw * 2 >= tw
         GROUP BY l_returnflag
     """,
     tags=("agg", "window", "weighted-percentile", "extension"),
@@ -574,8 +574,12 @@ def q_weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative-sum window.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # weights in EXACT integer cents and the half-total membership as
+    # cw * 2 >= tw: the median pick is a discrete jump, so a cumulative
+    # double sum within ulps of tw/2 would shift the answer to the next
+    # quantity in one engine only — integer arithmetic cannot
     wq = li.groupBy("l_returnflag", "l_quantity").agg(
-        F.sum("l_extendedprice").alias("w")
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("w")
     )
     wcum = (
         Window.partitionBy("l_returnflag")
@@ -590,7 +594,7 @@ def q_weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").over(wtot).alias("tw"),
     )
     return (
-        cum.where(F.col("cw") >= F.col("tw") / 2)
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
         .groupBy("l_returnflag")
         .agg(F.round(F.min("l_quantity"), 2).alias("weighted_median"))
     )

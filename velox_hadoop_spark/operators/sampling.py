@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from velox_hadoop_spark.functions.hashing import duck_md5_int60, spark_md5_int60, seeded
+from velox_hadoop_spark.functions.hashing import (
+    duck_bucket,
+    duck_md5_int60,
+    seeded,
+    spark_bucket,
+    spark_md5_int60,
+)
 from velox_hadoop_spark.plans.registry import register
 
 SEED = "split42"
@@ -31,11 +37,11 @@ SEED = "split42"
 
 def _bucket_expr_spark(key: str, seed: str = SEED, n: int = 100) -> F.Column:
     """0..n-1 bucket from the cross-engine hash (JVM-side, codegen)."""
-    return F.expr(spark_md5_int60(seeded(key, seed))) % n
+    return F.expr(spark_bucket(key, seed, n))
 
 
 def _bucket_expr_duck(key: str, seed: str = SEED, n: int = 100) -> str:
-    return f"{duck_md5_int60(seeded(key, seed))} % {n}"
+    return duck_bucket(key, seed, n)
 
 
 def deterministic_sample(df: DataFrame, key: str, pct: int, seed: str = SEED) -> DataFrame:

@@ -135,9 +135,9 @@ SNAP_SEED = "snapdiff7"
 
 
 def _snap_bucket_duck() -> str:
-    from velox_hadoop_spark.functions.hashing import duck_md5_int60, seeded
+    from velox_hadoop_spark.functions.hashing import duck_bucket
 
-    return f"{duck_md5_int60(seeded('o_orderkey', SNAP_SEED))} % 100"
+    return duck_bucket("o_orderkey", SNAP_SEED)
 
 
 def snapshot_diff(
@@ -225,10 +225,10 @@ def reduce_and(cols: list) -> "F.Column":
 def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changeset between two simulated snapshots of orders (10% churn
     out, 10% churn in, 10% restated prices; the restatement is an exact double addition — a ROUND(x*1.1) would diverge between engines on decimal-tie doubles)."""
-    from velox_hadoop_spark.functions.hashing import spark_md5_int60, seeded
+    from velox_hadoop_spark.functions.hashing import spark_bucket
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    b = F.expr(spark_md5_int60(seeded("o_orderkey", SNAP_SEED))) % 100
+    b = F.expr(spark_bucket("o_orderkey", SNAP_SEED))
     bucketed = orders.withColumn("b", b)
     old = bucketed.where(F.col("b") < 90).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
@@ -291,10 +291,10 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base+delta association order cannot drift from the single-pass
     recompute by even an ulp.
     """
-    from velox_hadoop_spark.functions.hashing import spark_md5_int60, seeded
+    from velox_hadoop_spark.functions.hashing import spark_bucket
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    b = F.expr(spark_md5_int60(seeded("o_orderkey", SNAP_SEED))) % 100
+    b = F.expr(spark_bucket("o_orderkey", SNAP_SEED))
     # money as exact integer cents: base + delta sums accumulate in a
     # DIFFERENT association order than the oracle's single-pass
     # recompute, and double sums differ by ~1e-10 across groupings —
@@ -616,10 +616,15 @@ def q_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit touched (see partitioned-sink compaction), so erasure cost is
     audit cost plus targeted rewrites, never a full-table scan per
     table."""
+    from velox_hadoop_spark.catalog import read_table
+
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events MUST go through read_table: its ts column can be parquet
+    # TIMESTAMP(NANOS), which a raw read only survives if some earlier
+    # query leaked the nanosAsLong conf — an order-dependent failure
+    ev = read_table(spark, sf_dir, "events")
     del_keys = cust.where(F.col("c_custkey") % 50 == 0).select("c_custkey")
     del_orders = orders.join(
         del_keys, orders.o_custkey == del_keys.c_custkey, "left_semi"

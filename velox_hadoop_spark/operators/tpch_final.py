@@ -38,14 +38,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                       AS rev_int
             FROM lineitem
             WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
             GROUP BY l_suppkey
         )
-        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        SELECT s.s_suppkey, s.s_name,
+               ROUND(r.rev_int / 10000.0, 2) AS total_revenue
         FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        WHERE r.rev_int = (SELECT max(rev_int) FROM revenue)
     """,
     tags=("tpch", "scalar-subquery", "extension"),
 )
@@ -59,22 +61,31 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
+    # revenue as an EXACT integer (1e-4 units): the winner is chosen by
+    # an equality against max(revenue), so a rounded order-dependent
+    # double sum at a half-cent boundary could crown different
+    # suppliers in different engines — integer equality cannot
     revenue = (
         li.where(
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("long")
+            ).alias("rev_int")
         )
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    max_rev = revenue.agg(F.max("rev_int").alias("max_rev_int"))
     return (
-        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        revenue.join(F.broadcast(max_rev), F.col("rev_int") == F.col("max_rev_int"))
         .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_int") / 10000.0, 2).alias("total_revenue"),
+        )
     )
 
 

@@ -124,15 +124,17 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q11_important_parts",
     oracle="""
         WITH val AS (
-            SELECT l.l_partkey, sum(l.l_extendedprice * (1 - l.l_discount)) AS v
+            SELECT l.l_partkey,
+                   SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+                       AS v_int
             FROM lineitem l
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             WHERE s.s_nationkey = 3
             GROUP BY l.l_partkey
         )
-        SELECT l_partkey, ROUND(v, 2) AS part_value
+        SELECT l_partkey, ROUND(v_int / 10000.0, 2) AS part_value
         FROM val
-        WHERE v > (SELECT sum(v) * 0.002 FROM val)
+        WHERE v_int * 500 > (SELECT sum(v_int) FROM val)
     """,
     tags=("tpch", "scalar-subquery", "extension"),
 )
@@ -140,18 +142,27 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 analog: parts whose NATION_3-supplied value exceeds 0.2% of
     the total (share-of-total via broadcast scalar, no driver collect)."""
     li, supp = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    # value as an EXACT integer (1e-4 units) and the 0.2%-of-total
+    # membership as v_int * 500 > total_int — pure integer arithmetic
+    # in both engines, so the HAVING-style cut cannot flip with double
+    # summation order (v > sum(v)*0.002 on raw doubles could)
     val = (
         li.join(
             supp.where(F.col("s_nationkey") == 3), F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("long")
+            ).alias("v_int")
+        )
     )
-    total = val.agg((F.sum("v") * 0.002).alias("threshold"))
+    total = val.agg(F.sum("v_int").alias("total_int"))
     return (
         val.crossJoin(F.broadcast(total))
-        .where(F.col("v") > F.col("threshold"))
-        .select("l_partkey", F.round("v", 2).alias("part_value"))
+        .where(F.col("v_int") * 500 > F.col("total_int"))
+        .select("l_partkey", F.round(F.col("v_int") / 10000.0, 2).alias("part_value"))
     )
 
 
@@ -188,7 +199,7 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(DISTINCT l.l_suppkey) AS supplier_cnt
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE p.p_brand <> 'Brand#45'
+        WHERE p.p_brand <> 'Brand#5'
           AND p.p_type <> 'PROMO'
           AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
         GROUP BY p.p_brand, p.p_type, p.p_size
@@ -200,7 +211,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-style exclusions (supplier-part pairs derived from lineitem)."""
     li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     p = part.where(
-        (F.col("p_brand") != "Brand#45")
+        (F.col("p_brand") != "Brand#5")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     )
@@ -257,7 +268,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND l.l_quantity BETWEEN 1 AND 11)
            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
                AND l.l_quantity BETWEEN 10 AND 20)
-           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
                AND l.l_quantity BETWEEN 20 AND 30)
     """,
     tags=("tpch", "disjunctive-filter", "extension"),
@@ -265,7 +276,10 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19 analog: OR-of-conjunction predicates across the join — the
     brand/size arms prune part before the join; the residual quantity
-    arms evaluate in the joined filter."""
+    arms evaluate in the joined filter. Brands are drawn from the
+    generated Brand#1..Brand#25 domain so every arm matches rows (the
+    classic Brand#34 literal would leave the third arm dead and its
+    pushdown behavior untested)."""
     li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
@@ -274,7 +288,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(qlo, qhi)
     )
     return j.where(
-        arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#34", 15, 20, 30)
+        arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#4", 15, 20, 30)
     ).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count("*").alias("n_rows"),
