@@ -461,3 +461,28 @@ def test_hhi_single_nation_aggregate_no_rejoin(spark):
     assert shuffles == 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert bhj == 2, plan
+
+
+def test_global_rank_shuffles_the_data_exactly_once(spark):
+    """global_rank must move the full dataset through ONE exchange (the
+    range partition). The former Window.partitionBy(__pid) shape added
+    a second full-data hashpartitioning(__pid) exchange because
+    Catalyst cannot prove the range layout clusters by __pid; the
+    mono-id rewrite removed it. Any hashpartitioning exchange left in
+    the plan must sit above a partial aggregate (numPartitions rows),
+    never above the data."""
+    from velox_hadoop_spark.operators.sort import global_rank
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    plan = global_rank(
+        df, ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    # the old two-shuffle signature: a row_number window clustered on
+    # __pid (the surviving offsets window runs on numPartitions rows)
+    assert "row_number()" not in plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        below = seg.splitlines()[1] if len(seg.splitlines()) > 1 else ""
+        assert "partial_" in below, f"full-data hash exchange: {below}"

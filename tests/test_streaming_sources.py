@@ -334,3 +334,24 @@ def test_transform_with_state_matches_batch(spark, event_stream_dir):
         .collect()
     }
     assert final == batch and len(final) > 0
+
+
+def test_read_event_stream_handles_canonical_nanos_parquet(spark):
+    """The stream reader must accept the CANONICAL events table (parquet
+    TIMESTAMP(NANOS)) without a re-materialized copy: the static footer
+    probe streams ts as long under the legacy conf and truncates to
+    microseconds in-plan — identical timestamps to catalog.read_table."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="vhs_nanos_")
+    shutil.copy(f"{SF_DIR}/events.parquet", d)
+    stream = read_event_stream(spark, d)
+    assert stream.isStreaming and dict(stream.dtypes)["ts"] == "timestamp"
+    q = run_available_now(
+        stream_tumbling_counts(stream), "tumbling_nanos", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM tumbling_nanos").first()["n"]
+    batch = tumbling_agg(read_table(spark, SF_DIR, "events")).count()
+    assert got == batch > 0

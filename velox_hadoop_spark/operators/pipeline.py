@@ -40,8 +40,13 @@ def curate(docs: DataFrame) -> DataFrame:
     )
     deduped = quality.join(keepers, "doc_id", "left_semi")
     sampled = deterministic_sample(deduped, "doc_id", SAMPLE_PCT)
-    chunks = chunk_documents(sampled.select("doc_id", "lang", "text"))
-    with_lang = chunks.join(sampled.select("doc_id", "lang"), "doc_id")
+    # lang rides THROUGH the chunk explode: the former re-join against
+    # sampled recomputed the whole scan→quality→dedup→sample subtree a
+    # second time (different column pruning on each branch defeats
+    # ReuseExchange)
+    with_lang = chunk_documents(
+        sampled.select("doc_id", "lang", "text"), passthrough=["lang"]
+    )
     return with_lang.groupBy("lang").agg(
         F.count("*").alias("n_chunks"),
         F.sum("n_tokens").alias("total_tokens"),

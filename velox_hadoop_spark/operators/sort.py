@@ -45,26 +45,41 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "rank") ->
     ``order_cols`` must define a total order (include a unique
     tiebreaker) for deterministic output. Three steps, all distributed:
 
-      1. range-partition on the order columns (sampled bounds);
-      2. local row_number within each (already range-disjoint) partition;
+      1. range-partition on the order columns (sampled bounds) and sort
+         WITHIN each (range-disjoint) partition;
+      2. per-row local position from ``monotonically_increasing_id``
+         (sequential per partition in the sorted order) minus the
+         partition's min id — NOT a ``Window.partitionBy(__pid)``,
+         which Catalyst cannot prove satisfied by the range layout and
+         therefore backs with a second full-data hash exchange on
+         ``__pid`` (measured: the whole table shuffled twice);
       3. add per-partition offsets (exclusive prefix sums of partition
          counts — numPartitions rows, broadcast).
+
+    Net: ONE exchange of the data (the range partition; plan-asserted
+    in tests/test_plans.py) plus a numPartitions-row stats aggregate.
     """
-    parts = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    parts = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*[F.asc(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
-    w_local = Window.partitionBy("__pid").orderBy(*[F.asc(c) for c in order_cols])
-    local = parts.withColumn("__rn", F.row_number().over(w_local))
-    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    stats = parts.groupBy("__pid").agg(
+        F.count("*").alias("__cnt"), F.min("__mid").alias("__mn")
+    )
     # numPartitions rows — a single-partition window here is fine.
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
+    offsets = stats.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-    ).select("__pid", "__off")
+    ).select("__pid", "__mn", "__off")
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("long"))
-        .drop("__pid", "__rn", "__off")
+        parts.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_col,
+            (F.col("__mid") - F.col("__mn") + 1 + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__mid", "__mn", "__off")
     )
 
 

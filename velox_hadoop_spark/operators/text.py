@@ -146,10 +146,13 @@ def q_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from velox_hadoop_spark.functions.udfs import normalize_text as norm
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
+    # one UDF evaluation per row: deriving the length from the aliased
+    # column (second projection) halves the Arrow boundary traffic vs
+    # invoking the UDF again inside length()
+    return docs.select("doc_id", norm(F.col("text")).alias("norm_text")).select(
         "doc_id",
-        norm(F.col("text")).alias("norm_text"),
-        F.length(norm(F.col("text"))).cast("long").alias("n_chars_norm"),
+        "norm_text",
+        F.length("norm_text").cast("long").alias("n_chars_norm"),
     )
 
 

@@ -296,6 +296,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = CHUNK_TOKENS,
     overlap: int = CHUNK_OVERLAP,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into overlapping fixed-token-count chunks.
 
@@ -306,14 +307,23 @@ def chunk_documents(
     ``chunk_id`` is the 0-based window index, last chunk may be short.
     Only the final window that still contains new tokens is emitted
     (starts stop at the text length).
+
+    ``passthrough`` columns ride along each emitted chunk row — the
+    cheap way to keep metadata (lang, source) attached without a
+    re-join against the pre-chunk frame, which would recompute the
+    whole upstream subtree (the two branches prune different columns,
+    so their exchanges don't canonicalize equal and ReuseExchange
+    cannot merge them).
     """
     stride = chunk_tokens - overlap
     assert stride > 0, "overlap must be smaller than chunk_tokens"
+    extra = list(passthrough or [])
     words = df.select(
-        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("w")
+        F.col(id_col), *extra, F.split(F.col(text_col), r"\s+").alias("w")
     )
     return words.select(
         F.col(id_col),
+        *extra,
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, greatest(size(w), 1), {stride}), "
@@ -322,6 +332,7 @@ def chunk_documents(
         ).alias("chunk_id", "chunk_text"),
     ).select(
         F.col(id_col),
+        *extra,
         "chunk_id",
         F.size(F.split(F.col("chunk_text"), r"\s+")).alias("n_tokens"),
         "chunk_text",

@@ -92,7 +92,29 @@ def dedup_first_per_key(events: DataFrame) -> DataFrame:
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of event parquet (micro-batch per file group)."""
+    """File-source stream of event parquet (micro-batch per file group).
+
+    Handles the same TIMESTAMP(NANOS) seam as ``catalog.read_table``:
+    the canonical events.parquet stores ns timestamps, which Spark's
+    reader rejects under a TimestampType schema. A one-off static
+    footer probe decides the shape — ns sources stream ``ts`` as long
+    (legacy conf) and truncate to µs in-plan, µs sources stream with
+    the declared schema. Without this, the stream reader only worked
+    on re-materialized copies of the table. (``path`` must be a
+    directory — Spark's file-stream source rejects a bare file — so
+    point it at the folder holding the parquet files.)
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(path)
+    if dict(static.dtypes).get("ts") == "bigint":
+        long_ts = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENT_SCHEMA.fields
+            ]
+        )
+        raw = spark.readStream.schema(long_ts).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
 
 
@@ -163,7 +185,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_10m",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, event_id, ts, value,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              >= INTERVAL '10 minutes' OR
                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -171,8 +193,11 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         numbered AS (
+            -- (ts, event_id) like the flagged CTE: ts alone leaves
+            -- same-timestamp rows in arbitrary order, so a new_session
+            -- flag could sum into the wrong session at scale
             SELECT *, sum(new_session) OVER (
-                PARTITION BY user_id ORDER BY ts
+                PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
             ) AS session_id
             FROM flagged

@@ -67,8 +67,6 @@ def batch_user_totals(events: DataFrame) -> DataFrame:
     final emitted state MUST equal this (asserted in tests); registering
     it makes the stateful surface hash-verifiable against a SQL oracle.
     """
-    import numpy as np
-
     from velox_hadoop_spark.functions.vectors import round_half_away
 
     def totals(pdf: pd.DataFrame) -> pd.DataFrame:
