@@ -240,3 +240,131 @@ def test_token_stats_empty_text_yields_null_avg(spark):
         "list_filter(string_split_regex('', '\\s+'), t -> t <> '') AS w)"
     ).fetchone()[0]
     assert duck is None
+
+
+def test_cosine_kernels_drop_zero_norm_vectors(spark):
+    """An all-zero embedding has no cosine: normalizing it yields NaN,
+    which the numpy kernels silently drop while DuckDB sorts NaN ABOVE
+    every number — an unguarded oracle would crown the zero vector as
+    everyone's top neighbor. The cosine kernels exclude zero (and
+    empty) vectors at entry; norms keep them (a zero L2 is defined)."""
+    from velox_hadoop_spark.operators.dedup import cosine_near_dup_pairs
+    from velox_hadoop_spark.operators.similarity import (
+        embedding_norms_arrow,
+        hyperplane_buckets,
+        ivf_assign,
+        knn_numpy,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, []), (3, [1.0, 0.01]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    top = knn_numpy(emb, k=2).collect()
+    ids = {r.query_id for r in top} | {r.neighbor_id for r in top}
+    assert top and ids == {0, 3, 4}
+    pairs = cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    assert pairs and {r.a_id for r in pairs} | {r.b_id for r in pairs} == {0, 3}
+    assert {r.vec_id for r in ivf_assign(emb, n_centroids=2).collect()} == {0, 3, 4}
+    # buckets: zero vectors keep their (identical-in-both-engines)
+    # all-ones bucket; only NULL and empty arrays drop
+    assert {r.vec_id for r in hyperplane_buckets(emb).collect()} == {0, 1, 3, 4}
+    # norms keep the zero vector (its L2 is a well-defined 0.0) but
+    # drop the empty array (np says 0.0, DuckDB's list_sum says NULL)
+    norms = {r.vec_id: r.l2_norm for r in embedding_norms_arrow(emb).collect()}
+    assert norms[1] == 0.0 and set(norms) == {0, 1, 3, 4}
+
+
+def test_ivf_assign_centroids_on_non_dense_ids(spark):
+    """ivf_assign must pick the TRUE k lowest ids, not `vec_id < k`
+    (which under-fills the codebook on any non-zero-based id space —
+    the same bug fixed in kmeans)."""
+    from velox_hadoop_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(1000, [1.0, 0.0]), (1001, [0.0, 1.0]), (1002, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ivf_assign(emb, n_centroids=2).collect()
+    assert {r.vec_id for r in rows} == {1000, 1001, 1002}
+    assert {r.centroid_id for r in rows} <= {1000, 1001}
+
+
+def test_contained_doc_pairs_catches_sub_block_docs(spark):
+    """A 30-char doc contained in a 200-char container sits BELOW the
+    40-char blocking width — the main equi-join structurally cannot
+    pair them; the short-doc branch must, and the DuckDB oracle must
+    agree on the same synthetic frame."""
+    from velox_hadoop_spark.plans.registry import oracles, queries
+
+    import pandas as pd
+
+    short = "tiny prefix doc under forty"          # 27 chars
+    container = short + " and two hundred more characters of body text " * 4
+    rows = [
+        (1, short, "web", "en", len(short)),
+        (2, container, "web", "en", len(container)),
+        (3, "completely unrelated document text that is long enough", "web", "en", 55),
+        (4, container, "web", "en", len(container)),  # exact dup of 2
+    ]
+    cols = "doc_id long, text string, source string, lang string, n_chars long"
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="vhs_contain_")
+    spark.createDataFrame(rows, cols).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        (r.id_a, r.id_b, r.is_exact)
+        for r in queries()["contained_doc_pairs"](spark, d).collect()
+    }
+    assert (1, 2, False) in got and (1, 4, False) in got and (2, 4, True) in got
+    # own connection — repointing the SHARED fixture's documents view
+    # would corrupt every later parity test in the session
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = set(map(tuple, con.sql(oracles()["contained_doc_pairs"]).fetchall()))
+    con.close()
+    assert got == want
+
+
+def test_extract_features_empty_payload(spark):
+    """A zero-byte blob must decode to NULL dimensions, not IndexError
+    inside the Arrow task."""
+    from velox_hadoop_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, b"", "image"), (2, b"xyz", "image")],
+        "media_id long, payload binary, media_type string",
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[1].width is None and rows[1].n_bytes == 0
+    assert rows[2].width is not None
+
+
+def test_skyline_single_shuffle_and_correctness(spark):
+    """The skyline's local prefix max must come from the stateful
+    mapInPandas pass, not a Window.partitionBy(__pid) (which re-shuffles
+    the whole coords table); results must match the brute-force
+    dominance scan."""
+    from velox_hadoop_spark.operators.skyline import skyline_min_max
+
+    rows = [(i % 17 + (i % 5) * 3, (i * 7) % 23 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "price int, size int").repartition(7)
+    got = {(r.price, r.size) for r in skyline_min_max(df, "price", "size").collect()}
+    pts = set(rows)
+    want = {
+        (p, s)
+        for (p, s) in pts
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s)) for (p2, s2) in pts
+        )
+    }
+    assert got == want
+    plan = skyline_min_max(df, "price", "size")._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__pid" not in plan or "row_number" not in plan

@@ -392,15 +392,36 @@ _CONTAIN_BLOCK_CHARS = 40
         WITH blk AS (
             SELECT doc_id, text, substr(text, 1, {_CONTAIN_BLOCK_CHARS}) AS blk
             FROM documents
+        ),
+        main AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (length(a.text) = length(b.text)) AS is_exact
+            FROM blk a JOIN blk b
+              ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE (length(a.text) <= length(b.text)
+                   AND substr(b.text, 1, length(a.text)) = a.text)
+               OR (length(b.text) < length(a.text)
+                   AND substr(a.text, 1, length(b.text)) = b.text)
+        ),
+        shorts AS (
+            SELECT doc_id, text, length(text) AS sl FROM documents
+            WHERE length(text) < {_CONTAIN_BLOCK_CHARS}
+        ),
+        slens AS (SELECT DISTINCT sl FROM shorts),
+        short_pairs AS (
+            SELECT least(s.doc_id, c.doc_id) AS id_a,
+                   greatest(s.doc_id, c.doc_id) AS id_b,
+                   FALSE AS is_exact
+            FROM shorts s
+            JOIN slens l ON s.sl = l.sl
+            JOIN documents c
+              ON length(c.text) > s.sl
+             AND substr(c.text, 1, l.sl) = s.text
+             AND c.doc_id <> s.doc_id
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               (length(a.text) = length(b.text)) AS is_exact
-        FROM blk a JOIN blk b
-          ON a.blk = b.blk AND a.doc_id < b.doc_id
-        WHERE (length(a.text) <= length(b.text)
-               AND substr(b.text, 1, length(a.text)) = a.text)
-           OR (length(b.text) < length(a.text)
-               AND substr(a.text, 1, length(b.text)) = b.text)
+        SELECT id_a, id_b, is_exact FROM main
+        UNION ALL
+        SELECT id_a, id_b, is_exact FROM short_pairs
     """,
     tags=("dedup", "containment", "extension"),
 )
@@ -411,14 +432,25 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``is_exact``).
 
     Blocking on the first 40 characters turns the quadratic
-    containment scan into an equi-join: a prefix-contained pair MUST
-    agree on its first block, so candidates are only same-block pairs
-    (boilerplate-heavy corpora would raise the block width or add a
-    second block offset — the standard blocking tradeoff, same as the
-    fuzzy-linkage operator). The startswith verification runs inside
-    codegen on the joined rows; ordering id_a < id_b dedups the pair
-    space. At 100 TB the block key is also the shuffle key, so no node
-    ever sees two documents that cannot match.
+    containment scan into an equi-join: a prefix-contained pair whose
+    contained side spans the block MUST agree on its first block, so
+    candidates are only same-block pairs (boilerplate-heavy corpora
+    would raise the block width or add a second block offset — the
+    standard blocking tradeoff, same as the fuzzy-linkage operator).
+    The startswith verification runs inside codegen on the joined
+    rows; ordering id_a < id_b dedups the pair space. At 100 TB the
+    block key is also the shuffle key, so no node ever sees two
+    documents that cannot match.
+
+    Documents SHORTER than the block get a second branch (the main
+    equi-join structurally cannot pair a 30-char doc with its 40-char
+    container block): containers emit prefix keys only at the DISTINCT
+    short-doc lengths (at most block_chars-1 values, broadcast), so
+    the branch costs nothing on corpora without sub-block docs — this
+    one has none — and stays an equi-join when they exist. The two
+    branches are disjoint: the short branch requires a strictly longer
+    container, and a same-length sub-block pair (an exact dup) shares
+    its block, so the main branch already owns it.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     blk = docs.select(
@@ -430,7 +462,7 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = blk.select(
         F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"), "blk"
     )
-    return (
+    main = (
         a.join(b, "blk")
         .where(
             (F.col("id_a") < F.col("id_b"))
@@ -451,6 +483,30 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text_a") == F.length("text_b")).alias("is_exact"),
         )
     )
+    shorts = docs.select(
+        F.col("doc_id").alias("s_id"),
+        F.col("text").alias("s_text"),
+        F.length("text").alias("sl"),
+    ).where(F.col("sl") < _CONTAIN_BLOCK_CHARS)
+    slens = shorts.select(F.col("sl").alias("c_sl")).distinct()
+    cont = docs.join(F.broadcast(slens), F.length("text") > F.col("c_sl")).select(
+        F.col("doc_id").alias("c_id"),
+        F.expr("substr(text, 1, c_sl)").alias("c_pref"),
+        "c_sl",
+    )
+    short_pairs = (
+        shorts.join(
+            cont,
+            (F.col("sl") == F.col("c_sl")) & (F.col("c_pref") == F.col("s_text")),
+        )
+        .where(F.col("c_id") != F.col("s_id"))
+        .select(
+            F.least("s_id", "c_id").alias("id_a"),
+            F.greatest("s_id", "c_id").alias("id_b"),
+            F.lit(False).alias("is_exact"),
+        )
+    )
+    return main.unionByName(short_pairs)
 
 
 def _duck_minhash_cte() -> str:
@@ -634,7 +690,7 @@ def _near_dup_broadcast(corpus: DataFrame, threshold: float) -> DataFrame:
     from velox_hadoop_spark.functions.vectors import round_half_away
     from velox_hadoop_spark.operators.similarity import (
         broadcast_normalized_corpus,
-        drop_null_vectors,
+        drop_degenerate_vectors,
     )
 
     bc = broadcast_normalized_corpus(corpus)
@@ -662,7 +718,7 @@ def _near_dup_broadcast(corpus: DataFrame, threshold: float) -> DataFrame:
     out_schema = "a_id long, b_id long, cos double"
     # stream side must drop nulls like the broadcast side, or a single
     # NULL embedding raggs the batch matrix and kills the job mid-BLAS
-    return drop_null_vectors(corpus).select("vec_id", "embedding").mapInPandas(
+    return drop_degenerate_vectors(corpus).select("vec_id", "embedding").mapInPandas(
         pairs, out_schema
     )
 
@@ -701,7 +757,9 @@ def cosine_near_dup_pairs(
     "embedding_near_dup",
     oracle="""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-                   WHERE embedding IS NOT NULL),
+                   WHERE embedding IS NOT NULL
+                     AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])) > 0),
         pairs AS (
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                    ROUND(list_dot_product(a.v, b.v) /

@@ -57,7 +57,7 @@ def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
     Derives fake dimensions from payload bytes so tests are stable and
     the full pipeline (schema, batching, null handling) is exercised.
     """
-    if payload is None:
+    if not payload:  # None OR zero-byte blob: nothing to decode
         return {"width": None, "height": None, "n_frames": None}
     if media_type == "image":
         return {"width": 16 + payload[0] % 64, "height": 16 + payload[-1] % 64, "n_frames": 1}

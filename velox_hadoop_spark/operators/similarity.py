@@ -51,6 +51,28 @@ def drop_null_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.where(F.col(col).isNotNull())
 
 
+# Oracle twin of drop_degenerate_vectors: NULL > 0 is NULL (filtered),
+# an empty list sums to NULL (filtered), a zero vector sums to 0.
+DUCK_FINITE_VECTOR = (
+    "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0"
+)
+
+
+def drop_degenerate_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Cosine is undefined for NULL, empty, and all-zero embeddings —
+    the COSINE kernels drop all three at entry. The zero case matters
+    because the two engines disagree silently: normalizing a zero
+    vector yields NaN cosines, which the numpy kernels drop (NaN fails
+    every comparison) while DuckDB sorts NaN ABOVE every number, so an
+    unguarded oracle crowns the zero vector as everyone's top neighbor.
+    Norm/quantize kernels keep zero vectors (a zero L2 is well-defined)
+    and use ``drop_null_vectors`` only."""
+    sq = F.aggregate(
+        to_double(F.col(col)), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return df.where(F.col(col).isNotNull() & (sq > 0))
+
+
 def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     """All (query, candidate) cosine scores, candidate ≠ query.
 
@@ -85,7 +107,7 @@ def broadcast_normalized_corpus(corpus: DataFrame):
     matrix ships; the raw matrix is never broadcast."""
     import numpy as np
 
-    pdf = drop_null_vectors(corpus).select("vec_id", "embedding").toPandas()
+    pdf = drop_degenerate_vectors(corpus).select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy()
     mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     if mat.ndim == 1:  # empty corpus (filter-to-zero upstream): keep 2-D
@@ -144,7 +166,7 @@ def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -
             yield out[out["cos"] > -np.inf]
 
     out_schema = "query_id long, neighbor_id long, cos double, rnk long"
-    return drop_null_vectors(queries).select("vec_id", "embedding").mapInPandas(
+    return drop_degenerate_vectors(queries).select("vec_id", "embedding").mapInPandas(
         score, out_schema
     )
 
@@ -169,8 +191,8 @@ def _block_cogroup(
     ``n_query_blocks=1``: the corpus is then NOT replicated at all and
     only the tiny query side fans out B ways — the sample-vs-corpus
     shape the ANN recall gates use at scale."""
-    e = drop_null_vectors(corpus).select("vec_id", "embedding")
-    qsrc = drop_null_vectors(corpus if queries is None else queries).select(
+    e = drop_degenerate_vectors(corpus).select("vec_id", "embedding")
+    qsrc = drop_degenerate_vectors(corpus if queries is None else queries).select(
         "vec_id", "embedding"
     )
     nq = n_blocks if n_query_blocks is None else n_query_blocks
@@ -348,7 +370,10 @@ def hyperplane_buckets(
     vector and shuffled twice.)
     """
     w = _plane_weights(n_planes, dims, plane_offset)
-    emb = drop_null_vectors(emb)  # null would trip the width assert below
+    # null trips the width assert; an EMPTY array would bucket as
+    # all-ones here while the oracle's UNNEST drops it — exclude both
+    # (zero vectors stay: both engines bucket them identically)
+    emb = drop_null_vectors(emb).where(F.size("embedding") > 0)
     # Fail LOUDLY if the data is wider than the literal weight vectors:
     # zip_with null-pads past len(wlit), the null poisons the projection
     # sum, and every plane's when() would silently fall to bucket bit 0
@@ -392,10 +417,13 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
 
     from velox_hadoop_spark.functions.vectors import dot, norm
 
-    e = drop_null_vectors(emb).select(
+    e = drop_degenerate_vectors(emb).select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     ).withColumn("n", norm(F.col("v")))
-    cents = e.where(F.col("vec_id") < n_centroids).select(
+    # TRUE k-lowest ids, not `vec_id < k` (the shorthand under-fills the
+    # codebook on any non-dense id space — same fix as clustering.kmeans;
+    # the oracle keeps the WHERE form, equal on the dense test ids)
+    cents = e.orderBy("vec_id").limit(n_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
         F.col("n").alias("cn"),
@@ -449,7 +477,8 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_top1_all",
     oracle=f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE embedding IS NOT NULL AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         pairs AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                    {_DUCK_COS} AS cos
@@ -520,7 +549,8 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     oracle=f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE embedding IS NOT NULL AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
         scored AS (
             SELECT e.vec_id, c.centroid_id,
@@ -793,7 +823,9 @@ def embedding_norms_arrow(emb: DataFrame) -> DataFrame:
             for out in tbl.to_batches():
                 yield out
 
-    return drop_null_vectors(emb).select(
+    # empty arrays drop too: np gives norm([]) = 0.0 while DuckDB's
+    # list_sum of an empty list is NULL — "norm of nothing" is undefined
+    return drop_null_vectors(emb).where(F.size("embedding") > 0).select(
         "vec_id", to_double(F.col("embedding")).alias("embedding")
     ).mapInArrow(kernel, "vec_id long, l2_norm double")
 
@@ -805,7 +837,7 @@ def embedding_norms_arrow(emb: DataFrame) -> DataFrame:
                ROUND(sqrt(list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
         FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE embedding IS NOT NULL AND len(embedding) > 0
     """,
     tags=("similarity", "mapInArrow", "udf", "extension"),
 )
@@ -826,7 +858,7 @@ def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
-            WHERE embedding IS NOT NULL
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
         ),
         scaled AS (
             SELECT vec_id, e,
@@ -874,14 +906,20 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "max_abs_err": round_half_away(err.max(axis=1), 6),
+                    # cumsum, not sum: np.sum's PAIRWISE association can
+                    # differ from DuckDB's sequential list_sum by ~1e-15
+                    # — enough to flip the 6th decimal at a rounding
+                    # boundary; cumsum accumulates left-to-right like
+                    # the oracle (max is order-free)
                     "mean_abs_err": round_half_away(
-                        err.sum(axis=1) / err.shape[1], 6
+                        err.cumsum(axis=1)[:, -1] / err.shape[1], 6
                     ),
                 }
             )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return drop_null_vectors(emb).select(
+    # empty arrays drop: a zero-column matrix crashes max(axis=1)
+    return drop_null_vectors(emb).where(F.size("embedding") > 0).select(
         "vec_id", to_double(F.col("embedding")).alias("embedding")
     ).mapInPandas(kernel, "vec_id long, max_abs_err double, mean_abs_err double")
 
@@ -956,7 +994,8 @@ _RECALL_K = 3
 # bias-free (ids may correlate with ingest time; their hashes don't).
 _RECALL_SAMPLE_N = 1000
 _DUCK_QS_CTE = (
-    "qs AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL "
+    "qs AS (SELECT vec_id FROM embeddings "
+    f"WHERE embedding IS NOT NULL AND {DUCK_FINITE_VECTOR} "
     f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_RECALL_SAMPLE_N})"
 )
 
@@ -965,7 +1004,7 @@ def recall_query_sample(emb: DataFrame) -> DataFrame:
     """The shared fixed-count query sample of the three recall gates —
     identical derivation to the oracle's ``qs`` CTE (md5-of-decimal-id
     order, id tiebreak, LIMIT N)."""
-    return drop_null_vectors(emb).orderBy(
+    return drop_degenerate_vectors(emb).orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
     ).limit(_RECALL_SAMPLE_N)
 
@@ -1034,7 +1073,8 @@ def _recall_vs_exact(emb, sample, approx_top):
     "ann_lsh_recall_at_k",
     oracle=f"""
         WITH {_duck_bucket_ctes()},
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE embedding IS NOT NULL AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         {_DUCK_QS_CTE},
         exact_pairs AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_DUCK_COS} AS cos
@@ -1155,7 +1195,8 @@ def _duck_multitable_cte(tables: int, planes: int, stride: int) -> str:
     "ann_multiprobe_recall",
     oracle=f"""
         WITH {_duck_multitable_cte(_AMP_TABLES, _AMP_PLANES, _AMP_STRIDE)},
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE embedding IS NOT NULL AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         {_DUCK_QS_CTE},
         exact_pairs AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_DUCK_COS} AS cos
@@ -1244,7 +1285,8 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_recall",
     oracle=f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE embedding IS NOT NULL AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         {_DUCK_QS_CTE},
         cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
         scored AS (

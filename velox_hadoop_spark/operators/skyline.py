@@ -13,8 +13,12 @@ This implementation reduces to DISTINCT coordinates, then computes a
 DISTRIBUTED prefix-max over the (price asc, size desc) total order
 with the same 3-phase shape as ``sort.global_rank``:
 
-  1. range-partition on the order (sampled bounds, data-parallel);
-  2. per-partition local running max (window within partition);
+  1. range-partition on the order (sampled bounds, data-parallel) and
+     sort within each partition — the ONLY exchange of the data;
+  2. per-partition local running max via a stateful mapInPandas pass
+     (``np.maximum.accumulate`` with the running max carried across
+     Arrow batches) — not a ``Window.partitionBy(__pid)``, which would
+     re-shuffle the whole table on ``__pid``;
   3. fold in each partition's predecessor max — a numPartitions-row
      aggregate broadcast back (the only non-distributed step, bounded
      by partition count, never by data).
@@ -39,18 +43,47 @@ def skyline_min_max(
 ) -> DataFrame:
     """Distinct (minimize, maximize) coordinate pairs on the Pareto
     frontier: minimal in ``minimize``, maximal in ``maximize``."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     coords = df.select(
         F.col(minimize).alias("m"), F.col(maximize).alias("x")
     ).distinct()
-    parts = coords.repartitionByRange(
-        F.col("m").asc(), F.col("x").desc()
-    ).withColumn("__pid", F.spark_partition_id())
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(F.col("m").asc(), F.col("x").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    m_t = coords.schema["m"].dataType.simpleString()
+    x_t = coords.schema["x"].dataType.simpleString()
+    # ONE exchange of the coords: range-partition + sort WITHIN the
+    # partition. The local exclusive prefix max is a stateful
+    # mapInPandas pass (np.maximum.accumulate, running max carried
+    # across Arrow batches — a task's iterator covers its whole
+    # partition in order), NOT a Window.partitionBy(__pid), which
+    # Catalyst backs with a second full-data hash exchange because it
+    # cannot prove the range layout clusters by __pid (the same hidden
+    # double shuffle measured and removed from sort.global_rank).
+    parts = (
+        coords.repartitionByRange(F.col("m").asc(), F.col("x").desc())
+        .sortWithinPartitions(F.col("m").asc(), F.col("x").desc())
+        .withColumn("__pid", F.spark_partition_id())
     )
-    local = parts.withColumn("__lpm", F.max("x").over(w_local))
+
+    def local_prefix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        running = float("-inf")  # "no prior row" sentinel: -inf < any x
+        for pdf in batches:
+            xs = pdf["x"].to_numpy(dtype="float64")
+            cm = np.maximum.accumulate(xs)
+            lpm = np.maximum(
+                np.concatenate(([float("-inf")], cm[:-1])), running
+            )
+            if len(xs):
+                running = max(running, float(cm[-1]))
+            yield pd.DataFrame(
+                {"m": pdf["m"], "x": pdf["x"], "__pid": pdf["__pid"], "__lpm": lpm}
+            )
+
+    local = parts.mapInPandas(
+        local_prefix, f"m {m_t}, x {x_t}, __pid int, __lpm double"
+    )
     pmax = parts.groupBy("__pid").agg(F.max("x").alias("__mx"))
     # numPartitions rows — a single-partition window here is bounded
     # by partition count, not data (same note as sort.global_rank).
@@ -62,7 +95,7 @@ def skyline_min_max(
         "__pm", F.greatest("__lpm", "__prior")  # greatest() skips NULLs
     )
     return (
-        with_pm.where(F.col("__pm").isNull() | (F.col("__pm") < F.col("x")))
+        with_pm.where(F.col("__pm") < F.col("x"))
         .select(F.col("m").alias(minimize), F.col("x").alias(maximize))
     )
 
