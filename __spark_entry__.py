@@ -42,40 +42,10 @@ def _verified_names() -> set[str]:
 
 
 # Front-of-queue rows within the never-verified group (entries already
-# driver-green are skipped automatically). Round 3 boosted the SURVEY §2
-# source/sink rows — all green now. Round 4 boosts the relational surface
-# users hit first: the 12 never-verified TPC-H queries plus the round-3
-# red row (inverted_index_tokens, output shape fixed this round).
+# driver-green are skipped automatically). Round 5 boosts the round-3
+# `_DEFER` backlog — the 13 queries that have never had a driver row
+# (all pass scripts/local_gate.py at sf0.01).
 _BOOST = (
-    "tsv_roundtrip_lineitem",
-    "jsonl_roundtrip_orders",
-    "orc_roundtrip_customer",
-    "partitioned_parquet_prune",
-    "schema_evolution_union",
-    "dynamic_partition_prune_join",
-    "federated_format_union",
-    "inverted_index_tokens",
-    "tpch_q7_nation_volume",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_bulk_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_rich_customers",
-    "sql_q8_market_share",
-)
-
-
-# Queries added in round 3+ (after the round-2 verification backlog was
-# queued): they go to the BACK of the never-verified group so each new
-# registration extends the burn-down queue instead of displacing older
-# queries out of the driver's per-round verification budget.
-_DEFER = (
     "near_dup_verified_pairs",
     "normalization_dedup_stats",
     "charclass_stats_by_lang",
@@ -92,18 +62,52 @@ _DEFER = (
 )
 
 
+# Driver-green rows whose underlying code or oracle changed AFTER the
+# green row was recorded (round-4 kernel rewrites: global_rank single-
+# exchange shape, knn k>=N edge, embedding_near_dup degenerate guards +
+# round-5 single-scan rewrite, events_session_10m oracle tiebreak; the
+# round-5 centroid-oracle parity change touches ann_ivf_topk + kmeans).
+# They re-enter the verification queue right behind the never-verified
+# boost group so the driver refreshes their evidence.
+_REVERIFY = (
+    "sort_rank",
+    "knn_top1_all",
+    "embedding_near_dup",
+    "events_session_10m",
+    "ann_ivf_topk",
+    "kmeans_2iter_embeddings",
+    "pareto_frontier_parts",
+)
+
+
+# Queries added in the current round: they go to the BACK of the
+# never-verified group so each new registration extends the burn-down
+# queue instead of displacing older queries out of the driver's
+# per-round verification budget. (Round 5: empty — the r3 backlog is
+# boosted instead, and r5's new registrations fill the remaining
+# budget in registration order.)
+_DEFER = ()
+
+
 def _priority_order(names: list[str]) -> list[str]:
-    """Never-verified queries first (§2 source/sink rows boosted to the
-    very front, this round's new registrations deferred to the back of
-    the unverified group, registration order preserved otherwise) so
-    the driver's per-round verification budget lands on the queries
-    that have waited longest for a green CORRECTNESS row."""
+    """Never-verified queries first (backlog rows boosted to the very
+    front, stale-evidence rows re-queued right behind them, this
+    round's new registrations after those, registration order
+    preserved otherwise) so the driver's per-round verification budget
+    lands on the queries that have waited longest for a current green
+    CORRECTNESS row."""
     green = _verified_names()
     unverified = [n for n in names if n not in green]
     boosted = [n for n in _BOOST if n in unverified]
+    reverify = [n for n in _REVERIFY if n in names]
     deferred = [n for n in unverified if n in _DEFER]
-    rest = [n for n in unverified if n not in _BOOST and n not in _DEFER]
-    return boosted + rest + deferred + [n for n in names if n in green]
+    rest = [
+        n
+        for n in unverified
+        if n not in _BOOST and n not in _DEFER and n not in _REVERIFY
+    ]
+    tail = [n for n in names if n in green and n not in _REVERIFY]
+    return boosted + reverify + rest + deferred + tail
 
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -11,6 +11,13 @@ parse even when it captures only the output tail:
 Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collect). One tiny warmup query amortizes JVM/codegen
 startup so per-query numbers reflect steady-state execution.
+
+Regression triage mode — ``bench.py --retime name [name ...]`` — runs
+only the named queries, warm, 3 runs each, and reports the MIN. The
+full sweep's wall clock swings up to ±30% with host load (4 of the 5
+queries the round-4 sweep flagged >1.3× re-timed flat), so the repo
+discipline is: never call a sweep delta a regression until the warm
+isolated min-of-3 confirms it.
 """
 
 from __future__ import annotations
@@ -32,7 +39,31 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def retime(names: list[str], runs: int = 3) -> None:
+    """Warm isolated re-timing of the named queries: min of ``runs``."""
+    spark = get_spark(app_name="velox_hadoop_spark-retime")
+    _force(spark.read.parquet(f"{SF_DIR}/region.parquet"))
+    qs = registry.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {', '.join(unknown)}")
+    out: dict[str, float] = {}
+    for name in names:
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        out[name] = round(min(samples), 3)
+        print(f"{name}: min {out[name]}s of {[round(s, 3) for s in samples]}", file=sys.stderr)
+    print(json.dumps({"metric": "warm_min_of_runs", "runs": runs, "unit": "sec", "queries": out}))
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--retime":
+        retime(sys.argv[2:])
+        return
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="velox_hadoop_spark-bench")
 

@@ -34,23 +34,53 @@ BROADCASTABLE = frozenset({"region", "nation", "supplier", "part", "customer"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ts_stored_as_nanos(path: str, column: str = "ts") -> bool:
+    """True when the parquet source stores ``column`` as TIMESTAMP(NANOS).
+
+    Probes the parquet footer with pyarrow — no Spark conf required —
+    so callers can decide the read shape WITHOUT mutating session
+    state for µs-typed sources. Accepts a file or a directory (first
+    parquet part decides; a source with mixed units is malformed).
+    """
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return False
+        target = os.path.join(path, parts[0])
+    try:
+        field = pq.read_schema(target).field(column)
+    except (OSError, KeyError):
+        return False
+    return getattr(field.type, "unit", None) == "ns"
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table; normalizes storage quirks.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright. We read it as a long (legacy conf) and
-    truncate to microseconds with integer division — the same
-    truncation DuckDB applies when it narrows ns → µs, so both engines
-    see identical timestamps.
+    reader rejects outright. For ns-stored sources we read the column
+    as a long (legacy conf) and truncate to microseconds with integer
+    division — the same truncation DuckDB applies when it narrows
+    ns → µs, so both engines see identical timestamps. The legacy conf
+    is set ONLY when the footer probe says the source really is ns
+    (it must then stay set for the session: the scan reads lazily at
+    every downstream action); µs sources never touch session state.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(raw.dtypes).get("ts") == "bigint":
-            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return raw
+        path = f"{sf_dir}/events.parquet"
+        if ts_stored_as_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = spark.read.parquet(path)
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return spark.read.parquet(path)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -72,9 +72,10 @@ def kmeans(emb: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
         "vec_id", to_double(F.col("embedding")).alias("e")
     )
     # TRUE k-lowest ids, not `vec_id < k`: the shorthand only matches on
-    # dense 0-based id spaces (where both forms agree — the registered
-    # oracle keeps the WHERE form for that reason) and silently
-    # under-fills the centroid set on any other id space
+    # dense 0-based id spaces and silently under-fills the centroid set
+    # on any other id space. The registered oracle mirrors this exact
+    # rule (ORDER BY vec_id LIMIT k) so both engines share one centroid
+    # selection instead of relying on the dense-id coincidence.
     cents = (
         v.orderBy("vec_id")
         .limit(k)
@@ -98,7 +99,7 @@ def _duck_kmeans_oracle(k: int, iters: int) -> str:
     )
     parts = [
         "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL)",
-        f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {k})",
+        f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {k})",
     ]
     for i in range(1, iters + 1):
         parts.append(

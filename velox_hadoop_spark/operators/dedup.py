@@ -678,48 +678,58 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "doc_id", "text")
 
 
+_BROADCAST_QUERY_BLOCK = 4096  # query rows sliced per task on the broadcast path
+
+
 def _near_dup_broadcast(corpus: DataFrame, threshold: float) -> DataFrame:
-    """Small-corpus near-dup kernel: normalized matrix broadcast once,
-    one dgemm per Arrow batch, only ≥-threshold upper-triangle pairs
-    emitted — output is |near-dup pairs|, never n²."""
+    """Small-corpus near-dup kernel, ONE scan of the corpus total.
+
+    The degenerate-filtered, L2-normalized matrix is collected and
+    broadcast once (that collect IS the only corpus scan); pair
+    generation is then driven by ``spark.range`` over fixed-size query
+    blocks, each task slicing its query rows out of the broadcast
+    matrix itself. The earlier shape streamed the corpus a second time
+    as the query side — plus a third pass for its degenerate filter —
+    so the same scan ran three times per query (the round-4 1.5×
+    warm regression). Only ≥-threshold upper-triangle pairs are
+    emitted — output is |near-dup pairs|, never n².
+    """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     from velox_hadoop_spark.functions.vectors import round_half_away
-    from velox_hadoop_spark.operators.similarity import (
-        broadcast_normalized_corpus,
-        drop_degenerate_vectors,
-    )
+    from velox_hadoop_spark.operators.similarity import broadcast_normalized_corpus
 
     bc = broadcast_normalized_corpus(corpus)
+    m = bc.value[1].shape[0]  # driver-side: .value is the local object
+    n_chunks = -(-m // _BROADCAST_QUERY_BLOCK)  # 0 on an empty corpus
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_ids, c_n = bc.value
-        if c_n.shape[0] == 0:  # empty/all-null corpus: no pairs
-            return
-        for pdf_q in batches:
-            q = np.array(pdf_q["embedding"].tolist(), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            cos = round_half_away(qn @ c_n.T, 6)
-            qids = pdf_q["vec_id"].to_numpy()
-            # upper triangle only (a < b) + threshold
-            keep = (cos >= threshold) & (qids[:, None] < c_ids[None, :])
-            qi, ci = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "a_id": qids[qi],
-                    "b_id": c_ids[ci],
-                    "cos": cos[qi, ci],
-                }
-            )
+        for pdf in batches:
+            for chunk in pdf["id"].tolist():
+                lo = chunk * _BROADCAST_QUERY_BLOCK
+                hi = min(lo + _BROADCAST_QUERY_BLOCK, c_n.shape[0])
+                cos = round_half_away(c_n[lo:hi] @ c_n.T, 6)
+                qids = c_ids[lo:hi]
+                # upper triangle only (a < b) + threshold
+                keep = (cos >= threshold) & (qids[:, None] < c_ids[None, :])
+                qi, ci = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "a_id": qids[qi],
+                        "b_id": c_ids[ci],
+                        "cos": cos[qi, ci],
+                    }
+                )
 
     out_schema = "a_id long, b_id long, cos double"
-    # stream side must drop nulls like the broadcast side, or a single
-    # NULL embedding raggs the batch matrix and kills the job mid-BLAS
-    return drop_degenerate_vectors(corpus).select("vec_id", "embedding").mapInPandas(
-        pairs, out_schema
+    return (
+        corpus.sparkSession.range(n_chunks)
+        .repartition(max(1, min(n_chunks, corpus.sparkSession.sparkContext.defaultParallelism)))
+        .mapInPandas(pairs, out_schema)
     )
 
 
@@ -737,7 +747,10 @@ def cosine_near_dup_pairs(
     the distributed block-matrix kernel
     (``similarity.cosine_pairs_blocked``), so no input can OOM the
     driver. The one count() is the plan-choice probe (parquet metadata,
-    not data), taken before any collect happens.
+    not data), taken before any collect happens; it counts the RAW
+    corpus, which upper-bounds the degenerate-filtered row count the
+    broadcast actually holds, so the guard errs only toward the
+    distributed path and can never OOM the driver.
     """
     import math
 

@@ -422,7 +422,7 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     ).withColumn("n", norm(F.col("v")))
     # TRUE k-lowest ids, not `vec_id < k` (the shorthand under-fills the
     # codebook on any non-dense id space — same fix as clustering.kmeans;
-    # the oracle keeps the WHERE form, equal on the dense test ids)
+    # the oracles mirror this rule with ORDER BY vec_id LIMIT k)
     cents = e.orderBy("vec_id").limit(n_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
@@ -551,7 +551,7 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               WHERE embedding IS NOT NULL AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
-        cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
         scored AS (
             SELECT e.vec_id, c.centroid_id,
                    ROUND(list_dot_product(e.v, c.cv) /
@@ -1288,7 +1288,7 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               WHERE embedding IS NOT NULL AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         {_DUCK_QS_CTE},
-        cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
         scored AS (
             SELECT e.vec_id, c.centroid_id,
                    ROUND(list_dot_product(e.v, c.cv) /

@@ -68,21 +68,49 @@ def skyline_min_max(
     )
 
     def local_prefix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        running = float("-inf")  # "no prior row" sentinel: -inf < any x
+        # Running max carried across Arrow batches in the column's
+        # NATIVE dtype (int64 prefix max stays exact above 2^53, where
+        # a float64 detour would collapse near-equal large values), and
+        # a has-prior boolean instead of a -inf sentinel (a legitimate
+        # first-row x of -inf must not be mistaken for "no prior").
+        running = None  # native-dtype scalar once the first row is seen
         for pdf in batches:
-            xs = pdf["x"].to_numpy(dtype="float64")
+            xs = pdf["x"].to_numpy()
+            n = len(xs)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "m": pdf["m"],
+                        "x": pdf["x"],
+                        "__pid": pdf["__pid"],
+                        "__lpm": xs,
+                        "__has": np.zeros(0, dtype=bool),
+                    }
+                )
+                continue
             cm = np.maximum.accumulate(xs)
-            lpm = np.maximum(
-                np.concatenate(([float("-inf")], cm[:-1])), running
-            )
-            if len(xs):
-                running = max(running, float(cm[-1]))
+            lpm = np.empty(n, dtype=cm.dtype)
+            lpm[1:] = cm[:-1]
+            has = np.ones(n, dtype=bool)
+            if running is None:
+                lpm[0] = xs[0]  # placeholder; masked by __has below
+                has[0] = False
+            else:
+                lpm[0] = running
+                np.maximum(lpm[1:], running, out=lpm[1:])
+            running = cm[-1] if running is None else max(running, cm[-1])
             yield pd.DataFrame(
-                {"m": pdf["m"], "x": pdf["x"], "__pid": pdf["__pid"], "__lpm": lpm}
+                {
+                    "m": pdf["m"],
+                    "x": pdf["x"],
+                    "__pid": pdf["__pid"],
+                    "__lpm": lpm,
+                    "__has": has,
+                }
             )
 
     local = parts.mapInPandas(
-        local_prefix, f"m {m_t}, x {x_t}, __pid int, __lpm double"
+        local_prefix, f"m {m_t}, x {x_t}, __pid int, __lpm {x_t}, __has boolean"
     )
     pmax = parts.groupBy("__pid").agg(F.max("x").alias("__mx"))
     # numPartitions rows — a single-partition window here is bounded
@@ -92,10 +120,16 @@ def skyline_min_max(
         "__pid", "__prior"
     )
     with_pm = local.join(F.broadcast(prior), "__pid").withColumn(
-        "__pm", F.greatest("__lpm", "__prior")  # greatest() skips NULLs
+        # greatest() skips NULLs: local prefix counts only when a prior
+        # row exists in this partition (__has), and __prior is NULL for
+        # the first partition — both NULL means no predecessor at all.
+        "__pm",
+        F.greatest(
+            F.when(F.col("__has"), F.col("__lpm")), F.col("__prior")
+        ),
     )
     return (
-        with_pm.where(F.col("__pm") < F.col("x"))
+        with_pm.where(F.col("__pm").isNull() | (F.col("__pm") < F.col("x")))
         .select(F.col("m").alias(minimize), F.col("x").alias(maximize))
     )
 

@@ -58,6 +58,14 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "rank") ->
 
     Net: ONE exchange of the data (the range partition; plan-asserted
     in tests/test_plans.py) plus a numPartitions-row stats aggregate.
+
+    Step 2 leans on ids being CONSECUTIVE within a partition — true of
+    the current implementation (partitionId<<33 + per-row counter) but
+    not promised by the API contract ("not consecutive"). The stats
+    aggregate therefore also checks ``max - min + 1 == count`` per
+    partition and raises loudly (``raise_error``) if a Spark upgrade
+    ever changes the id scheme — per-partition stats rows only, so the
+    guard costs nothing at data scale.
     """
     parts = (
         df.repartitionByRange(*order_cols)
@@ -66,13 +74,33 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "rank") ->
         .withColumn("__mid", F.monotonically_increasing_id())
     )
     stats = parts.groupBy("__pid").agg(
-        F.count("*").alias("__cnt"), F.min("__mid").alias("__mn")
+        F.count("*").alias("__cnt"),
+        F.min("__mid").alias("__mn"),
+        F.max("__mid").alias("__mx"),
     )
     # numPartitions rows — a single-partition window here is fine.
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = stats.withColumn(
-        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-    ).select("__pid", "__mn", "__off")
+    offsets = (
+        stats.withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        )
+        .withColumn(
+            "__mn",
+            F.when(
+                F.col("__mx") - F.col("__mn") + 1 == F.col("__cnt"),
+                F.col("__mn"),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "global_rank: monotonically_increasing_id is no longer "
+                        "consecutive within a partition; local positions need "
+                        "an explicit per-partition counter"
+                    )
+                )
+            ),
+        )
+        .select("__pid", "__mn", "__off")
+    )
     return (
         parts.join(F.broadcast(offsets), "__pid")
         .withColumn(

@@ -96,17 +96,22 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
 
     Handles the same TIMESTAMP(NANOS) seam as ``catalog.read_table``:
     the canonical events.parquet stores ns timestamps, which Spark's
-    reader rejects under a TimestampType schema. A one-off static
-    footer probe decides the shape — ns sources stream ``ts`` as long
-    (legacy conf) and truncate to µs in-plan, µs sources stream with
-    the declared schema. Without this, the stream reader only worked
-    on re-materialized copies of the table. (``path`` must be a
-    directory — Spark's file-stream source rejects a bare file — so
-    point it at the folder holding the parquet files.)
+    reader rejects under a TimestampType schema. A pyarrow footer
+    probe (``catalog.ts_stored_as_nanos`` — no Spark conf involved)
+    decides the shape — ns sources stream ``ts`` as long and truncate
+    to µs in-plan, µs sources stream with the declared schema and
+    leave session state untouched. The legacy ``nanosAsLong`` conf is
+    set only on the ns branch, where it must persist: every micro-
+    batch re-reads files lazily for the stream's whole life, so
+    restoring the conf here would break the scan at the first trigger.
+    (``path`` must be a directory — Spark's file-stream source rejects
+    a bare file — so point it at the folder holding the parquet
+    files.)
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(path)
-    if dict(static.dtypes).get("ts") == "bigint":
+    from velox_hadoop_spark.catalog import ts_stored_as_nanos
+
+    if ts_stored_as_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         long_ts = T.StructType(
             [
                 f if f.name != "ts" else T.StructField("ts", T.LongType())
