@@ -11,6 +11,12 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Registration-time oracle lint: under pytest every @register() call
+# schema-probes its oracle against DuckDB, so an offending output shape
+# (nested column, un-cast HUGEINT) fails at IMPORT time in the dev
+# loop. Driver/bench runs leave this off (no probe cost there).
+os.environ.setdefault("VHS_ORACLE_LINT", "1")
+
 from velox_hadoop_spark.session import get_spark  # noqa: E402
 from velox_hadoop_spark.catalog import TABLES  # noqa: E402
 

@@ -486,3 +486,16 @@ def test_global_rank_shuffles_the_data_exactly_once(spark):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         below = seg.splitlines()[1] if len(seg.splitlines()) > 1 else ""
         assert "partial_" in below, f"full-data hash exchange: {below}"
+
+
+def test_q2_broadcasts_dims_no_cartesian(spark):
+    """Q2's decorrelated min-cost join: the part filter, the
+    nation x region dimension, and the per-part min table all enter by
+    broadcast; nothing degenerates to a cartesian / nested-loop
+    product, and the top-100 compiles to TakeOrderedAndProject."""
+    df = registry.queries()["tpch_q2_min_cost_supplier"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -439,3 +439,107 @@ def q_nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        cost AS (
+            SELECT ps.l_partkey AS p_partkey, ps.l_suppkey AS suppkey,
+                   CAST(round(p.p_retailprice * 100) AS BIGINT)
+                       * (40 + (ps.l_partkey * 7 + ps.l_suppkey * 13) % 21) AS cost_int
+            FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+            WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+        ),
+        eur AS (
+            SELECT c.p_partkey, c.cost_int, s.s_acctbal, s.s_name, n.n_name
+            FROM cost c
+            JOIN supplier s ON c.suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        )
+        SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey,
+               ROUND(e.cost_int / 10000.0, 2) AS supplycost
+        FROM eur e
+        WHERE e.cost_int = (
+            SELECT min(e2.cost_int) FROM eur e2 WHERE e2.p_partkey = e.p_partkey
+        )
+        ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey
+        LIMIT 100
+    """,
+    tags=("tpch", "correlated-subquery", "extension"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog: the cheapest EUROPE supplier for each qualifying part —
+    the canonical correlated-scalar-subquery-per-group pattern, written
+    DECORRELATED (reference join surface: LeanJoin.java:56-100 composed
+    with the broadcast lookup of Step3Mapper.java:22-76).
+
+    Adaptation to the driver schema: the (part, supplier) catalog is
+    DISTINCT (l_partkey, l_suppkey) from lineitem (the repo's standard
+    partsupp surrogate, as in Q16/Q20), and supply cost is a
+    deterministic per-pair surrogate — 40-60%% of retail price keyed by
+    (partkey, suppkey) — kept in INTEGER cent-percent units so the
+    per-part min is exact arithmetic in both engines (a double min
+    could tie-break differently under summation order).
+
+    Scale shape: the oracle's correlated `cost_int = (SELECT min ...)`
+    decorrelates into a per-part min aggregate joined back on
+    (partkey, min). part is pre-filtered then broadcast into the ps
+    join; nation x region collapse to a broadcast dimension; the only
+    fact-table shuffles are lineitem's DISTINCT and the per-part min
+    agg (map-side partials), both keyed on l_partkey. The min table
+    (one row per qualifying part) re-enters via broadcast — no
+    cartesian, no second fact shuffle. Top-100 compiles to
+    TakeOrderedAndProject.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation, region = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p_f = part.where(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_retailprice")
+    cost = (
+        ps.join(F.broadcast(p_f), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("suppkey"),
+            (
+                F.round(F.col("p_retailprice") * 100).cast("long")
+                * (40 + (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 21)
+            ).alias("cost_int"),
+        )
+    )
+    eur_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eur = cost.join(F.broadcast(eur_supp), F.col("suppkey") == F.col("s_suppkey"))
+    min_cost = eur.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("cost_int").alias("min_cost")
+    )
+    return (
+        eur.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("cost_int") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round(F.col("cost_int") / 10000.0, 2).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

@@ -17,12 +17,57 @@ sorts columns by name before hashing).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Oracle output-shape rules (shared with scripts/lint_oracles.py, which
+# stays as the standalone CLI sweep): wide-integer Arrow types that
+# hash-mismatch Spark's int64, and nested types the driver's pandas
+# canonicalizer cannot sort.
+_BAD_ORACLE_TYPES = ("hugeint", "int128", "decimal128(38, 0)", "decimal128(38,0)")
+_NESTED_ORACLE_TYPES = ("list", "struct", "map")
+
+_LINT_ENV = "VHS_ORACLE_LINT"  # set to 1 (tests/conftest.py does) to
+# schema-probe every oracle AT REGISTRATION, so an offending output
+# shape fails at import time in the dev loop instead of at lint time.
+# Off by default: driver/bench runs must not pay 200+ DuckDB probes or
+# require testdata on the import path.
+_lint_conn = None
+
+
+def _validate_oracle(name: str, sql: str) -> None:
+    global _lint_conn
+    import duckdb
+
+    if _lint_conn is None:
+        from velox_hadoop_spark.catalog import TABLES
+
+        sf_dir = os.environ.get("VHS_ORACLE_LINT_SF", "/root/testdata/sf0.001")
+        _lint_conn = duckdb.connect()
+        for t in TABLES:
+            _lint_conn.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    try:
+        schema = _lint_conn.sql(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+    except Exception as exc:
+        raise ValueError(f"oracle for {name!r} does not parse: {exc}") from exc
+    for f in schema:
+        t = str(f.type).lower()
+        if any(b in t for b in _BAD_ORACLE_TYPES):
+            raise ValueError(
+                f"oracle for {name!r}: column {f.name} has wide-integer type "
+                f"{f.type} — CAST the aggregate to BIGINT/INTEGER"
+            )
+        if any(b in t for b in _NESTED_ORACLE_TYPES):
+            raise ValueError(
+                f"oracle for {name!r}: column {f.name} has nested type "
+                f"{f.type} — array_join/array_to_string it to a CSV string "
+                "(driver canonicalizer cannot sort list values)"
+            )
 
 
 @dataclass(frozen=True)
@@ -48,6 +93,8 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if oracle is not None and os.environ.get(_LINT_ENV) == "1":
+            _validate_oracle(name, oracle)
         _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
         return fn
 
@@ -91,6 +138,11 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.timeseries  # noqa: F401
     import velox_hadoop_spark.operators.mining  # noqa: F401
     import velox_hadoop_spark.sources.multisource  # noqa: F401
+    import velox_hadoop_spark.operators.subqueries  # noqa: F401
+    import velox_hadoop_spark.operators.reshape2  # noqa: F401
+    import velox_hadoop_spark.operators.funcs2  # noqa: F401
+    import velox_hadoop_spark.operators.llmops2  # noqa: F401
+    import velox_hadoop_spark.operators.timeseries2  # noqa: F401
 
 
 def specs() -> dict[str, QuerySpec]:
