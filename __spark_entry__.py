@@ -42,41 +42,28 @@ def _verified_names() -> set[str]:
 
 
 # Front-of-queue rows within the never-verified group (entries already
-# driver-green are skipped automatically). Round 5 boosts the round-3
-# `_DEFER` backlog — the 13 queries that have never had a driver row
-# (all pass scripts/local_gate.py at sf0.01).
+# driver-green are skipped automatically). Round 6: the r3/r5 backlogs
+# are fully burned down — only the two round-5 stragglers
+# (cumulative_distinct_users, interval_overlap_pairs) have never had a
+# driver row; boosting them ahead of the rows-only approx_* rows (which
+# re-sample every round by contract) guarantees they land in the
+# driver's budget first.
 _BOOST = (
-    "near_dup_verified_pairs",
-    "normalization_dedup_stats",
-    "charclass_stats_by_lang",
-    "table_checksum_buckets",
-    "null_skew_left_join",
-    "merge_upsert_orders",
-    "ann_lsh_recall_at_k",
-    "ann_multiprobe_recall",
-    "ann_ivf_recall",
-    "cascade_delete_audit",
-    "entity_resolution_parts",
-    "multimodal_frame_sample",
-    "cdc_apply_orders",
+    "cumulative_distinct_users",
+    "interval_overlap_pairs",
 )
 
 
 # Driver-green rows whose underlying code or oracle changed AFTER the
-# green row was recorded (round-4 kernel rewrites: global_rank single-
-# exchange shape, knn k>=N edge, embedding_near_dup degenerate guards +
-# round-5 single-scan rewrite, events_session_10m oracle tiebreak; the
-# round-5 centroid-oracle parity change touches ann_ivf_topk + kmeans).
-# They re-enter the verification queue right behind the never-verified
-# boost group so the driver refreshes their evidence.
+# green row was recorded. They re-enter the verification queue right
+# behind the never-verified boost group so the driver refreshes their
+# evidence. Round 6: skyline_3d_parts (phase-1 persist + O(n·k) global
+# recheck rewrite) and the two de-broadcast queries (plan-only changes,
+# but the kernels were touched) re-queue for fresh evidence.
 _REVERIFY = (
-    "sort_rank",
-    "knn_top1_all",
-    "embedding_near_dup",
-    "events_session_10m",
-    "ann_ivf_topk",
-    "kmeans_2iter_embeddings",
-    "pareto_frontier_parts",
+    "skyline_3d_parts",
+    "tpch_q2_min_cost_supplier",
+    "dangling_fk_audit",
 )
 
 

@@ -79,49 +79,60 @@ def test_oracle_lint_no_hugeint_outputs():
 
 
 def test_priority_order_invariants():
-    """Driver-sample ordering contract: boosted source/sink rows first,
-    deferred round-3 additions at the back of the unverified group,
-    already-green queries last; every _BOOST/_DEFER name must exist in
-    the registry (typo guard)."""
+    """Round-5+ driver-sample ordering contract:
+
+        boosted-unverified → _REVERIFY → unverified-rest → deferred →
+        green tail
+
+    Every _BOOST/_REVERIFY/_DEFER name must exist in the registry (typo
+    guard); no never-verified query may follow the start of the green
+    tail (rows-only queries never earn a hash-green row, so they count
+    as unverified and correctly stay ahead of the tail); _REVERIFY
+    names — green rows whose kernel/oracle changed after the row was
+    recorded — precede the tail so the driver refreshes their evidence."""
     import __spark_entry__ as entry
 
     names = list(entry.queries())
     registered = set(names)
     assert set(entry._BOOST) <= registered
     assert set(entry._DEFER) <= registered
+    assert set(entry._REVERIFY) <= registered
     green = entry._verified_names()
-    first_green = min(
-        (names.index(n) for n in names if n in green), default=len(names)
+    tail_start = min(
+        (
+            names.index(n)
+            for n in names
+            if n in green and n not in entry._REVERIFY
+        ),
+        default=len(names),
     )
-    # no unverified query may come after the first green one
-    for n in names[first_green:]:
+    # everything from the tail onward must be green (no unverified
+    # query may hide behind the green tail and starve the burn-down)
+    for n in names[tail_start:]:
         assert n in green, n
-    # deferred unverified names sit immediately before the green block
-    # (in registration order, not _DEFER order)
-    deferred_unverified = {n for n in entry._DEFER if n not in green}
-    if deferred_unverified:
-        block = names[first_green - len(deferred_unverified):first_green]
-        assert set(block) == deferred_unverified
+    # reverify names re-enter the queue ahead of the green tail
+    for n in entry._REVERIFY:
+        assert names.index(n) < tail_start, n
 
 
-def test_new_registrations_must_be_deferred():
-    """Burn-down discipline across rounds: any query registered AFTER
-    the round-3 snapshot must appear in __spark_entry__._DEFER (so it
-    queues behind the older never-driver-verified backlog instead of
-    displacing it). When adding a query: add its name to _DEFER; once
-    it earns a green CORRECTNESS row the deferral becomes a no-op."""
-    import os
-
+def test_priority_order_unit():
+    """_priority_order on a synthetic name list: boost order preserved
+    up front, reverify right behind, remaining unverified names keep
+    registration order, deferred names sit at the back of the
+    unverified group, green names (minus reverify) close the queue in
+    registration order. Pure-function check, independent of round
+    state."""
     import __spark_entry__ as entry
-    from velox_hadoop_spark.plans import registry as reg
 
-    snap_path = os.path.join(
-        os.path.dirname(reg.__file__), "registry_snapshot_r03.txt"
-    )
-    with open(snap_path) as f:
-        snapshot = {line.strip() for line in f if line.strip()}
-    new = set(reg.specs()) - snapshot
-    not_deferred = new - set(entry._DEFER)
-    assert not not_deferred, (
-        f"new queries missing from __spark_entry__._DEFER: {sorted(not_deferred)}"
-    )
+    names = ["g1", "u1", "b1", "g2", "d1", "u2", "b2", "r1"]
+    green = {"g1", "g2", "r1"}
+    orig_green = entry._verified_names
+    orig = entry._BOOST, entry._REVERIFY, entry._DEFER
+    entry._verified_names = lambda: green
+    entry._BOOST, entry._REVERIFY, entry._DEFER = ("b2", "b1"), ("r1",), ("d1",)
+    try:
+        got = entry._priority_order(names)
+    finally:
+        entry._verified_names = orig_green
+        entry._BOOST, entry._REVERIFY, entry._DEFER = orig
+    assert got == ["b2", "b1", "r1", "u1", "u2", "d1", "g1", "g2"]

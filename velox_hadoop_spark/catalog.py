@@ -41,18 +41,27 @@ def ts_stored_as_nanos(path: str, column: str = "ts") -> bool:
     so callers can decide the read shape WITHOUT mutating session
     state for µs-typed sources. Accepts a file or a directory (first
     parquet part decides; a source with mixed units is malformed).
+    Directories are walked RECURSIVELY so partitioned layouts
+    (key=value subdirectories, nested part files) probe the same as a
+    flat directory — a top-level-only listing would return False and
+    silently skip the ns handling the source needs.
     """
     import pyarrow.parquet as pq
 
     target = path
     if os.path.isdir(path):
-        parts = sorted(
-            f for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-        if not parts:
+        target = None
+        for root, dirnames, files in os.walk(path):
+            dirnames.sort()  # deterministic recursion order
+            parts = sorted(
+                f for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if parts:
+                target = os.path.join(root, parts[0])
+                break
+        if target is None:
             return False
-        target = os.path.join(path, parts[0])
     try:
         field = pq.read_schema(target).field(column)
     except (OSError, KeyError):

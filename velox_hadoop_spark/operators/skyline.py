@@ -202,13 +202,23 @@ def skyline_multi(
       1. LOCAL frontier per partition — a stateful mapInPandas pass
          keeps a running Pareto set across Arrow batches (a point the
          local frontier dominates can never be in the global skyline,
-         because dominance is transitive);
+         because dominance is transitive). The candidate frame is
+         ``persist()``-ed so the cap probe and the collect share ONE
+         execution of this phase.
       2. GLOBAL re-check — the union of local frontiers (bounded by a
          limit-probe at ``_CANDIDATE_CAP``, the dedup_clusters
-         precedent) is collected once, broadcast, and pruned by a
-         ``spark.range``-driven kernel that slices the broadcast
-         matrix itself — no second execution of phase 1, no driver
-         loops.
+         precedent) is collected once and pruned by a sort-based
+         O(n·k) frontier scan (k = frontier size): sorted
+         lexicographically DESCENDING in all-maximize space, any
+         dominator of a point precedes it (its first differing
+         coordinate is strictly greater), and by transitivity it
+         suffices to test each point against the CURRENT frontier —
+         never all-pairs. Blocked numpy: each 512-row block is masked
+         against the frontier matrix, then intra-block via
+         ``_pareto_max_mask`` (a block point whose in-block dominator
+         was itself dominated is already gone — transitivity again).
+         Cost is (k × 512 × d) per block, bounded by the cap — not the
+         (n × 4096 × d) all-pairs slices of the previous version.
 
     Dominance compares in float64: exact for integer inputs below
     2^53 (the repo's money/size/length domains); unlike the 2-D
@@ -243,37 +253,48 @@ def skyline_multi(
         if front_raw is not None:
             yield front_raw
 
-    cand = coords.mapInPandas(local_frontier, schema)
-    # Bounded probe BEFORE the collect: phase 1 runs twice, the driver
-    # never holds more than cap+1 rows.
-    if len(cand.limit(_CANDIDATE_CAP + 1).take(_CANDIDATE_CAP + 1)) > _CANDIDATE_CAP:
-        raise ValueError(
-            f"skyline_multi: candidate frontier exceeds {_CANDIDATE_CAP} rows; "
-            "raise the cap or pre-aggregate the dimensions"
-        )
-    cand_pdf = cand.toPandas()
+    cand = coords.mapInPandas(local_frontier, schema).persist()
+    try:
+        # Bounded probe BEFORE the collect: the driver never holds more
+        # than cap+1 rows before committing to the toPandas; persist()
+        # makes the probe and the collect share ONE phase-1 execution.
+        if (
+            len(cand.limit(_CANDIDATE_CAP + 1).take(_CANDIDATE_CAP + 1))
+            > _CANDIDATE_CAP
+        ):
+            raise ValueError(
+                f"skyline_multi: candidate frontier exceeds {_CANDIDATE_CAP} "
+                "rows; raise the cap or pre-aggregate the dimensions"
+            )
+        cand_pdf = cand.toPandas()
+    finally:
+        cand.unpersist()
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(
-        (cand_pdf, cand_pdf[dims].to_numpy(dtype="float64") * signs)
-    )
-    n_chunks = -(-len(cand_pdf) // 4096)
-
-    def global_prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raw, m = bc.value
-        for pdf in batches:
-            for chunk in pdf["id"].tolist():
-                lo, hi = chunk * 4096, min((chunk + 1) * 4096, m.shape[0])
-                blk = m[lo:hi]
-                ge = (m[None, :, :] >= blk[:, None, :]).all(-1)
-                gt = (m[None, :, :] > blk[:, None, :]).any(-1)
-                keep = ~(ge & gt).any(1)
-                yield raw.iloc[lo:hi][keep].reset_index(drop=True)
-
-    return (
-        spark.range(n_chunks)
-        .repartition(max(1, min(n_chunks, spark.sparkContext.defaultParallelism)))
-        .mapInPandas(global_prune, schema)
-    )
+    m = cand_pdf[dims].to_numpy(dtype="float64") * signs
+    # Lexicographic DESCENDING sort in all-maximize space: lexsort's
+    # primary key is its LAST argument, so feed dims reversed; tuples
+    # are distinct (coords.distinct()), so reversing the ascending
+    # order is exactly the descending order.
+    order = np.lexsort(tuple(m[:, j] for j in range(m.shape[1] - 1, -1, -1)))[::-1]
+    ms = m[order]
+    keep = np.zeros(len(ms), dtype=bool)
+    front = np.empty((0, m.shape[1]))
+    for lo in range(0, len(ms), 512):
+        blk = ms[lo : lo + 512]
+        if len(front):
+            ge = (front[:, None, :] >= blk[None, :, :]).all(-1)
+            gt = (front[:, None, :] > blk[None, :, :]).any(-1)
+            alive = ~(ge & gt).any(0)
+        else:
+            alive = np.ones(len(blk), dtype=bool)
+        if alive.any():
+            surv = blk[alive]
+            intra = _pareto_max_mask(surv)
+            alive[np.flatnonzero(alive)[~intra]] = False
+            front = np.concatenate([front, surv[intra]])
+        keep[lo : lo + 512] = alive
+    result = cand_pdf.iloc[order[keep]].reset_index(drop=True)
+    return spark.createDataFrame(result, schema=cand.schema)
 
 
 @register(

@@ -220,16 +220,19 @@ def q_lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> Data
 )
 def q_in_subquery_nested_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level nested IN — customers who ever ordered a PROMO part —
-    as a chain of semi joins driven bottom-up: the filtered part dim
-    broadcasts into lineitem, that semi-joins orders, which semi-joins
+    as a chain of semi joins driven bottom-up: the filtered part set
+    semi-joins lineitem, that semi-joins orders, which semi-joins
     customer. Each level shrinks before the next join; nothing is
-    deduplicated explicitly (semi joins are set-semantics for free)."""
+    deduplicated explicitly (semi joins are set-semantics for free).
+    The PROMO part set is SF-proportional, so it carries NO broadcast
+    hint — AQE promotes it to broadcast at small SF and falls back to
+    a shuffled semi join when it outgrows the budget at 100 TB."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     promo = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
     promo_orders = li.join(
-        F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        promo, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     ).select("l_orderkey")
     qualifying = orders.join(
         promo_orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
@@ -272,10 +275,12 @@ def q_dangling_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: dangling-row count for every
     foreign key in the star schema, one UNION ALL report. Each check
     is an anti-join count (the NOT EXISTS physical form) with only the
-    key columns scanned on both sides; DIMENSION key sets broadcast,
-    while the fact-to-fact check (lineitem->orders) stays a shuffled
-    anti join — an orders key set is data-sized and must never be
-    forced onto the driver at 100 TB. The last row audits against a
+    key columns scanned on both sides. NO forced broadcasts: part,
+    supplier, and customer key sets are SF-proportional — data-sized
+    at 100 TB, exactly like the orders key set this function has
+    always refused to broadcast — so every check is a plain shuffled
+    anti join and AQE promotes the small sides to broadcast at runtime
+    when (and only when) they fit. The last row audits against a
     FILTERED parent (non-negative balances) to exercise a violated
     relationship — the healthy keys all report 0, which the audit must
     prove, not assume."""
@@ -288,12 +293,11 @@ def q_dangling_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         parent: DataFrame,
         pkey: str,
         label: str,
-        bcast: bool = True,
     ) -> DataFrame:
         pk = parent.select(pkey)
         n = (
             child.select(key)
-            .join(F.broadcast(pk) if bcast else pk, F.col(key) == F.col(pkey), "left_anti")
+            .join(pk, F.col(key) == F.col(pkey), "left_anti")
             .agg(F.count("*").alias("n_dangling"))
         )
         return n.select(F.lit(label).alias("relationship"), "n_dangling")
@@ -302,7 +306,7 @@ def q_dangling_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     cust = _t(spark, sf_dir, "customer")
     checks = [
-        dangling(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders", bcast=False),
+        dangling(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders"),
         dangling(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey->part"),
         dangling(li, "l_suppkey", supp, "s_suppkey", "lineitem.l_suppkey->supplier"),
         dangling(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey->customer"),

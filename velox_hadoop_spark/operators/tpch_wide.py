@@ -487,12 +487,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the oracle's correlated `cost_int = (SELECT min ...)`
     decorrelates into a per-part min aggregate joined back on
-    (partkey, min). part is pre-filtered then broadcast into the ps
-    join; nation x region collapse to a broadcast dimension; the only
-    fact-table shuffles are lineitem's DISTINCT and the per-part min
-    agg (map-side partials), both keyed on l_partkey. The min table
-    (one row per qualifying part) re-enters via broadcast — no
-    cartesian, no second fact shuffle. Top-100 compiles to
+    (partkey, min). Only nation and region — the cardinality-BOUNDED
+    dimensions — carry broadcast hints; part, supplier, and the
+    per-part min table are all SF-proportional (data-sized at 100 TB),
+    so their join strategies are left to Catalyst/AQE, which still
+    broadcasts them at small SF but falls back to shuffled joins when
+    they outgrow the broadcast budget instead of OOMing executors on a
+    forced hint. The fact-table shuffles are lineitem's DISTINCT and
+    the per-part min agg (map-side partials), both keyed on l_partkey —
+    the min-join back re-uses that key, so AQE can keep it
+    exchange-free. No cartesian. Top-100 compiles to
     TakeOrderedAndProject.
     """
     li = _t(spark, sf_dir, "lineitem")
@@ -505,7 +509,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
     ).select("p_partkey", "p_retailprice")
     cost = (
-        ps.join(F.broadcast(p_f), F.col("l_partkey") == F.col("p_partkey"))
+        ps.join(p_f, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey",
             F.col("l_suppkey").alias("suppkey"),
@@ -523,13 +527,13 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    eur = cost.join(F.broadcast(eur_supp), F.col("suppkey") == F.col("s_suppkey"))
+    eur = cost.join(eur_supp, F.col("suppkey") == F.col("s_suppkey"))
     min_cost = eur.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
         F.min("cost_int").alias("min_cost")
     )
     return (
         eur.join(
-            F.broadcast(min_cost),
+            min_cost,
             (F.col("p_partkey") == F.col("mc_partkey"))
             & (F.col("cost_int") == F.col("min_cost")),
         )
