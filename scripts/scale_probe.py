@@ -98,6 +98,21 @@ DEFAULT_QUERIES = [
     "table_checksum_buckets",
     "merge_upsert_orders",
     "ann_multiprobe_recall",
+    # round-5/6 surface: the multi-d skyline (capped two-phase frontier),
+    # the decorrelated-subquery family (deepest: nested two-level IN and
+    # the double-correlation EXISTS), the per-key-quadratic interval
+    # overlap (documented bounded-key contract — the probe watches the
+    # bound), the cross-shard reconcile, and q2 post-de-broadcast (AQE
+    # must keep choosing sane joins as the inputs grow 10x)
+    "skyline_3d_parts",
+    "in_subquery_nested_two_level",
+    "exists_double_correlation_orders",
+    "lateral_top2_orders_per_customer",
+    "interval_overlap_pairs",
+    "cumulative_distinct_users",
+    "cross_shard_dedup_reconcile",
+    "tpch_q2_min_cost_supplier",
+    "dangling_fk_audit",
 ]
 
 
