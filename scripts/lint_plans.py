@@ -97,6 +97,15 @@ WHITELIST = {
     ("operators/tpch_wide.py", "total"): "one scalar total row",
     ("operators/tpch_wide.py", "avg_bal"): "one scalar average row",
     ("sources/multisource.py", "dim"): "per-o_orderpriority dim: 5-value enum key",
+    ("operators/sqlbreadth.py", "clean"): "one scalar count row",
+    ("operators/sqlbreadth.py", "n_ea"): "one scalar count row",
+    ("operators/sqlbreadth.py", "n_i"): "one scalar count row",
+    ("operators/sqlbreadth.py", "n_e"): "one scalar count row",
+    ("operators/timeseries3.py", "g"): "one scalar global-max row",
+    ("operators/llmops3.py", "n"): "one scalar count row (doc_quality_deciles n_total)",
+    ("operators/llmops3.py", "nh"): "one scalar hit-count row per budget point",
+    ("operators/llmops3.py", "tot"): "one scalar totals row",
+    ("operators/llmops3.py", "prior"): "per-cents-bucket prefix counts: bounded bucket list",
 }
 
 

@@ -1,0 +1,134 @@
+"""Oracle parity for the round-6 additions (SQL breadth, time series,
+LLM-ops / stats), plus semantics checks the mirrored oracles cannot
+see on their own."""
+
+import pytest
+
+from tests.conftest import assert_parity
+
+PARITY_QUERIES = [
+    # sqlbreadth
+    "grouping_id_report",
+    "group_by_all_revenue",
+    "listagg_distinct_statuses",
+    "count_filter_report",
+    "bool_agg_by_nation",
+    "cume_dist_percent_rank_prices",
+    "lag_lead_ignore_nulls",
+    "rows_vs_range_frames",
+    "running_min_max_spread",
+    "qualify_top3_balance_per_nation",
+    "not_in_null_semantics",
+    "bag_set_ops_custkeys",
+    "values_inline_dim_join",
+    "posexplode_outer_tokens",
+    "sequence_aggregate_months",
+    "base64_hex_roundtrip",
+    "string_pad_translate_funcs",
+    "moment_stats_by_flag",
+    "calendar_dim_coverage",
+    # timeseries3
+    "interval_overlap_pairs_banded",
+    "time_weighted_avg_value",
+    "asof_join_forward",
+    "watermark_late_accounting",
+    "session_length_histogram",
+    "data_freshness_sla",
+    # llmops3
+    "connected_components_edges",
+    "near_dup_cluster_size_histogram",
+    "ann_recall_budget_curve",
+    "minhash_band_tuning_report",
+    "dedup_keep_policy_matrix",
+    "doc_quality_deciles",
+    "lang_id_confusion_matrix",
+    "auc_quality_en_classifier",
+    "event_entropy_by_user",
+    "gini_spend_by_nation",
+    "benford_first_digit_prices",
+    "hapax_rate_by_source",
+    "split_leakage_audit",
+    "embedding_dim_stats",
+    "ks_statistic_order_values",
+]
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def test_banded_interval_join_matches_plain(spark):
+    """The banded variant is a physical optimization of the plain
+    interval join: identical (user, count) multisets — asserted
+    engine-internally, independent of the shared oracle."""
+    from tests.conftest import SF_DIR
+    from velox_hadoop_spark.plans import registry
+
+    qs = registry.queries()
+    plain = sorted(map(tuple, qs["interval_overlap_pairs"](spark, SF_DIR).collect()))
+    banded = sorted(
+        map(tuple, qs["interval_overlap_pairs_banded"](spark, SF_DIR).collect())
+    )
+    assert plain == banded
+
+
+def test_recall_budget_curve_is_monotone(spark):
+    """Widening the probe budget can only ADD candidates, so recall@k
+    must be non-decreasing in nprobe and every recall row shares the
+    same exact baseline."""
+    from tests.conftest import SF_DIR
+    from velox_hadoop_spark.plans import registry
+
+    rows = sorted(
+        registry.queries()["ann_recall_budget_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    assert len({r.n_exact for r in rows}) == 1
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls)
+
+
+def test_band_tuning_counts_are_monotone_in_bands(spark):
+    """More bands with fewer rows per band is strictly more permissive
+    on the same signature: candidate counts must be non-increasing as
+    rows-per-band grows (8x1 >= 4x2 >= 2x4)."""
+    from tests.conftest import SF_DIR
+    from velox_hadoop_spark.plans import registry
+
+    rows = {
+        r.config: r.n_candidate_pairs
+        for r in registry.queries()["minhash_band_tuning_report"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert rows["8x1"] >= rows["4x2"] >= rows["2x4"]
+
+
+def test_not_in_with_null_is_empty(spark):
+    """Three-valued logic pin: the NULL-tainted NOT IN must yield 0."""
+    from tests.conftest import SF_DIR
+    from velox_hadoop_spark.plans import registry
+
+    row = registry.queries()["not_in_null_semantics"](spark, SF_DIR).first()
+    assert row.n_with_null == 0
+    assert row.n_clean >= 0
+
+
+def test_quality_decile_sizes_match_ntile_distribution(spark):
+    """The arithmetic tiling over global_rank must reproduce SQL
+    NTILE's size distribution: first (n mod 10) deciles one row
+    larger, all deciles present."""
+    from tests.conftest import SF_DIR
+    from velox_hadoop_spark.plans import registry
+
+    rows = sorted(
+        registry.queries()["doc_quality_deciles"](spark, SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n = sum(r.n_docs for r in rows)
+    big, small = -(-n // 10), n // 10
+    expect = [big] * (n % 10) + [small] * (10 - n % 10)
+    assert [r.n_docs for r in rows] == expect

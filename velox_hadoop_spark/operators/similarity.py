@@ -442,6 +442,42 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def ivf_assign_probes(
+    emb: DataFrame, n_centroids: int = 8, nprobe: int = 1
+) -> DataFrame:
+    """Multi-probe IVF query assignment: each vector's ``nprobe``
+    nearest centroids with their probe rank (1 = nearest). Same
+    centroid rule, scoring, and tiebreak as ``ivf_assign`` — that
+    function is exactly ``nprobe=1`` minus the rank column. Probing p
+    cells multiplies the candidate set ~p×: the recall-vs-cost budget
+    curve (``ann_recall_budget_curve``) measures what that buys."""
+    from pyspark.sql import Window
+
+    from velox_hadoop_spark.functions.vectors import dot, norm
+
+    e = drop_degenerate_vectors(emb).select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    cents = e.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("vec_id", "centroid_id", "probe_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries (embeddings table)
 # ---------------------------------------------------------------------------

@@ -201,6 +201,32 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(docs)
 
 
+def duck_quality_select() -> str:
+    """The quality_score oracle as a reusable SELECT (shared by the
+    decile report in llmops3): per-doc composite quality plus its
+    ingredients, identical to the registered quality_score oracle."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS words
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, text, words,
+                   greatest(len(words), 1) AS n_words_div,
+                   {_duck_marker_count('en')} AS stop_hits,
+                   CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS alpha_ratio,
+                   CAST(CASE WHEN len(words) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS len_ok
+            FROM w
+        )
+        SELECT doc_id,
+               ROUND(0.4 * (CAST(stop_hits AS DOUBLE) / n_words_div)
+                     + 0.4 * alpha_ratio + 0.2 * len_ok, 6) AS quality
+        FROM m
+    """
+
+
 @register(
     "quality_score",
     oracle=f"""

@@ -239,16 +239,18 @@ def q_watermark_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizing report you run before picking ``withWatermark``'s delay.
 
     Scale shape: the running max is a GLOBAL prefix scan, computed in
-    two bounded stages instead of one single-partition window — (1)
-    per-arrival-bucket max (10k-event buckets, an ordinary grouped
+    two staged passes instead of one single-partition window — (1)
+    per-arrival-bucket max (1M-event buckets, an ordinary grouped
     agg), (2) exclusive prefix max ACROSS buckets via a window over
-    |buckets| rows (bounded by data/10k, and itself cheap), broadcast
-    back and folded with the within-bucket running max (window keyed
-    on bucket — partition-parallel). The oracle states the plain
-    global window; the staged plan must answer identically."""
+    |data|/1M rows (a million-fold reduction; ~10⁶ rows even at 10¹²
+    events), joined back UNHINTED — AQE broadcasts the fold table
+    while it is small and falls back to a shuffle join at extreme
+    scale — and folded with the within-bucket running max (window
+    keyed on bucket — partition-parallel). The oracle states the
+    plain global window; the staged plan must answer identically."""
     ev = _events(spark, sf_dir)
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    bucket = (F.col("event_id") / 10000).cast("long")
+    bucket = (F.col("event_id") / 1_000_000).cast("long")
     base = ev.select(
         "event_id",
         "ts",
@@ -270,7 +272,7 @@ def q_watermark_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run = (
-        base.join(F.broadcast(prior), "__bkt")
+        base.join(prior, "__bkt")
         .select(
             "event_id",
             "ts",
