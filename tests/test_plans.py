@@ -555,3 +555,56 @@ def test_ts_nanos_probe_recurses_partitioned_layout(tmp_path):
     tbl2 = pa.table({"ts": pa.array([1, 2], type=pa.timestamp("us"))})
     pq.write_table(tbl2, sub2 / "part-0.parquet")
     assert not ts_stored_as_nanos(str(tmp_path / "ev_us.parquet"))
+
+
+def test_banded_interval_join_is_equi_join(spark):
+    """The banded interval join must compile to an equi-join on
+    (user, bucket) with the overlap as a residual — never a
+    nested-loop/cartesian over the events table (the failure mode of
+    naive interval joins)."""
+    df = registry.queries()["interval_overlap_pairs_banded"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_deciles_use_distributed_rank_not_ntile(spark):
+    """The decile report must ride the distributed global_rank kernel
+    (rangepartitioning visible), never a single-partition ntile()
+    window over the corpus."""
+    df = registry.queries()["doc_quality_deciles"](spark, SF_DIR)
+    plan = _formatted_plan(df).lower()
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_watermark_running_max_is_bucket_keyed(spark):
+    """The watermark batch twin's data-sized running-max window must be
+    PARTITIONED by the arrival bucket; the only unpartitioned window
+    runs over the bucket fold table (|data|/1M rows). An unpartitioned
+    windowspec ordering by event_id would be the single-partition
+    global scan the staged design exists to avoid."""
+    df = registry.queries()["watermark_late_accounting"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    specs = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert specs, "expected window specs in plan"
+    for spec in specs:
+        if "event_id" in spec:
+            # the per-row running max: must carry the bucket partition key
+            assert "__bkt" in spec.split("event_id")[0], spec
+
+
+def test_band_tuning_single_documents_scan(spark):
+    """All three band layouts must come from ONE pass over documents
+    (tagged explode of one signature frame) — three scans would mean
+    the shingle→MinHash pipeline regressed to per-config re-execution."""
+    import re
+
+    df = registry.queries()["minhash_band_tuning_report"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    # count scan NODES (the details header "(n) Scan parquet"), not raw
+    # substring hits — the formatted plan prints each node twice
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans <= 1, f"expected one parquet scan, saw {n_scans}"
