@@ -64,6 +64,7 @@ _REVERIFY = (
     "skyline_3d_parts",
     "tpch_q2_min_cost_supplier",
     "dangling_fk_audit",
+    "in_subquery_nested_two_level",  # de-broadcast (promo part set)
 )
 
 

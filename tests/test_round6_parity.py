@@ -132,3 +132,70 @@ def test_quality_decile_sizes_match_ntile_distribution(spark):
     big, small = -(-n // 10), n // 10
     expect = [big] * (n % 10) + [small] * (10 - n % 10)
     assert [r.n_docs for r in rows] == expect
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """ntile_from_rank must reproduce Spark's own ntile() for sizes
+    that are NOT multiples of k — the front-loaded distribution
+    (n=12, k=10 -> sizes [2,2,1,...]) that the naive
+    floor((rank-1)*k/n)+1 formula gets wrong (it spreads the larger
+    tiles). The registry fixtures are all multiples of 10, so this
+    synthetic frame is the only place the distinction is visible."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from velox_hadoop_spark.operators.llmops3 import ntile_from_rank
+
+    for n in (7, 12, 23, 100, 101):
+        df = spark.range(1, n + 1).withColumnRenamed("id", "rank")
+        want = (
+            spark.range(1, n + 1)
+            .select(F.ntile(10).over(Window.orderBy("id")).alias("t"))
+            .groupBy("t")
+            .count()
+        )
+        got = (
+            df.withColumn(
+                "t", ntile_from_rank(F.col("rank"), F.lit(n), 10)
+            )
+            .groupBy("t")
+            .count()
+        )
+        assert sorted(map(tuple, want.collect())) == sorted(
+            map(tuple, got.collect())
+        ), n
+
+
+def test_time_weighted_avg_semantics(spark, tmp_path):
+    """Constant-value step function must average to that value — the
+    round-6 review caught a span of t_{n-1}−t_1 instead of t_n−t_1
+    (inflating the TWA by one interval) and 2-event users being
+    dropped; this synthetic frame pins both."""
+    import datetime
+
+    from velox_hadoop_spark.plans import registry
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: constant value 2.0 over 3 events -> twa 2.0
+        (1, t0, 1, "view", 2.0, "{}"),
+        (2, t0 + datetime.timedelta(seconds=100), 1, "view", 2.0, "{}"),
+        (3, t0 + datetime.timedelta(seconds=200), 1, "view", 2.0, "{}"),
+        # user 2: exactly 2 events, value 4.0 then anything -> twa 4.0
+        (4, t0, 2, "view", 4.0, "{}"),
+        (5, t0 + datetime.timedelta(seconds=50), 2, "view", 9.0, "{}"),
+        # user 3: single event -> excluded (no interval)
+        (6, t0, 3, "view", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    out = {
+        r.user_id: r.twa_value
+        for r in registry.queries()["time_weighted_avg_value"](spark, d).collect()
+    }
+    assert out == {1: 2.0, 2: 4.0}

@@ -52,7 +52,12 @@ def ts_stored_as_nanos(path: str, column: str = "ts") -> bool:
     if os.path.isdir(path):
         target = None
         for root, dirnames, files in os.walk(path):
-            dirnames.sort()  # deterministic recursion order
+            # prune hidden/metadata dirs (_temporary, .staging, ...):
+            # an interrupted write's uncommitted part files must not
+            # decide the read shape of the committed dataset
+            dirnames[:] = sorted(
+                d for d in dirnames if not d.startswith(("_", "."))
+            )
             parts = sorted(
                 f for f in files
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
@@ -63,10 +68,23 @@ def ts_stored_as_nanos(path: str, column: str = "ts") -> bool:
         if target is None:
             return False
     try:
-        field = pq.read_schema(target).field(column)
+        pf = pq.ParquetFile(target)
+        field = pf.schema_arrow.field(column)
     except (OSError, KeyError):
         return False
-    return getattr(field.type, "unit", None) == "ns"
+    if getattr(field.type, "unit", None) != "ns":
+        return False
+    # INT96 timestamps (Spark's default parquet output) surface as
+    # Arrow timestamp[ns] too, but Spark's reader handles them natively
+    # — only a true TIMESTAMP(NANOS) logical annotation needs the
+    # nanosAsLong read shape. Check the PHYSICAL type to tell them apart.
+    try:
+        idx = pf.schema_arrow.get_field_index(column)
+        if pf.schema.column(idx).physical_type == "INT96":
+            return False
+    except (KeyError, IndexError):
+        pass
+    return True
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -540,6 +540,23 @@ def q_dedup_keep_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def ntile_from_rank(rank: F.Column, n_total: F.Column, k: int) -> F.Column:
+    """SQL NTILE(k) from a 1-based dense global rank and the row count.
+
+    NTILE front-loads: the first ``n mod k`` tiles hold ⌈n/k⌉ rows, the
+    rest ⌊n/k⌋. (The tempting ⌊(rank−1)·k/n⌋+1 formula SPREADS the
+    larger tiles evenly instead — e.g. n=12, k=10 gives NTILE sizes
+    [2,2,1,…] but arithmetic sizes [2,1,…,2,…] — so it hash-mismatches
+    a real ntile() oracle on any n not divisible by k.)"""
+    big = F.floor(n_total / k) + 1
+    small = F.floor(n_total / k)
+    m = n_total % k  # number of front-loaded larger tiles
+    boundary = m * big  # rows living in the larger tiles
+    return F.when(
+        rank <= boundary, F.floor((rank - 1) / big) + 1
+    ).otherwise(m + F.floor((rank - boundary - 1) / F.greatest(small, F.lit(1))) + 1)
+
+
 @register(
     "doc_quality_deciles",
     oracle=None,  # attached below (reuses textstats.duck_quality_select)
@@ -551,11 +568,11 @@ def q_doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     before picking a filter threshold. NTILE over the full corpus is
     inherently a global order, so instead of a single-partition
     ntile() window this uses the repo's DISTRIBUTED global_rank
-    (range-partition + mono-id + offset fold, sort.py) and computes
-    the tile arithmetically: decile = ⌊(rank−1)·10/n⌋ + 1 reproduces
-    SQL NTILE's distribution exactly (first n mod 10 tiles one row
-    larger); the (quality, doc_id) order is total, so both engines
-    tile identically. The oracle states the plain ntile() window."""
+    (range-partition + mono-id + offset fold, sort.py) and derives the
+    tile with ``ntile_from_rank`` — the exact NTILE distribution
+    (first n mod 10 tiles one row larger, front-loaded); the
+    (quality, doc_id) order is total, so both engines tile
+    identically. The oracle states the plain ntile() window."""
     from velox_hadoop_spark.operators.sort import global_rank
     from velox_hadoop_spark.operators.textstats import quality_score
 
@@ -565,9 +582,9 @@ def q_doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = q.agg(F.count("*").alias("n_total"))
     tiled = ranked.crossJoin(F.broadcast(n)).select(
         "quality",
-        (
-            F.floor((F.col("rank") - 1) * 10 / F.col("n_total")) + 1
-        ).cast("long").alias("decile"),
+        ntile_from_rank(F.col("rank"), F.col("n_total"), 10)
+        .cast("long")
+        .alias("decile"),
     )
     return tiled.groupBy("decile").agg(
         F.count("*").alias("n_docs"),
@@ -945,12 +962,12 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg AS (
             SELECT dim, count(*) AS n,
                    CAST(sum(fp) AS BIGINT) AS s1,
-                   CAST(sum(fp * fp) AS BIGINT) AS s2
+                   CAST(sum(fp * fp) AS DOUBLE) AS s2
             FROM x GROUP BY dim
         )
         SELECT dim, n,
                round(CAST(s1 AS DOUBLE) / n / 1e6, 6) AS mean_x,
-               round(sqrt(greatest(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0)) / 1e6, 6) AS std_x
+               round(sqrt(greatest(s2 / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0)) / 1e6, 6) AS std_x
         FROM agg
     """,
     tags=("similarity", "feature-stats", "extension"),
@@ -961,8 +978,13 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitening or quantization. Values snap to 6-dp fixed point so the
     moment sums are EXACT integers (raw double sums would hash-differ
     between engines on summation order); the final double math runs on
-    exact operands. One posexplode + one keyed aggregate, nothing
-    collected."""
+    exact operands. The second moment accumulates in DECIMAL(38,0)
+    (fp² reaches ~10¹² for unit-scale values, so an int64 Σfp² would
+    wrap silently past ~10⁷ rows per dimension — far below the 100 TB
+    point; DuckDB's HUGEINT sum is the exact mirror) and both engines
+    convert the same exact integer to double once. Σfp stays int64
+    (bounded by 10⁶·n — safe beyond 10¹² rows). One posexplode + one
+    keyed aggregate, nothing collected."""
     emb = _t(spark, sf_dir, "embeddings")
     x = emb.where(F.col("embedding").isNotNull()).select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim_i", "x")
@@ -973,10 +995,12 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = x.groupBy("dim").agg(
         F.count("*").alias("n"),
         F.sum("fp").alias("s1"),
-        F.sum(F.col("fp") * F.col("fp")).alias("s2"),
+        F.sum((F.col("fp") * F.col("fp")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
     )
     m1 = F.col("s1").cast("double") / F.col("n")
-    m2 = F.col("s2").cast("double") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
     return agg.select(
         "dim",
         "n",

@@ -98,7 +98,7 @@ def q_interval_overlap_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFra
         agg AS (
             SELECT user_id,
                    CAST(sum(v_fp * (next_us - t_us)) AS BIGINT) AS wsum,
-                   CAST(max(t_us) - min(t_us) AS BIGINT) AS span_us
+                   CAST(max(next_us) - min(t_us) AS BIGINT) AS span_us
             FROM iv WHERE next_us IS NOT NULL
             GROUP BY user_id
         )
@@ -115,7 +115,11 @@ def q_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weighted sum is EXACT in any summation order (a raw double
     Σ(v·Δt) would hash-differ between engines on large users); one
     window + one grouped aggregate, both keyed on user_id — a single
-    shuffle. Single-event users (zero span) are excluded by contract."""
+    shuffle. The span is max(next_us) − min(t_us) over the weighted
+    rows = t_last − t_first exactly (the last weighted row's next_us
+    IS t_last; a max(t_us) here would stop one interval short and
+    inflate the average). Single-event users (no interval, zero-width
+    step function) are excluded by contract."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     iv = ev.select(
@@ -129,7 +133,7 @@ def q_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.sum(F.col("v_fp") * (F.col("next_us") - F.col("t_us"))).alias("wsum"),
-            (F.max("t_us") - F.min("t_us")).alias("span_us"),
+            (F.max("next_us") - F.min("t_us")).alias("span_us"),
         )
     )
     return agg.where(F.col("span_us") > 0).select(
@@ -296,7 +300,7 @@ def q_watermark_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_length_histogram",
     oracle="""
         WITH marks AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
                         THEN 1 ELSE 0 END AS new_sess
@@ -306,7 +310,7 @@ def q_watermark_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess AS (
             SELECT user_id, ts,
                    sum(new_sess) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS sess_id
             FROM marks
@@ -327,13 +331,17 @@ def q_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_session_10m rule), bucketed into 5-minute duration bands
     with a capped tail (≥30 min). Duration math rides integer micros;
     the bucket index is exact integer floor-division, so band
-    membership cannot wobble in double."""
+    membership cannot wobble in double. Both windows order by
+    (ts, event_id) — the repo's documented sessionization tiebreak: a
+    ts-only ROWS frame would make session membership of same-timestamp
+    events partition-order-dependent."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     marks = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -347,7 +355,7 @@ def q_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ws = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marks.select(
