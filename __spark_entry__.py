@@ -65,6 +65,14 @@ _REVERIFY = (
     "tpch_q2_min_cost_supplier",
     "dangling_fk_audit",
     "in_subquery_nested_two_level",  # de-broadcast (promo part set)
+    # round-6 review fixes to green r5 queries (ANSI-mode crashes,
+    # oracle parity, vacuous-witness predicate, one-scan funnel):
+    "regexp_extract_all_tokens",
+    "quality_gate_funnel",
+    "embedding_drift_monitor",
+    "ntile_decile_customer_spend",
+    "bitwise_flag_aggregates",
+    "not_exists_parts_never_ordered",
 )
 
 

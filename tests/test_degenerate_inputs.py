@@ -368,3 +368,73 @@ def test_skyline_single_shuffle_and_correctness(spark):
     assert got == want
     plan = skyline_min_max(df, "price", "size")._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(__pid" not in plan or "row_number" not in plan
+
+
+def test_regexp_extract_all_zero_match_doc(spark, tmp_path):
+    """A document with NO 'a'-bearing token must yield first_hit=NULL,
+    not an ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT abort (the round-6
+    review fix: element_at -> try_element_at; the session runs with
+    Spark 4's default ANSI mode ON)."""
+    from velox_hadoop_spark.plans import registry
+
+    df = spark.createDataFrame(
+        [
+            (1, "json http 500", "en", "web", 13),
+            (2, "alpha data bank", "en", "web", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    rows = {
+        r.doc_id: (r.n_hits, r.first_hit)
+        for r in registry.queries()["regexp_extract_all_tokens"](spark, d).collect()
+    }
+    assert rows[1] == (0, None)
+    assert rows[2][0] == 3 and rows[2][1] == "alpha"
+
+
+def test_quality_gate_funnel_empty_and_all_filtered(spark, tmp_path):
+    """An empty corpus (and one where a gate filters everything) must
+    produce the full 5-row funnel with NULL retention ratios — not an
+    ANSI DIVIDE_BY_ZERO abort (round-6 review fix: try_divide)."""
+    from velox_hadoop_spark.plans import registry
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    d_empty = str(tmp_path / "empty")
+    spark.createDataFrame([], schema).write.parquet(f"{d_empty}/documents.parquet")
+    rows = registry.queries()["quality_gate_funnel"](spark, d_empty).collect()
+    assert len(rows) == 5
+    assert all(r.n_docs == 0 for r in rows)
+    assert all(r.retained_vs_prev is None for r in rows)
+
+    # every doc shorter than the 60-char gate: stage 1 onward is 0
+    d_short = str(tmp_path / "short")
+    spark.createDataFrame(
+        [(1, "tiny", "en", "web", 4)], schema
+    ).write.parquet(f"{d_short}/documents.parquet")
+    rows = {r.stage: r for r in registry.queries()["quality_gate_funnel"](spark, d_short).collect()}
+    assert rows["0_total"].n_docs == 1
+    assert rows["1_min_length"].n_docs == 0
+    assert rows["2_lang_allowlist"].retained_vs_prev is None
+
+
+def test_ntile_decile_single_customer(spark, tmp_path):
+    """A single-customer order set: pct_rank is DEFINED as 0 for a
+    1-row partition (what percent_rank() returns in both engines), not
+    an ANSI DIVIDE_BY_ZERO abort (round-6 review fix)."""
+    import datetime
+
+    from velox_hadoop_spark.plans import registry
+
+    t0 = datetime.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 7, "O", 100.0, t0, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "sf")
+    orders.write.parquet(f"{d}/orders.parquet")
+    rows = registry.queries()["ntile_decile_customer_spend"](spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0].pct_rank == 0.0 and rows[0].cume == 1.0

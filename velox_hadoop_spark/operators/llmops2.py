@@ -159,11 +159,16 @@ def q_pack_overflow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e
         ),
         dims AS (
+            -- count(... THEN val ...): the mean divides by the number
+            -- of NON-NULL components (a NULL element inside an array
+            -- contributes to neither sum nor count), mirroring Spark's
+            -- count(when(snap = 0, val)) exactly — a row count here
+            -- would silently skew the centroid on dirty vectors
             SELECT label, pos,
                    sum(CASE WHEN snap = 0 THEN val END)
-                       / count(CASE WHEN snap = 0 THEN 1 END) AS m_old,
+                       / count(CASE WHEN snap = 0 THEN val END) AS m_old,
                    sum(CASE WHEN snap = 1 THEN val END)
-                       / count(CASE WHEN snap = 1 THEN 1 END) AS m_new
+                       / count(CASE WHEN snap = 1 THEN val END) AS m_new
             FROM flat GROUP BY label, pos
         ),
         shift AS (
@@ -246,7 +251,10 @@ def q_regexp_extract_all_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id",
         F.size("hits").cast("long").alias("n_hits"),
-        F.element_at("hits", 1).alias("first_hit"),
+        # try_element_at: a zero-match doc has an empty array, and plain
+        # element_at([], 1) RAISES under the session's default ANSI
+        # mode where the DuckDB oracle's hits[1] defines NULL
+        F.try_element_at("hits", F.lit(1)).alias("first_hit"),
         F.size(F.array_distinct("hits")).cast("long").alias("n_uniq"),
         F.array_join(F.slice("hits", 1, 3), ",").alias("first3"),
     )
@@ -318,37 +326,35 @@ def q_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation funnel: document survival through the standard gate
     chain (length → language allowlist → token floor → fingerprint
-    keeper), with stage-over-stage retention. Each stage is a narrow
-    filter over the previous one evaluated in one scan pipeline; the
-    keeper stage reuses the cross-shard fingerprint and keeps each
-    family's lowest doc_id. The funnel itself is 5 rows — the final
-    lag window is bounded by stage count, not data."""
+    keeper), with stage-over-stage retention. The whole funnel is ONE
+    conditional aggregate over ONE scan: the gates nest (cᵢ ⊆ cᵢ₋₁),
+    so every stage count is count(when(cᵢ)), and the keeper count
+    equals countDistinct(fingerprint among c₃ survivors) — one keeper
+    per family, so no separate group-by+semi-join pass is needed. The
+    1-row aggregate unpivots to the 5-row funnel; retention uses
+    try_divide (a stage count of 0 must yield NULL like the oracle,
+    not an ANSI divide-by-zero abort)."""
     docs = _t(spark, sf_dir, "documents")
-    s1 = docs.where(F.col("n_chars") >= 60)
-    s2 = s1.where(F.col("lang").isin("en", "es", "de", "fr"))
-    s3 = s2.where(F.size(F.split(F.col("text"), r"\s+")) >= 12)
-    keepers = s3.groupBy(F.expr(_SPARK_FP).alias("fp")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
-    s4 = s3.join(keepers, "doc_id", "left_semi")
-
-    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count("*").alias("n_docs")).select(
-            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_docs"
-        )
-
-    stages = (
-        stage(0, "0_total", docs)
-        .unionAll(stage(1, "1_min_length", s1))
-        .unionAll(stage(2, "2_lang_allowlist", s2))
-        .unionAll(stage(3, "3_min_tokens", s3))
-        .unionAll(stage(4, "4_fingerprint_keeper", s4))
+    c1 = F.col("n_chars") >= 60
+    c2 = c1 & F.col("lang").isin("en", "es", "de", "fr")
+    c3 = c2 & (F.size(F.split(F.col("text"), r"\s+")) >= 12)
+    agg = docs.agg(
+        F.count("*").alias("n0"),
+        F.count(F.when(c1, 1)).alias("n1"),
+        F.count(F.when(c2, 1)).alias("n2"),
+        F.count(F.when(c3, 1)).alias("n3"),
+        F.countDistinct(F.when(c3, F.expr(_SPARK_FP))).alias("n4"),
+    )
+    stages = agg.selectExpr(
+        "stack(5, 0, '0_total', n0, 1, '1_min_length', n1, "
+        "2, '2_lang_allowlist', n2, 3, '3_min_tokens', n3, "
+        "4, '4_fingerprint_keeper', n4) AS (stage_no, stage, n_docs)"
     )
     w = Window.orderBy("stage_no")  # 5 rows: bounded by stage count
     return stages.select(
         "stage",
         "n_docs",
         _fix4(
-            F.col("n_docs").cast("double") / F.lag("n_docs").over(w)
+            F.try_divide(F.col("n_docs").cast("double"), F.lag("n_docs").over(w))
         ).alias("retained_vs_prev"),
     )

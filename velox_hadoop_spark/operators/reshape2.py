@@ -154,7 +154,13 @@ def q_ntile_decile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
             "o_custkey",
             F.round(F.col("cents") / 100.0, 2).alias("spend"),
             decile.cast("int").alias("decile"),
-            F.round((r - 1) / (n - 1), 9).alias("pct_rank"),
+            # single-customer input makes (n-1) zero: percent_rank is
+            # DEFINED as 0 for a 1-row partition (DuckDB agrees), and
+            # plain division would ABORT under the session's default
+            # ANSI mode rather than match it
+            F.round(
+                F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0)), 9
+            ).alias("pct_rank"),
             F.round(r / n, 9).alias("cume"),
         )
     )
@@ -269,10 +275,12 @@ def q_bitwise_flag_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     flag = (F.col("c_custkey") % 256).cast("int")
     return cust.groupBy("c_mktsegment").agg(
-        F.expr("CAST(bit_or(CAST(c_custkey % 256 AS INT)) AS BIGINT)").alias("flags_or"),
-        F.expr("CAST(bit_and(CAST(c_custkey % 256 AS INT)) AS BIGINT)").alias("flags_and"),
-        F.expr("CAST(bit_xor(CAST(c_custkey % 256 AS INT)) AS BIGINT)").alias("flags_xor"),
-        F.count(flag).alias("n"),
+        F.bit_or(flag).cast("long").alias("flags_or"),
+        F.bit_and(flag).cast("long").alias("flags_and"),
+        F.bit_xor(flag).cast("long").alias("flags_xor"),
+        # count(*), not count(flag): the oracle counts rows, and a NULL
+        # key would silently diverge the two under count(flag)
+        F.count("*").alias("n"),
     )
 
 

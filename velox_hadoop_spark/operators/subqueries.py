@@ -56,17 +56,30 @@ def q_exists_suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT p.p_partkey, p.p_name
         FROM part p
         WHERE NOT EXISTS (
-            SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+            SELECT 1 FROM lineitem l
+            WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45
         )
     """,
     tags=("subquery", "not-exists", "anti-join", "extension"),
 )
 def q_not_exists_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left-anti join: parts that never appear in any
-    lineitem. Only l_partkey is read from the fact side (column
-    pruning reaches the scan)."""
+    """NOT EXISTS → left-anti join: parts never ordered in BULK
+    (no lineitem with quantity ≥ 45). The bulk predicate matters for
+    the gate, not just the business story: every part appears in
+    lineitem at every test SF, so the unfiltered version returned the
+    empty set in both engines and the parity check was vacuous — a
+    wrong join key or an accidental semi-join rewrite would have
+    passed as 0 == 0. With the filter the witness set is non-empty
+    AND non-total at every SF (6/200 at sf0.001, 537/20k at sf0.1),
+    so keep-unmatched and drop-matched are both exercised. Only
+    (l_partkey, l_quantity) are read from the fact side; the quantity
+    predicate pushes to the scan below the anti join."""
     part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_partkey")
+    )
     return part.join(
         li, F.col("p_partkey") == F.col("l_partkey"), "left_anti"
     ).select("p_partkey", "p_name")
