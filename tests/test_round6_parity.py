@@ -199,3 +199,52 @@ def test_time_weighted_avg_semantics(spark, tmp_path):
         for r in registry.queries()["time_weighted_avg_value"](spark, d).collect()
     }
     assert out == {1: 2.0, 2: 4.0}
+
+
+def test_banded_interval_join_boundary_cases(spark, tmp_path):
+    """Synthetic boundary pins for the banded interval join: a pair at
+    EXACTLY the 5-minute window (must be excluded — strict <), one
+    microsecond inside (included), and a pair whose events straddle a
+    bucket boundary (the ±1 bucket explode must catch it exactly
+    once). Compared against a python brute force, not the oracle."""
+    import datetime
+
+    from velox_hadoop_spark.plans import registry
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(us):
+        return t0 + datetime.timedelta(microseconds=us)
+
+    width = 300_000_000
+    rows = [
+        # user 1: exactly width apart -> NOT overlapping (strict <)
+        (1, at(0), 1, "view", 0.0, "{}"),
+        (2, at(width), 1, "view", 0.0, "{}"),
+        # user 2: width-1 apart, straddling a bucket boundary
+        (3, at(width - 50), 2, "view", 0.0, "{}"),
+        (4, at(2 * width - 51), 2, "view", 0.0, "{}"),
+        # user 3: three events inside one window -> 3 pairs
+        (5, at(0), 3, "view", 0.0, "{}"),
+        (6, at(10), 3, "view", 0.0, "{}"),
+        (7, at(20), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {
+        r.user_id: r.n_overlapping
+        for r in registry.queries()["interval_overlap_pairs_banded"](
+            spark, d
+        ).collect()
+    }
+    assert got == {2: 1, 3: 3}  # user 1 excluded entirely (0 pairs)
+    plain = {
+        r.user_id: r.n_overlapping
+        for r in registry.queries()["interval_overlap_pairs"](spark, d).collect()
+    }
+    assert got == plain

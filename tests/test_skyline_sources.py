@@ -76,3 +76,37 @@ def test_cume_dist_bounds_and_top_decile(spark):
         assert 0.0 <= r.pct_rank <= 1.0
         assert 0.0 < r.cume <= 1.0
         assert r.top_decile == (1 if r.cume >= 0.9 else 0)
+
+
+def test_skyline_multi_matches_bruteforce(spark):
+    """The rewritten d>=3 kernel (persisted phase 1 + sort-based
+    O(n·k) global frontier scan) must match an O(n²) dominance scan on
+    adversarial data: small value domains (many partial ties), mixed
+    minimize/maximize directions, several partitions."""
+    from velox_hadoop_spark.operators.skyline import skyline_multi
+
+    rows = [
+        (i % 7, (i * 3) % 11, (i * 5) % 13, (i * i) % 17)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "a int, b int, c int, d int"
+    ).repartition(9)
+    got = {
+        tuple(r)
+        for r in skyline_multi(
+            df, minimize=["a", "b"], maximize=["c", "d"]
+        ).collect()
+    }
+    pts = set(rows)
+
+    def dominated(p):
+        a, b, c, d = p
+        return any(
+            (a2 <= a and b2 <= b and c2 >= c and d2 >= d)
+            and (a2 < a or b2 < b or c2 > c or d2 > d)
+            for (a2, b2, c2, d2) in pts
+        )
+
+    want = {p for p in pts if not dominated(p)}
+    assert got == want
