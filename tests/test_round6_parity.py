@@ -144,7 +144,7 @@ def test_ntile_from_rank_matches_spark_ntile(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from velox_hadoop_spark.operators.llmops3 import ntile_from_rank
+    from velox_hadoop_spark.operators.sort import ntile_from_rank
 
     for n in (7, 12, 23, 100, 101):
         df = spark.range(1, n + 1).withColumnRenamed("id", "rank")

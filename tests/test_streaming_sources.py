@@ -355,3 +355,30 @@ def test_read_event_stream_handles_canonical_nanos_parquet(spark):
     got = spark.sql("SELECT count(*) AS n FROM tumbling_nanos").first()["n"]
     batch = tumbling_agg(read_table(spark, SF_DIR, "events")).count()
     assert got == batch > 0
+
+
+def test_ts_nanos_probe_nested_schema_int96(tmp_path):
+    """INT96 detection must match the parquet LEAF column by name: a
+    nested column preceding ts shifts the flattened leaf indices, and
+    an Arrow top-level field index would inspect the wrong leaf —
+    misreading a Spark INT96 events file as TIMESTAMP(NANOS)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from velox_hadoop_spark.catalog import ts_stored_as_nanos
+
+    t = pa.table(
+        {
+            "meta": pa.array(
+                [{"a": 1, "b": 2}],
+                type=pa.struct([("a", pa.int64()), ("b", pa.int64())]),
+            ),
+            "ts": pa.array([1], type=pa.timestamp("ns")),
+        }
+    )
+    p96 = str(tmp_path / "f96.parquet")
+    pq.write_table(t, p96, use_deprecated_int96_timestamps=True)
+    assert not ts_stored_as_nanos(p96)  # INT96: Spark reads natively
+    pns = str(tmp_path / "fns.parquet")
+    pq.write_table(t, pns)
+    assert ts_stored_as_nanos(pns)  # true TIMESTAMP(NANOS) annotation

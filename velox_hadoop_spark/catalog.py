@@ -77,11 +77,17 @@ def ts_stored_as_nanos(path: str, column: str = "ts") -> bool:
     # INT96 timestamps (Spark's default parquet output) surface as
     # Arrow timestamp[ns] too, but Spark's reader handles them natively
     # — only a true TIMESTAMP(NANOS) logical annotation needs the
-    # nanosAsLong read shape. Check the PHYSICAL type to tell them apart.
+    # nanosAsLong read shape. Check the PHYSICAL type to tell them
+    # apart — matching the LEAF column by name: the parquet schema is a
+    # flattened leaf list, so an Arrow top-level index would point at
+    # the wrong leaf whenever a nested column precedes the probed one.
     try:
-        idx = pf.schema_arrow.get_field_index(column)
-        if pf.schema.column(idx).physical_type == "INT96":
-            return False
+        for i in range(len(pf.schema)):
+            leaf = pf.schema.column(i)
+            if leaf.name == column and leaf.path == column:
+                if leaf.physical_type == "INT96":
+                    return False
+                break
     except (KeyError, IndexError):
         pass
     return True

@@ -540,23 +540,6 @@ def q_dedup_keep_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ntile_from_rank(rank: F.Column, n_total: F.Column, k: int) -> F.Column:
-    """SQL NTILE(k) from a 1-based dense global rank and the row count.
-
-    NTILE front-loads: the first ``n mod k`` tiles hold ⌈n/k⌉ rows, the
-    rest ⌊n/k⌋. (The tempting ⌊(rank−1)·k/n⌋+1 formula SPREADS the
-    larger tiles evenly instead — e.g. n=12, k=10 gives NTILE sizes
-    [2,2,1,…] but arithmetic sizes [2,1,…,2,…] — so it hash-mismatches
-    a real ntile() oracle on any n not divisible by k.)"""
-    big = F.floor(n_total / k) + 1
-    small = F.floor(n_total / k)
-    m = n_total % k  # number of front-loaded larger tiles
-    boundary = m * big  # rows living in the larger tiles
-    return F.when(
-        rank <= boundary, F.floor((rank - 1) / big) + 1
-    ).otherwise(m + F.floor((rank - boundary - 1) / F.greatest(small, F.lit(1))) + 1)
-
-
 @register(
     "doc_quality_deciles",
     oracle=None,  # attached below (reuses textstats.duck_quality_select)
@@ -569,17 +552,20 @@ def q_doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently a global order, so instead of a single-partition
     ntile() window this uses the repo's DISTRIBUTED global_rank
     (range-partition + mono-id + offset fold, sort.py) and derives the
-    tile with ``ntile_from_rank`` — the exact NTILE distribution
+    tile with ``sort.ntile_from_rank`` — the exact NTILE distribution
     (first n mod 10 tiles one row larger, front-loaded); the
     (quality, doc_id) order is total, so both engines tile
-    identically. The oracle states the plain ntile() window."""
-    from velox_hadoop_spark.operators.sort import global_rank
+    identically. The row count comes from the RAW docs frame —
+    quality_score is one row per doc, so counting the scored frame
+    would re-run the whole text-scoring projection just for a scalar.
+    The oracle states the plain ntile() window."""
+    from velox_hadoop_spark.operators.sort import global_rank, ntile_from_rank
     from velox_hadoop_spark.operators.textstats import quality_score
 
     docs = _t(spark, sf_dir, "documents")
     q = quality_score(docs).select("doc_id", "quality")
     ranked = global_rank(q, ["quality", "doc_id"])
-    n = q.agg(F.count("*").alias("n_total"))
+    n = docs.agg(F.count("*").alias("n_total"))
     tiled = ranked.crossJoin(F.broadcast(n)).select(
         "quality",
         ntile_from_rank(F.col("rank"), F.col("n_total"), 10)

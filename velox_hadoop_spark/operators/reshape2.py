@@ -138,16 +138,12 @@ def q_ntile_decile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
         "r",
     )
     n_row = spend.agg(F.count("*").alias("n"))
-    k = 10
     r, n = F.col("r"), F.col("n")
-    base = (n / k).cast("long")  # floor for non-negative ints
-    rem = n % k
-    big_span = rem * (base + 1)
-    decile = (
-        F.when(r <= big_span, ((r - 1) / (base + 1)).cast("long"))
-        .otherwise(rem + ((r - 1 - big_span) / base).cast("long"))
-        + 1
-    )
+    # shared NTILE arithmetic (sort.ntile_from_rank) — one remainder
+    # rule to maintain instead of an inlined copy per call site
+    from velox_hadoop_spark.operators.sort import ntile_from_rank
+
+    decile = ntile_from_rank(r, n, 10)
     return (
         ranked.crossJoin(F.broadcast(n_row))
         .select(

@@ -21,7 +21,7 @@ would serialize through a single task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velox_hadoop_spark.plans.registry import register
@@ -109,6 +109,27 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "rank") ->
         )
         .drop("__pid", "__mid", "__mn", "__off")
     )
+
+
+def ntile_from_rank(rank: Column, n_total: Column, k: int) -> Column:
+    """SQL NTILE(k) from a 1-based dense global rank and the row count
+    — the arithmetic companion of ``global_rank`` for distributed
+    tiling without a single-partition ntile() window.
+
+    NTILE front-loads: the first ``n mod k`` tiles hold ⌈n/k⌉ rows, the
+    rest ⌊n/k⌋. (The tempting ⌊(rank−1)·k/n⌋+1 formula SPREADS the
+    larger tiles evenly instead — e.g. n=12, k=10 gives NTILE sizes
+    [2,2,1,…] but arithmetic sizes [2,1,…,2,…] — so it hash-mismatches
+    a real ntile() oracle on any n not divisible by k.) The small-tile
+    divisor is guarded with greatest(·, 1): for n < k that branch is
+    unreachable, but ANSI mode must never see a divide-by-zero."""
+    big = F.floor(n_total / k) + 1
+    small = F.floor(n_total / k)
+    m = n_total % k  # number of front-loaded larger tiles
+    boundary = m * big  # rows living in the larger tiles
+    return F.when(
+        rank <= boundary, F.floor((rank - 1) / big) + 1
+    ).otherwise(m + F.floor((rank - boundary - 1) / F.greatest(small, F.lit(1))) + 1)
 
 
 # ---------------------------------------------------------------------------
