@@ -11,13 +11,17 @@ despite the repo's own docstrings warning against exactly this. This
 lint makes the rule a test instead of a convention.
 
 Contract: each ``F.broadcast(<expr>)`` call resolves ``<expr>`` to its
-root identifier (``region.where(...)`` -> ``region``). The site passes
-iff the root is in ``GLOBAL_BOUNDED`` (names that by repo convention
-always hold constant-bounded frames) or ``(file, root)`` appears in
-``WHITELIST`` with a one-line scale rationale. Anything else fails —
-including every site added in the future, which forces the author to
-either drop the hint (let AQE decide; it still broadcasts small sides
-at runtime) or consciously argue boundedness here.
+root identifier (``region.where(...)`` -> ``region``). A site passes
+iff the root is ``nation``/``region`` (repo convention: those names
+always hold the 25-/5-row dims) or ``(file, root)`` appears in
+``WHITELIST`` with a one-line scale rationale AND the file's observed
+site count for that name equals the whitelisted count. The exact-count
+rule closes both erosion paths a name-based whitelist leaves open: a
+NEW ``F.broadcast`` of a previously-whitelisted name (count goes up ->
+fail -> conscious re-review) and a REMOVED site leaving a stale entry
+(count goes down -> fail -> entry deleted). Anything else fails —
+the author either drops the hint (AQE still broadcasts small sides at
+runtime) or consciously argues boundedness here.
 
     python scripts/lint_plans.py
 """
@@ -25,6 +29,7 @@ at runtime) or consciously argue boundedness here.
 from __future__ import annotations
 
 import ast
+import collections
 import os
 import sys
 
@@ -34,78 +39,78 @@ PKG = os.path.join(
 )
 
 # Names that by repo convention always hold a constant-bounded frame:
-# the 25-row nation / 5-row region dims and their standard aliases.
-GLOBAL_BOUNDED = {
-    "nation",
-    "region",
-    "n1",
-    "n2",
-    "sn",
-    "cn",
-    "nat",
-}
+# only the canonical dim-table names. (Short aliases like n1/sn/nat are
+# NOT global — they are whitelisted per file with a site count, because
+# nothing stops a future data-sized frame from reusing such a name.)
+GLOBAL_BOUNDED = {"nation", "region"}
 
-# (path relative to velox_hadoop_spark/, root identifier) -> why the
-# frame is cardinality-bounded (NOT SF-proportional) at 100 TB.
+# (path relative to velox_hadoop_spark/, root identifier) ->
+# (exact number of F.broadcast sites, why the frame is
+# cardinality-bounded — NOT SF-proportional — at 100 TB).
 WHITELIST = {
-    ("operators/agg.py", "bounds"): "percentile bounds: one scalar row",
-    ("operators/clustering.py", "cents"): "k centroid rows (k is a parameter)",
-    ("operators/contamination.py", "n_docs"): "one scalar count row",
-    ("operators/contamination.py", "sa"): "per-language shingle stats; lang domain is enum-bounded",
-    ("operators/contamination.py", "sb"): "per-language shingle stats; lang domain is enum-bounded",
-    ("operators/contamination.py", "bench_sh"): "benchmark shingle set: fixed benchmark suite, not SF-scaled",
-    ("operators/dedup.py", "slens"): "distinct sub-block doc lengths, < shingle width (40) rows",
-    ("operators/graph.py", "df"): "probe-guarded: broadcast only when n_rows <= BFS_BROADCAST_NODES",
-    ("operators/join.py", "dim"): "API contract: caller declares the frame a broadcast dimension",
-    ("operators/join2.py", "mins"): "per-nationkey min: bounded by the 25-row nation domain",
-    ("operators/llmops2.py", "tot"): "one scalar total row",
-    ("operators/mining.py", "b"): "daily revenue: calendar-bounded (one row per date)",
-    ("operators/mining.py", "season"): "per-day-of-week stats: 7 rows",
-    ("operators/mining.py", "anchor"): "one scalar max-date row",
-    ("operators/mining.py", "mau"): "per-month distinct count: calendar-bounded",
-    ("operators/mining.py", "nc"): "one scalar count row",
-    ("operators/mining.py", "np_"): "one scalar count row",
-    ("operators/mining.py", "n_orders"): "one scalar count row",
-    ("operators/quality.py", "stats"): "per-event_type stats: enum-bounded key",
-    ("operators/quality.py", "med"): "per-event_type median: enum-bounded key",
-    ("operators/quality.py", "mad"): "per-event_type MAD: enum-bounded key",
-    ("operators/quality.py", "cuts"): "per-event_type quantile cuts: enum-bounded key",
-    ("operators/quality.py", "total"): "one scalar total row",
-    ("operators/quality.py", "tot"): "one scalar total row",
-    ("operators/quality.py", "nd"): "one scalar count row",
-    ("operators/quality.py", "rm"): "per-quality-band rates: fixed band count",
-    ("operators/quality.py", "cm"): "per-quality-band rates: fixed band count",
-    ("operators/quality.py", "bounds"): "quantile bounds: one scalar row",
-    ("operators/reshape2.py", "n_row"): "one scalar count row",
-    ("operators/reshape2.py", "md"): "per-o_orderstatus medians: 3-value enum key",
-    ("operators/retrieval.py", "stats"): "collection stats: one scalar row",
-    ("operators/retrieval.py", "idf"): "one row per QUERY term (constant query bag), not per corpus term",
-    ("operators/retrieval.py", "active"): "top_k-capped user set (active_cap rows)",
-    ("operators/similarity.py", "q"): "fixed-count md5-ordered query sample",
-    ("operators/similarity.py", "cents"): "k centroid rows",
-    ("operators/similarity.py", "cent"): "k centroid rows",
-    ("operators/similarity.py", "na"): "per-label norms: label domain enum-bounded",
-    ("operators/similarity.py", "nb"): "per-label norms: label domain enum-bounded",
-    ("operators/similarity.py", "nh"): "one scalar row",
-    ("operators/skew.py", "dim"): "API contract: caller declares the frame a broadcast dimension",
-    ("operators/skyline.py", "prior"): "numPartitions rows (partition-count, not data)",
-    ("operators/skyline.py", "sky"): "Pareto frontier, cap-probed at _CANDIDATE_CAP",
-    ("operators/sort.py", "offsets"): "numPartitions rows (partition-count, not data)",
-    ("operators/textstats.py", "z"): "one scalar normalizer row",
-    ("operators/timeseries.py", "days"): "calendar spine: one row per date",
-    ("operators/tpch_final.py", "max_rev"): "one scalar max row",
-    ("operators/tpch_wide.py", "total"): "one scalar total row",
-    ("operators/tpch_wide.py", "avg_bal"): "one scalar average row",
-    ("sources/multisource.py", "dim"): "per-o_orderpriority dim: 5-value enum key",
-    ("operators/sqlbreadth.py", "clean"): "one scalar count row",
-    ("operators/sqlbreadth.py", "n_ea"): "one scalar count row",
-    ("operators/sqlbreadth.py", "n_i"): "one scalar count row",
-    ("operators/sqlbreadth.py", "n_e"): "one scalar count row",
-    ("operators/timeseries3.py", "g"): "one scalar global-max row",
-    ("operators/llmops3.py", "n"): "one scalar count row (doc_quality_deciles n_total)",
-    ("operators/llmops3.py", "nh"): "one scalar hit-count row per budget point",
-    ("operators/llmops3.py", "tot"): "one scalar totals row",
-    ("operators/llmops3.py", "prior"): "per-cents-bucket prefix counts: bounded bucket list",
+    ("operators/agg.py", "bounds"): (1, "percentile bounds: one scalar row"),
+    ("operators/clustering.py", "cents"): (1, "k centroid rows (k is a parameter)"),
+    ("operators/contamination.py", "n_docs"): (1, "one scalar count row"),
+    ("operators/contamination.py", "sa"): (1, "per-language shingle stats; lang domain is enum-bounded"),
+    ("operators/contamination.py", "sb"): (1, "per-language shingle stats; lang domain is enum-bounded"),
+    ("operators/contamination.py", "bench_sh"): (1, "benchmark shingle set: fixed benchmark suite, not SF-scaled"),
+    ("operators/dedup.py", "slens"): (1, "distinct sub-block doc lengths, < shingle width (40) rows"),
+    ("operators/graph.py", "df"): (1, "probe-guarded: broadcast only when n_rows <= BFS_BROADCAST_NODES"),
+    ("operators/join.py", "dim"): (1, "API contract: caller declares the frame a broadcast dimension"),
+    ("operators/join2.py", "mins"): (1, "per-nationkey min: bounded by the 25-row nation domain"),
+    ("operators/llmops2.py", "tot"): (1, "one scalar total row"),
+    ("operators/mining.py", "b"): (1, "daily revenue: calendar-bounded (one row per date)"),
+    ("operators/mining.py", "season"): (1, "per-day-of-week stats: 7 rows"),
+    ("operators/mining.py", "anchor"): (1, "one scalar max-date row"),
+    ("operators/mining.py", "mau"): (1, "per-month distinct count: calendar-bounded"),
+    ("operators/mining.py", "nc"): (1, "one scalar count row"),
+    ("operators/mining.py", "np_"): (1, "one scalar count row"),
+    ("operators/mining.py", "n_orders"): (1, "one scalar count row"),
+    ("operators/quality.py", "stats"): (1, "per-event_type stats: enum-bounded key"),
+    ("operators/quality.py", "med"): (1, "per-event_type median: enum-bounded key"),
+    ("operators/quality.py", "mad"): (1, "per-event_type MAD: enum-bounded key"),
+    ("operators/quality.py", "cuts"): (1, "per-event_type quantile cuts: enum-bounded key"),
+    ("operators/quality.py", "total"): (1, "one scalar total row"),
+    ("operators/quality.py", "tot"): (2, "one scalar total row (two queries)"),
+    ("operators/quality.py", "nd"): (1, "one scalar count row"),
+    ("operators/quality.py", "rm"): (1, "per-quality-band rates: fixed band count"),
+    ("operators/quality.py", "cm"): (1, "per-quality-band rates: fixed band count"),
+    ("operators/quality.py", "bounds"): (1, "quantile bounds: one scalar row"),
+    ("operators/reshape2.py", "n_row"): (1, "one scalar count row"),
+    ("operators/reshape2.py", "md"): (1, "per-o_orderstatus medians: 3-value enum key"),
+    ("operators/retrieval.py", "stats"): (2, "collection stats: one scalar row (BM25 + TF-IDF)"),
+    ("operators/retrieval.py", "idf"): (1, "one row per QUERY term (constant query bag), not per corpus term"),
+    ("operators/retrieval.py", "active"): (1, "top_k-capped user set (active_cap rows)"),
+    ("operators/similarity.py", "q"): (1, "fixed-count md5-ordered query sample"),
+    ("operators/similarity.py", "cents"): (1, "k centroid rows"),
+    ("operators/similarity.py", "cent"): (1, "k centroid rows"),
+    ("operators/similarity.py", "na"): (1, "per-label norms: label domain enum-bounded"),
+    ("operators/similarity.py", "nb"): (1, "per-label norms: label domain enum-bounded"),
+    ("operators/similarity.py", "nh"): (1, "one scalar row"),
+    ("operators/skew.py", "dim"): (1, "API contract: caller declares the frame a broadcast dimension"),
+    ("operators/skyline.py", "prior"): (1, "numPartitions rows (partition-count, not data)"),
+    ("operators/skyline.py", "sky"): (2, "Pareto frontier, cap-probed at _CANDIDATE_CAP (2-D + multi-D)"),
+    ("operators/sort.py", "offsets"): (1, "numPartitions rows (partition-count, not data)"),
+    ("operators/subqueries.py", "nat"): (1, "25-row nation dim alias"),
+    ("operators/textstats.py", "z"): (1, "one scalar normalizer row"),
+    ("operators/timeseries.py", "days"): (1, "calendar spine: one row per date"),
+    ("operators/tpch_final.py", "max_rev"): (1, "one scalar max row"),
+    ("operators/tpch_wide.py", "total"): (1, "one scalar total row"),
+    ("operators/tpch_wide.py", "avg_bal"): (1, "one scalar average row"),
+    ("operators/tpch_wide.py", "n1"): (1, "25-row nation dim alias (q7)"),
+    ("operators/tpch_wide.py", "n2"): (1, "25-row nation dim alias (q7)"),
+    ("operators/tpch_wide.py", "sn"): (1, "25-row nation dim alias (q8)"),
+    ("operators/tpch_wide.py", "cn"): (1, "25-row nation dim alias (q8)"),
+    ("sources/multisource.py", "dim"): (1, "per-o_orderpriority dim: 5-value enum key"),
+    ("operators/sqlbreadth.py", "clean"): (1, "one scalar count row"),
+    ("operators/sqlbreadth.py", "n_ea"): (1, "one scalar count row"),
+    ("operators/sqlbreadth.py", "n_i"): (1, "one scalar count row"),
+    ("operators/sqlbreadth.py", "n_e"): (1, "one scalar count row"),
+    ("operators/timeseries3.py", "g"): (1, "one scalar global-max row"),
+    ("operators/llmops3.py", "n"): (1, "one scalar count row (doc_quality_deciles n_total)"),
+    ("operators/llmops3.py", "nh"): (1, "one scalar hit-count row per budget point"),
+    ("operators/llmops3.py", "tot"): (2, "one scalar totals row (KS + AUC)"),
+    ("operators/llmops3.py", "prior"): (1, "per-cents-bucket prefix counts: bounded bucket list"),
 }
 
 
@@ -122,7 +127,9 @@ def _root(node: ast.AST) -> str:
 
 
 def main() -> int:
-    n_bad = 0
+    failures: list[str] = []
+    observed: collections.Counter[tuple[str, str]] = collections.Counter()
+    first_line: dict[tuple[str, str], int] = {}
     for dirpath, _, files in os.walk(PKG):
         for fname in sorted(files):
             if not fname.endswith(".py"):
@@ -140,18 +147,37 @@ def main() -> int:
                 ):
                     continue
                 root = _root(node.args[0]) if node.args else "<noargs>"
-                if root in GLOBAL_BOUNDED or (rel, root) in WHITELIST:
+                if root in GLOBAL_BOUNDED:
                     continue
-                n_bad += 1
-                print(
-                    f"FAIL  {rel}:{node.lineno}: F.broadcast({root}...) is not "
-                    "whitelisted — drop the hint (AQE still broadcasts small "
-                    "sides) or add a scale rationale to scripts/lint_plans.py "
-                    "WHITELIST proving the frame is cardinality-bounded"
-                )
-    if n_bad:
+                key = (rel, root)
+                observed[key] += 1
+                first_line.setdefault(key, node.lineno)
+                if key not in WHITELIST:
+                    failures.append(
+                        f"FAIL  {rel}:{node.lineno}: F.broadcast({root}...) is not "
+                        "whitelisted — drop the hint (AQE still broadcasts small "
+                        "sides) or add a scale rationale to scripts/lint_plans.py "
+                        "WHITELIST proving the frame is cardinality-bounded"
+                    )
+    for key, (expected, _why) in sorted(WHITELIST.items()):
+        got = observed.get(key, 0)
+        if got == 0:
+            failures.append(
+                f"FAIL  stale whitelist entry {key}: no F.broadcast site left — "
+                "delete the entry from scripts/lint_plans.py"
+            )
+        elif got != expected:
+            failures.append(
+                f"FAIL  {key[0]}:{first_line[key]}: {got} F.broadcast({key[1]}...) "
+                f"sites but whitelist allows exactly {expected} — a new site "
+                "reusing a whitelisted name needs its own boundedness review "
+                "(update the count + rationale in scripts/lint_plans.py)"
+            )
+    for msg in failures:
+        print(msg)
+    if failures:
         return 1
-    print("lint_plans: all F.broadcast sites bounded or whitelisted")
+    print("lint_plans: all F.broadcast sites bounded or whitelisted (exact counts)")
     return 0
 
 

@@ -248,3 +248,56 @@ def test_banded_interval_join_boundary_cases(spark, tmp_path):
         for r in registry.queries()["interval_overlap_pairs"](spark, d).collect()
     }
     assert got == plain
+
+
+def test_attach_oracle_unknown_name_and_lint_gate(monkeypatch):
+    """attach_oracle is the ONE public seam for late-bound oracles: an
+    unknown name must fail loudly (a typo would otherwise silently
+    leave the query rows-only), and the register()-identical lint gate
+    must reject a nested-type output shape when the lint env is on."""
+    from velox_hadoop_spark.plans import registry
+
+    registry._ensure_loaded()
+    with pytest.raises(KeyError, match="unknown query name"):
+        registry.attach_oracle("no_such_query_xyz", "SELECT 1 AS one")
+    monkeypatch.setenv(registry._LINT_ENV, "1")
+    before = registry._REGISTRY["wordcount"].oracle
+    try:
+        with pytest.raises(ValueError, match="nested type"):
+            registry.attach_oracle("wordcount", "SELECT [1, 2] AS xs")
+        assert registry._REGISTRY["wordcount"].oracle == before  # unchanged
+    finally:
+        registry.attach_oracle("wordcount", before)
+
+
+def test_lsh_candidate_pairs_extra_group_cols(spark):
+    """Config-scoped pair generation must equal running the ungrouped
+    pipeline once per config slice — the contract that lets the band-
+    tuning report reuse the production pair pipeline."""
+    from velox_hadoop_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [
+        # config a: k1 holds {1,2,3} -> over the max_bucket=2 cap, dropped
+        ("a", 0, "k1", 1), ("a", 0, "k1", 2), ("a", 0, "k1", 3),
+        ("a", 1, "k2", 1), ("a", 1, "k2", 2),
+        ("b", 0, "k1", 1), ("b", 0, "k1", 4),
+        ("b", 0, "hot", 5), ("b", 0, "hot", 6), ("b", 0, "hot", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "config string, band_id int, band_key string, doc_id long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in lsh_candidate_pairs(
+            df, "doc_id", max_bucket=2, extra_group_cols=("config",)
+        ).collect()
+    )
+    want = []
+    for cfg in ("a", "b"):
+        sliced = df.where(df.config == cfg).drop("config")
+        want += [
+            (cfg, *r)
+            for r in lsh_candidate_pairs(sliced, "doc_id", max_bucket=2).collect()
+        ]
+    assert got == sorted(want)
+    assert got == [("a", 1, 2), ("b", 1, 4)]  # capped bucket contributes none

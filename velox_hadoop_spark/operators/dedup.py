@@ -177,7 +177,10 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS, r: int = _R) 
 
 
 def lsh_candidate_pairs(
-    bands_df: DataFrame, id_col: str, max_bucket: int = MAX_KEY_DOC_FREQ
+    bands_df: DataFrame,
+    id_col: str,
+    max_bucket: int = MAX_KEY_DOC_FREQ,
+    extra_group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distinct id pairs (a < b) sharing at least one band bucket.
 
@@ -192,17 +195,25 @@ def lsh_candidate_pairs(
     persist at all. Per-bucket memory is bounded by the cap (≤ 512
     ids), and the cap drops exactly the buckets with > cap members, so
     the oracle's ``HAVING count(*) <= cap`` mirror is unchanged.
+
+    ``extra_group_cols`` scopes the bucketing (and the resulting pair
+    sets) by additional columns — e.g. a band-layout config label, so a
+    tuning sweep over several (bands × rows) layouts shares this exact
+    pipeline instead of hand-rolling a near-copy (the hot-key-cap
+    convention must have ONE home). The extra columns ride through to
+    the output, still one shuffle + one distinct.
     """
+    extras = list(extra_group_cols)
     grouped = (
-        bands_df.groupBy("band_id", "band_key")
+        bands_df.groupBy(*extras, "band_id", "band_key")
         .agg(F.collect_list(id_col).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .select(F.sort_array("ids").alias("ids"))
+        .select(*extras, F.sort_array("ids").alias("ids"))
     )
     pair_structs = id_pairs(F.col("ids"), "id_a", "id_b")
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        grouped.select(*extras, F.explode(pair_structs).alias("p"))
+        .select(*extras, "p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -393,15 +393,17 @@ def q_minhash_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bands × rows) layouts of the same 8-hash MinHash signature —
     8×1 (high recall, many candidates), 4×2 (production default),
     2×4 (high precision). ONE pass computes all three: the signature
-    frame explodes once into (config, band, key) rows, buckets group
-    per config with the standard hot-key cap, pairs generate in-row
-    (functions/pairs.py upper-triangle), and a literal config dim
-    left-join keeps zero-candidate configs visible — never three
-    re-executions of the shingle→signature pipeline."""
-    from velox_hadoop_spark.functions.pairs import id_pairs
+    frame explodes once into (config, band, key) rows, then the
+    PRODUCTION pair pipeline (dedup.lsh_candidate_pairs, config-scoped
+    via its extra_group_cols hook — same hot-key cap, same in-row
+    upper-triangle pair gen) produces per-config candidates, and a
+    literal config dim left-join keeps zero-candidate configs visible —
+    never three re-executions of the shingle→signature pipeline, and
+    never a second copy of the bucket→pairs plan to drift from the one
+    the 4×2 path actually runs."""
     from velox_hadoop_spark.operators.dedup import (
-        MAX_KEY_DOC_FREQ,
         _docs_par,
+        lsh_candidate_pairs,
         minhash_signature_inline,
     )
 
@@ -422,16 +424,7 @@ def q_minhash_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sig.select(
         "doc_id", F.explode(F.array(*keys)).alias("k")
     ).select("doc_id", "k.config", "k.band_id", "k.band_key")
-    buckets = (
-        exploded.groupBy("config", "band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= MAX_KEY_DOC_FREQ))
-    )
-    pairs = (
-        buckets.select("config", F.explode(id_pairs(F.col("ids"))).alias("p"))
-        .select("config", "p.id_a", "p.id_b")
-        .distinct()
-    )
+    pairs = lsh_candidate_pairs(exploded, "doc_id", extra_group_cols=("config",))
     counts = pairs.groupBy("config").agg(F.count("*").alias("n_candidate_pairs"))
     dim = spark.createDataFrame(
         [(f"{b}x{r}", b, r) for b, r in _BAND_CONFIGS],
@@ -1097,13 +1090,11 @@ def q_ks_statistic_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _attach_oracles() -> None:
-    from dataclasses import replace
-
     from velox_hadoop_spark.operators.textstats import (
         _duck_lang_sql,
         duck_quality_select,
     )
-    from velox_hadoop_spark.plans import registry as _r
+    from velox_hadoop_spark.plans.registry import attach_oracle
 
     confusion = f"""
         SELECT d.lang AS actual_lang, p.pred_lang, count(*) AS n
@@ -1163,12 +1154,8 @@ def _attach_oracles() -> None:
         "auc_quality_en_classifier": auc,
         "split_leakage_audit": _split_leakage_oracle(),
     }
-    import os as _os
-
     for name, sql in late.items():
-        if _os.environ.get(_r._LINT_ENV) == "1":
-            _r._validate_oracle(name, sql)
-        _r._REGISTRY[name] = replace(_r._REGISTRY[name], oracle=sql)
+        attach_oracle(name, sql)  # same lint gate as register()
 
 
 _attach_oracles()

@@ -401,18 +401,17 @@ def hyperplane_buckets(
     return emb.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest centroid.
+def _ivf_scored_centroids(emb: DataFrame, n_centroids: int):
+    """Shared IVF quantizer core: every vector cosine-scored against the
+    deterministic codebook, plus the nearest-first probe window.
 
-    Centroids are the ``n_centroids`` lowest vec_ids — a deterministic
-    stand-in for a trained k-means codebook (at 100 TB you would train
-    centroids offline and broadcast them identically; the assignment
-    plan below — broadcast cross join + per-vector argmax — is the same
-    either way, and determinism keeps the DuckDB oracle exact).
-
-    One broadcast nested-loop (K rows) + one window per vector: no
-    shuffle of the corpus beyond the window's hash partition on vec_id.
-    """
+    The ONE home for the centroid rule, scoring, and tiebreak — both
+    ``ivf_assign`` (corpus side) and ``ivf_assign_probes`` (query side)
+    derive from it, so a future change to any of the three cannot make
+    the two sides of an IVF join silently disagree. Returns
+    ``(scored, window)`` where scored has vec_id / v / centroid_id /
+    sim; callers prune the columns they keep (Catalyst drops ``v`` from
+    the probe path for free)."""
     from pyspark.sql import Window
 
     from velox_hadoop_spark.functions.vectors import dot, norm
@@ -435,6 +434,22 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
         F.round(dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return scored, w
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the ``n_centroids`` lowest vec_ids — a deterministic
+    stand-in for a trained k-means codebook (at 100 TB you would train
+    centroids offline and broadcast them identically; the assignment
+    plan below — broadcast cross join + per-vector argmax — is the same
+    either way, and determinism keeps the DuckDB oracle exact).
+
+    One broadcast nested-loop (K rows) + one window per vector: no
+    shuffle of the corpus beyond the window's hash partition on vec_id.
+    """
+    scored, w = _ivf_scored_centroids(emb, n_centroids)
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -447,30 +462,12 @@ def ivf_assign_probes(
 ) -> DataFrame:
     """Multi-probe IVF query assignment: each vector's ``nprobe``
     nearest centroids with their probe rank (1 = nearest). Same
-    centroid rule, scoring, and tiebreak as ``ivf_assign`` — that
-    function is exactly ``nprobe=1`` minus the rank column. Probing p
-    cells multiplies the candidate set ~p×: the recall-vs-cost budget
-    curve (``ann_recall_budget_curve``) measures what that buys."""
-    from pyspark.sql import Window
-
-    from velox_hadoop_spark.functions.vectors import dot, norm
-
-    e = drop_degenerate_vectors(emb).select(
-        "vec_id", to_double(F.col("embedding")).alias("v")
-    ).withColumn("n", norm(F.col("v")))
-    cents = e.orderBy("vec_id").limit(n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("cv"),
-        F.col("n").alias("cn"),
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "centroid_id",
-        F.round(dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6).alias(
-            "sim"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    centroid rule, scoring, and tiebreak as ``ivf_assign`` — both are
+    thin cuts of ``_ivf_scored_centroids``; this one is the ``nprobe``
+    lowest probe ranks minus the vector column. Probing p cells
+    multiplies the candidate set ~p×: the recall-vs-cost budget curve
+    (``ann_recall_budget_curve``) measures what that buys."""
+    scored, w = _ivf_scored_centroids(emb, n_centroids)
     return (
         scored.withColumn("probe_rank", F.row_number().over(w))
         .where(F.col("probe_rank") <= nprobe)

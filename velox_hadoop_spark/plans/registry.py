@@ -101,6 +101,23 @@ def register(
     return deco
 
 
+def attach_oracle(name: str, sql: str) -> None:
+    """Late-bind (or replace) a registered query's oracle SQL.
+
+    For modules whose oracle text is assembled after the decorated
+    functions exist (e.g. shared CTE fragments built from several
+    helpers). Runs the SAME lint gate as :func:`register`, so the
+    lint-on-register invariant has one home regardless of when the
+    oracle arrives."""
+    from dataclasses import replace
+
+    if name not in _REGISTRY:
+        raise KeyError(f"attach_oracle: unknown query name: {name}")
+    if os.environ.get(_LINT_ENV) == "1":
+        _validate_oracle(name, sql)
+    _REGISTRY[name] = replace(_REGISTRY[name], oracle=sql)
+
+
 def _ensure_loaded() -> None:
     # Import every query-defining module exactly once; registration is a
     # side effect of import. Import order is also the verification-
