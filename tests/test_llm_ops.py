@@ -289,6 +289,43 @@ def test_knn_blocked_query_frame_matches_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_score_pairs_exact_arrow_matches_join_path(spark):
+    """The recall gates' candidate re-rank: the broadcast-Arrow scorer
+    (binary-search id lookup + row-wise dot) must agree pair-for-pair
+    with the over-budget join fallback, and both must DROP pairs whose
+    either side is degenerate (NULL / empty / zero vector) — the
+    oracle's finite-vector CTE semantics. Unguarded, a zero vector
+    cosines as NaN, which Spark ranks above every number."""
+    from velox_hadoop_spark.operators.similarity import score_pairs_exact
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.6, 0.8]),
+            (3, [0.0, 1.0]),
+            (4, None),
+            (5, []),
+            (6, [0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (1, 5), (1, 6), (1, 99)],
+        "query_id long, neighbor_id long",
+    )
+    arrow = {tuple(r) for r in score_pairs_exact(emb, cand).collect()}
+    joined = {
+        tuple(r)
+        for r in score_pairs_exact(
+            emb, cand, driver_broadcast_rows=0
+        ).collect()
+    }
+    assert arrow == joined
+    assert {(q, n) for q, n, _ in arrow} == {(1, 2), (1, 3), (2, 3)}
+    cos = {(q, n): c for q, n, c in arrow}
+    assert cos[(1, 2)] == 0.6 and cos[(1, 3)] == 0.0 and cos[(2, 3)] == 0.8
+
+
 def test_near_dup_blocked_matches_broadcast(spark):
     from velox_hadoop_spark.operators.dedup import cosine_near_dup_pairs
 

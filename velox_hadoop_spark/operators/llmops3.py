@@ -267,11 +267,13 @@ def q_ann_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from velox_hadoop_spark.operators.similarity import (
         _RECALL_K,
-        _score_candidates,
+        DRIVER_BROADCAST_ROWS,
+        broadcast_normalized_corpus,
         ivf_assign,
         ivf_assign_probes,
         knn_exact,
         recall_query_sample,
+        score_pairs_exact,
         topk_per_query,
     )
 
@@ -291,11 +293,16 @@ def q_ann_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "probe_rank")
     )
-    scored = _score_candidates(emb, cand.select("query_id", "neighbor_id")).join(
-        cand, ["query_id", "neighbor_id"]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # One size probe + (below budget) one normalized-corpus broadcast
+    # shared by the candidate re-rank and the exact baseline — the same
+    # seam _recall_vs_exact uses for the single-width gates.
+    n = emb.count()
+    bc = broadcast_normalized_corpus(emb) if n <= DRIVER_BROADCAST_ROWS else None
+    scored = score_pairs_exact(
+        emb, cand.select("query_id", "neighbor_id"), n=n, bc=bc
+    ).join(cand, ["query_id", "neighbor_id"]).persist(StorageLevel.MEMORY_AND_DISK)
     exact_top = (
-        knn_exact(emb, _RECALL_K, queries=sample, n_query_blocks=1)
+        knn_exact(emb, _RECALL_K, queries=sample, n_query_blocks=1, n=n, bc=bc)
         .select("query_id", "neighbor_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

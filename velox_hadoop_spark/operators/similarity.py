@@ -116,7 +116,12 @@ def broadcast_normalized_corpus(corpus: DataFrame):
     return corpus.sparkSession.sparkContext.broadcast((ids, mat_n))
 
 
-def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -> DataFrame:
+def knn_numpy(
+    corpus: DataFrame,
+    k: int = 1,
+    queries: DataFrame | None = None,
+    bc=None,
+) -> DataFrame:
     """All-pairs cosine top-k via Arrow-batched numpy (BLAS matmul).
 
     ``queries`` restricts the scored side to a query frame (defaults to
@@ -128,6 +133,10 @@ def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -
     queries against the matrix with one dgemm. ~50× faster than
     per-row lambda evaluation of zip_with/aggregate, identical output
     (cosines rounded to 6 dp before ranking, ties by neighbor id).
+
+    ``bc`` accepts a prebuilt ``broadcast_normalized_corpus(corpus)``
+    handle so a caller scoring the same corpus twice (the recall gates:
+    exact baseline + candidate re-rank) collects and ships it once.
     """
     from collections.abc import Iterator
 
@@ -135,7 +144,8 @@ def knn_numpy(corpus: DataFrame, k: int = 1, queries: DataFrame | None = None) -
     import pandas as pd
 
     queries = corpus if queries is None else queries
-    bc = broadcast_normalized_corpus(corpus)
+    if bc is None:
+        bc = broadcast_normalized_corpus(corpus)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_ids, c_mat_n = bc.value
@@ -298,6 +308,8 @@ def knn_exact(
     block_rows: int = BLOCK_ROWS,
     queries: DataFrame | None = None,
     n_query_blocks: int | None = None,
+    n: int | None = None,
+    bc=None,
 ) -> DataFrame:
     """Exact cosine top-k with a physical-strategy guard.
 
@@ -312,12 +324,17 @@ def knn_exact(
     sample with ``n_query_blocks=1``) — this is the single home of the
     broadcast-vs-blocked policy so the threshold can never drift
     between callers.
+
+    ``n``/``bc`` let a caller that already probed the corpus size (and,
+    below the budget, already built the normalized broadcast) share
+    both with this kernel instead of re-running the count/collect jobs.
     """
     import math
 
-    n = corpus.count()
+    if n is None:
+        n = corpus.count()
     if n <= driver_broadcast_rows:
-        return knn_numpy(corpus, k, queries=queries)
+        return knn_numpy(corpus, k, queries=queries, bc=bc)
     return knn_blocked(
         corpus,
         k,
@@ -1043,14 +1060,19 @@ def recall_query_sample(emb: DataFrame) -> DataFrame:
 
 
 def _score_candidates(emb, cand):
-    """Exact cosine re-rank input for a (query_id, neighbor_id) candidate
-    frame — shared by the recall gates."""
+    """Exact cosine re-rank for a (query_id, neighbor_id) candidate
+    frame via the expression join path — the over-budget fallback of
+    ``score_pairs_exact``. Both vector sides are degenerate-filtered,
+    mirroring the oracles' finite-vector ``e`` CTE (a NULL/empty/zero
+    neighbor never reaches the ranking; unguarded it would cos as NaN,
+    which Spark sorts ABOVE every number in the top-k window)."""
     from velox_hadoop_spark.functions.vectors import dot, norm
 
-    e_q = emb.select(
+    e = drop_degenerate_vectors(emb)
+    e_q = e.select(
         F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
-    e_n = emb.select(
+    e_n = e.select(
         F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("nv")
     ).withColumn("nn", norm(F.col("nv")))
     return (
@@ -1066,21 +1088,97 @@ def _score_candidates(emb, cand):
     )
 
 
-def _recall_vs_exact(emb, sample, approx_top):
-    """(n_queries, n_exact, n_hits, recall) of an approximate top-k frame
-    against the exact sample top-k — the shared tail of every recall
-    gate. Recall is a ratio of integer counts, floor-rounded at 6 dp.
+def score_pairs_exact(
+    corpus: DataFrame,
+    cand: DataFrame,
+    driver_broadcast_rows: int = DRIVER_BROADCAST_ROWS,
+    n: int | None = None,
+    bc=None,
+) -> DataFrame:
+    """Exact cosine for a bounded (query_id, neighbor_id) candidate
+    frame, with the same physical-strategy guard as ``knn_exact``.
 
-    The exact baseline is ``knn_exact`` with the fixed-count sample as
-    the query frame: below the driver budget, sample queries stream
-    through mapInPandas against the broadcast-corpus matrix (one BLAS
-    matmul per Arrow batch); past it, ``knn_blocked`` with
+    Below the driver budget the normalized corpus matrix is broadcast
+    once and each Arrow batch of id pairs resolves both sides by binary
+    search into it — one vectorized row-wise dot per batch, no join, no
+    per-pair lambda evaluation (the zip_with/aggregate expression dot is
+    interpreted per element, ~10× slower on a dense candidate set).
+    Past the budget it falls back to ``_score_candidates`` — a plain
+    pair join that shuffles only the candidate frame, which every
+    caller bounds by construction (sample × bucket). Pairs whose either
+    side is degenerate (NULL/empty/zero vector) drop in BOTH regimes,
+    matching the oracle's finite-vector CTE.
+
+    ``n``/``bc`` share a caller's size probe / broadcast handle, as in
+    ``knn_exact``."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if n is None:
+        n = corpus.count()
+    if n > driver_broadcast_rows:
+        return _score_candidates(corpus, cand)
+    if bc is None:
+        bc = broadcast_normalized_corpus(corpus)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat_n = bc.value
+        order = np.argsort(ids)
+        sids, smat = ids[order], mat_n[order]
+        hi = len(sids)
+        for pdf in batches:
+            q = pdf["query_id"].to_numpy()
+            m = pdf["neighbor_id"].to_numpy()
+            qi = np.searchsorted(sids, q)
+            ni = np.searchsorted(sids, m)
+            valid = (qi < hi) & (ni < hi)
+            qi_c = np.minimum(qi, max(hi - 1, 0))
+            ni_c = np.minimum(ni, max(hi - 1, 0))
+            if hi:
+                valid &= (sids[qi_c] == q) & (sids[ni_c] == m)
+            else:
+                valid &= False
+            qv = smat[qi_c[valid]]
+            nv = smat[ni_c[valid]]
+            cos = round_half_away(np.einsum("ij,ij->i", qv, nv), 6)
+            yield pd.DataFrame(
+                {"query_id": q[valid], "neighbor_id": m[valid], "cos": cos}
+            )
+
+    return cand.select("query_id", "neighbor_id").mapInPandas(
+        score, "query_id long, neighbor_id long, cos double"
+    )
+
+
+def _recall_vs_exact(emb, sample, cand):
+    """(n_queries, n_exact, n_hits, recall) of an approximate
+    candidate-pair frame against the exact sample top-k — the shared
+    tail of every recall gate. Recall is a ratio of integer counts,
+    floor-rounded at 6 dp.
+
+    Owns the physical strategy for BOTH scoring passes so they share
+    one size probe and (below the driver budget) ONE normalized-corpus
+    broadcast: the exact baseline is ``knn_exact`` with the fixed-count
+    sample as the query frame, the candidate re-rank is
+    ``score_pairs_exact``. Past the budget, ``knn_blocked`` with
     ``n_query_blocks=1`` streams the corpus through the cogroup
-    un-replicated — NOTHING SF-proportional is ever broadcast or
-    collected, so the audit stays exact at any scale."""
-    exact_top = knn_exact(
-        emb, _RECALL_K, queries=sample, n_query_blocks=1
+    un-replicated and the re-rank joins only the bounded candidate
+    frame — NOTHING SF-proportional is ever broadcast or collected, so
+    the audit stays exact at any scale. ``exact_top`` is persisted
+    (sample·k rows) because the stats and hits branches both read it —
+    unpersisted, the whole baseline dgemm would execute twice."""
+    n = emb.count()
+    bc = broadcast_normalized_corpus(emb) if n <= DRIVER_BROADCAST_ROWS else None
+    approx_top = topk_per_query(
+        score_pairs_exact(emb, cand, n=n, bc=bc), _RECALL_K
     ).select("query_id", "neighbor_id")
+    exact_top = (
+        knn_exact(emb, _RECALL_K, queries=sample, n_query_blocks=1, n=n, bc=bc)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
     hits = exact_top.join(approx_top, ["query_id", "neighbor_id"], "left_semi")
     stats = exact_top.agg(
         F.countDistinct("query_id").alias("n_queries"),
@@ -1181,10 +1279,7 @@ def q_ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
     cand = qb.join(nb, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
-    lsh_top = topk_per_query(_score_candidates(emb, cand), _RECALL_K).select(
-        "query_id", "neighbor_id"
-    )
-    return _recall_vs_exact(emb, sample, lsh_top)
+    return _recall_vs_exact(emb, sample, cand)
 
 
 _AMP_TABLES = 4        # OR-amplification: number of independent tables
@@ -1309,10 +1404,7 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    lsh_top = topk_per_query(_score_candidates(emb, cand), _RECALL_K).select(
-        "query_id", "neighbor_id"
-    )
-    return _recall_vs_exact(emb, sample, lsh_top)
+    return _recall_vs_exact(emb, sample, cand)
 
 
 @register(
@@ -1394,7 +1486,4 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    ivf_top = topk_per_query(_score_candidates(emb, cand), _RECALL_K).select(
-        "query_id", "neighbor_id"
-    )
-    return _recall_vs_exact(emb, sample, ivf_top)
+    return _recall_vs_exact(emb, sample, cand)
