@@ -1,0 +1,169 @@
+"""Oracle parity for the round-6 continuation modules (stats2,
+semistruct), plus semantics pins the mirrored oracles cannot see on
+their own (known-answer synthetic series for the rank/changepoint
+statistics, threshold edges for the map pipeline)."""
+
+import datetime
+
+import pytest
+
+from tests.conftest import assert_parity
+
+PARITY_QUERIES = [
+    # stats2
+    "spearman_rank_corr",
+    "anova_f_priority",
+    "acf_daily_revenue",
+    "max_drawdown_daily_revenue",
+    "cusum_changepoint_daily",
+    "theil_index_spend",
+    "mann_whitney_u",
+    # semistruct
+    "map_functions_orders",
+    "str_to_map_roundtrip",
+    "json_struct_roundtrip",
+    "csv_line_roundtrip",
+    "parse_url_events",
+]
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    assert_parity(spark, duck, name)
+
+
+def _write_orders(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/orders.parquet")
+    return d
+
+
+def test_spearman_perfect_and_inverse(spark, tmp_path):
+    """Known-answer pins the rank machinery end-to-end: a monotone
+    month of lineitem gives rho = +1, an anti-monotone month gives
+    rho = −1, and a duplicated value (tie) must not break ±1 since the
+    tie is tied in BOTH variables (identical average ranks)."""
+    rows = []
+    for i in range(10):
+        q = float(i // 2 + 1)  # ties: each quantity appears twice
+        rows.append((1, 1, 1, i, q, 10.0 + i, 0.0, 0.0, "A", "F",
+                     datetime.datetime(1995, 3, 5)))
+        rows.append((2, 1, 1, i, q, 200.0 - i, 0.0, 0.0, "R", "F",
+                     datetime.datetime(1995, 3, 5)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/lineitem.parquet")
+    from velox_hadoop_spark.plans import registry
+
+    out = {
+        r.flag: r.spearman_rho
+        for r in registry.queries()["spearman_rank_corr"](spark, d).collect()
+    }
+    # Price ties (pairs share a quantity but not a price) pull rho off
+    # exactly 1; with 5 distinct quantities each duplicated, Spearman of
+    # avg-ranks is still far above 0.9 — and symmetric for the inverse.
+    assert out["A"] > 0.9
+    assert out["R"] < -0.9
+    assert out["A"] == -out["R"]
+
+
+def test_cusum_finds_step_change(spark, tmp_path):
+    """A flat series with one level shift must put the changepoint on
+    the last day of the first regime (the |cusum| peak of a step)."""
+    rows = []
+    day0 = datetime.datetime(1994, 1, 1)
+    for i in range(30):
+        price = 100.0 if i < 12 else 300.0
+        rows.append((i, 1, "O", price, day0 + datetime.timedelta(days=i), "3-MEDIUM"))
+    d = _write_orders(spark, tmp_path, rows)
+    from velox_hadoop_spark.plans import registry
+
+    row = registry.queries()["cusum_changepoint_daily"](spark, d).first()
+    assert row.change_day == (day0 + datetime.timedelta(days=11)).date()
+    assert row.n_days == 30
+
+
+def test_max_drawdown_known_series(spark, tmp_path):
+    """Daily revenue 100, 500, 200, 400: worst drawdown is day 3 at
+    (500−200)/500 = 0.6 — and a later, shallower dip must not win."""
+    day0 = datetime.datetime(1994, 1, 1)
+    vals = [100.0, 500.0, 200.0, 400.0]
+    rows = [
+        (i, 1, "O", v, day0 + datetime.timedelta(days=i), "3-MEDIUM")
+        for i, v in enumerate(vals)
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    from velox_hadoop_spark.plans import registry
+
+    row = registry.queries()["max_drawdown_daily_revenue"](spark, d).first()
+    assert row.day == (day0 + datetime.timedelta(days=2)).date()
+    assert row.drawdown == 0.6
+    assert row.peak_cents == 50000 and row.rev_cents == 20000
+
+
+def test_mann_whitney_hand_computed(spark, tmp_path):
+    """Hand-computed U on a 3-vs-3 sample WITH a cross-group tie:
+    urgent {10, 20, 30}, low {20, 40, 50} (cents 1000/2000/3000 vs
+    2000/4000/5000). Pooled avg ranks: 1, 2.5, 2.5, 4, 5, 6 →
+    R1 = 1 + 2.5 + 4 = 7.5, U1 = 7.5 − 6 = 1.5, U2 = 9 − 1.5 = 7.5."""
+    day = datetime.datetime(1995, 2, 1)
+    rows = [
+        (1, 1, "O", 10.0, day, "1-URGENT"),
+        (2, 1, "O", 20.0, day, "1-URGENT"),
+        (3, 1, "O", 30.0, day, "1-URGENT"),
+        (4, 1, "O", 20.0, day, "5-LOW"),
+        (5, 1, "O", 40.0, day, "5-LOW"),
+        (6, 1, "O", 50.0, day, "5-LOW"),
+        # outside the date window: must be ignored
+        (7, 1, "O", 999.0, datetime.datetime(1996, 1, 1), "1-URGENT"),
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    from velox_hadoop_spark.plans import registry
+
+    row = registry.queries()["mann_whitney_u"](spark, d).first()
+    assert (row.n1, row.n2) == (3, 3)
+    assert row.u1 == 1.5 and row.u2 == 7.5
+
+
+def test_map_filter_threshold_edge(spark, tmp_path):
+    """map_filter keeps v >= 10 on DOUBLED counts: a 4-row cell
+    (doubled 8) must drop, a 5-row cell (doubled 10) must stay — the
+    boundary the oracle's HAVING mirrors."""
+    day = datetime.datetime(1995, 2, 1)
+    rows = [(i, 1, "O", 10.0, day, "2-HIGH") for i in range(5)]
+    rows += [(10 + i, 1, "F", 10.0, day, "2-HIGH") for i in range(4)]
+    d = _write_orders(spark, tmp_path, rows)
+    from velox_hadoop_spark.plans import registry
+
+    out = registry.queries()["map_functions_orders"](spark, d).collect()
+    assert [(r.priority, r.status, r.n_doubled, r.n_statuses) for r in out] == [
+        ("2-HIGH", "O", 10, 2)
+    ]
+
+
+def test_acf_constant_series_is_null(spark, tmp_path):
+    """corr against a zero-variance lag is NULL in both engines — the
+    degenerate series must yield NULL acf, not crash or fake a 1.0."""
+    day0 = datetime.datetime(1994, 1, 1)
+    rows = [
+        (i, 1, "O", 100.0, day0 + datetime.timedelta(days=i), "3-MEDIUM")
+        for i in range(10)
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    from velox_hadoop_spark.plans import registry
+
+    out = registry.queries()["acf_daily_revenue"](spark, d).collect()
+    assert len(out) == 7
+    assert all(r.acf is None for r in out)
+    assert [r.n_pairs for r in out] == [9, 8, 7, 6, 5, 4, 3]

@@ -1,0 +1,556 @@
+"""Statistical-test breadth, round 6 continuation. [extension]
+
+The inference/diagnostic statistics an analyst reaches for after the
+first-moment families (``mining.py``'s chi2 / KS / Benford / Gini,
+``funcs2.py``'s regression / moment functions): rank correlation
+(Spearman), one-way ANOVA F, autocorrelation of a daily series, max
+drawdown, an exact integer-arithmetic CUSUM changepoint, the Theil
+inequality index, and the Mann-Whitney U rank-sum test.
+
+Determinism rules (same as the rest of the repo):
+  * money always rides as integer cents; rank sums are exact multiples
+    of 0.5 (< 2^53, exact in double); the CUSUM statistic is kept in
+    scaled-integer space (n·Σx − t·S) so the argmax is an int64
+    comparison, never a float one.
+  * ratio statistics (rho, F, acf, theil, z) are display-rounded at
+    6 dp in BOTH engines — the accepted ROUND(aggregate-of-double)
+    class; no membership predicate rides a raw double.
+  * rank windows run over a bounded slice: the Spearman / Mann-Whitney
+    inputs are calendar-month-filtered (a bounded row count at any SF
+    — the same contract as the interval-join per-key bound), and the
+    series statistics run over the per-DAY aggregate, whose length is
+    calendar-bounded (~2.4k rows regardless of SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def safe_corr(x, y):
+    """Pearson correlation as an aggregate expression with DuckDB's
+    degenerate contract: NULL when either side has zero variance.
+
+    Spark 4's ``F.corr`` THROWS DIVIDE_BY_ZERO under ANSI mode on a
+    zero-variance input (DuckDB returns NULL), and an aggregate cannot
+    be conditionally skipped — so the correlation is built from moment
+    sums with the variance guard applied after aggregation. Pairs with
+    a NULL on either side are excluded (the same pairwise-deletion rule
+    ``corr`` uses in both engines). Inputs must already be DOUBLE: a
+    long input would overflow int64 in the x² sum under ANSI. The
+    moment form carries ~1e-12 relative cancellation noise vs the
+    engines' one-pass co-moment kernels — absorbed by the callers'
+    6 dp display round (accepted class)."""
+    both = x.isNotNull() & y.isNotNull()
+    xv = F.when(both, x)
+    yv = F.when(both, y)
+    n = F.count(xv).cast("double")
+    sx, sy = F.sum(xv), F.sum(yv)
+    cov = n * F.sum(xv * yv) - sx * sy
+    vx = n * F.sum(xv * xv) - sx * sx
+    vy = n * F.sum(yv * yv) - sy * sy
+    return F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+
+
+def _daily_rev_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, rev_cents) — total order revenue per calendar day, integer
+    cents. The shared spine of the series statistics below; its length
+    is bounded by the order-date calendar (~7 years), not by SF, so a
+    global ORDER BY day window over it is scale-safe."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+
+
+_DUCK_DAILY = """
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1
+    )
+"""
+
+# Bounded input slice for the rank-window tests: one ship/order month.
+# A rank window needs a total order over its partition; filtering to a
+# calendar month first bounds the per-partition row count at any SF
+# (the unbounded-input alternative is the distinct-value prefix-sum
+# rank, domain-bounded rather than row-bounded).
+_SPEAR_LO, _SPEAR_HI = "1995-03-01", "1995-04-01"
+_MW_LO, _MW_HI = "1995-01-01", "1995-07-01"
+
+
+@register(
+    "spearman_rank_corr",
+    oracle=f"""
+        WITH x AS (
+            SELECT l_returnflag AS flag, l_quantity AS a, l_extendedprice AS b
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{_SPEAR_LO} 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{_SPEAR_HI} 00:00:00'
+        ),
+        r AS (
+            SELECT flag,
+                   rank() OVER (PARTITION BY flag ORDER BY a)
+                     + (count(*) OVER (PARTITION BY flag, a) - 1) / 2.0 AS ra,
+                   rank() OVER (PARTITION BY flag ORDER BY b)
+                     + (count(*) OVER (PARTITION BY flag, b) - 1) / 2.0 AS rb
+            FROM x
+        )
+        SELECT flag, count(*) AS n,
+               round(corr(ra, rb), 6) AS spearman_rho
+        FROM r GROUP BY flag
+    """,
+    tags=("stats", "rank", "correlation", "extension"),
+)
+def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag, over one ship month.
+
+    Average ranks for ties, the textbook definition: min-rank from
+    ``rank()`` plus ``(|ties| − 1)/2`` from a per-value count window —
+    both windows hash-partition by flag; the month filter bounds the
+    per-flag sort (see module docstring). Rank values are exact
+    multiples of 0.5, so the only float aggregate is the final
+    ``corr``, display-rounded at 6 dp in both engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_SPEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_SPEAR_HI).cast("timestamp"))
+    )
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("a"),
+        F.col("l_extendedprice").alias("b"),
+    )
+    ra = F.rank().over(Window.partitionBy("flag").orderBy("a")) + (
+        F.count("*").over(Window.partitionBy("flag", "a")) - 1
+    ) / 2.0
+    rb = F.rank().over(Window.partitionBy("flag").orderBy("b")) + (
+        F.count("*").over(Window.partitionBy("flag", "b")) - 1
+    ) / 2.0
+    return (
+        x.select("flag", ra.alias("ra"), rb.alias("rb"))
+        .groupBy("flag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(safe_corr(F.col("ra"), F.col("rb")), 6).alias(
+                "spearman_rho"
+            ),
+        )
+    )
+
+
+@register(
+    "anova_f_priority",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority AS p,
+                   count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+                   sum(CAST(round(o_totalprice * 100) AS DOUBLE)
+                       * CAST(round(o_totalprice * 100) AS DOUBLE)) AS ss
+            FROM orders GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(sum(n) AS BIGINT) AS big_n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   sum(s) AS total
+            FROM g
+        )
+        SELECT big_n AS n_rows, k AS n_groups,
+               CAST(big_n - k AS BIGINT) AS df_within,
+               round(
+                   ((SELECT sum(n * power(CAST(s AS DOUBLE) / n
+                                          - CAST(total AS DOUBLE) / big_n, 2))
+                     FROM g, t) / (k - 1))
+                   /
+                   ((SELECT sum(CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * s / n)
+                     FROM g) / (big_n - k)),
+                   6) AS f_stat
+        FROM t
+    """,
+    tags=("stats", "anova", "extension"),
+)
+def q_anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of order value across the five order
+    priorities — does priority explain any of the price variance?
+
+    Pure two-level aggregation, no windows: per-group n and Σx in exact
+    integer cents; Σx² accumulates in DOUBLE (squared cents overflow
+    int64 past ~10⁴ rows·group — ANSI mode fails loudly on the exact
+    variant), feeding SSB/(k−1) over SSW/(n−k) from the group frame —
+    k = 5 rows, so the final reduction is driver-trivial and the only
+    shuffle is the groupBy. SSW's Σx² − (Σx)²/n cancellation leaves
+    ~1e-12 relative noise between the engines, absorbed by the 6 dp
+    display round on F — the accepted ROUND(aggregate-of-double)
+    class; no membership predicate rides it."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents_d = cents.cast("double")
+    g = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("p"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("s"),
+            F.sum(cents_d * cents_d).alias("ss"),
+        )
+    )
+    t = g.agg(
+        F.sum("n").alias("big_n"),
+        F.count("*").alias("k"),
+        F.sum("s").alias("total"),
+    )
+    # t is one row (global totals); no broadcast hint needed — AQE
+    # broadcasts a 1-row side unconditionally (lint_plans rule)
+    joined = g.crossJoin(t)
+    parts = joined.agg(
+        F.first("big_n").alias("n_rows"),
+        F.first("k").alias("n_groups"),
+        (F.first("big_n") - F.first("k")).alias("df_within"),
+        F.sum(
+            F.col("n")
+            * F.pow(
+                F.col("s").cast("double") / F.col("n")
+                - F.col("total").cast("double") / F.col("big_n"),
+                2,
+            )
+        ).alias("ssb"),
+        F.sum(
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("ssw"),
+    )
+    return parts.select(
+        "n_rows",
+        "n_groups",
+        "df_within",
+        F.round(
+            (F.col("ssb") / (F.col("n_groups") - 1))
+            / (F.col("ssw") / (F.col("n_rows") - F.col("n_groups"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+_ACF_LAGS = 7
+
+
+@register(
+    "acf_daily_revenue",
+    oracle=f"""
+        WITH {_DUCK_DAILY},
+        lagged AS (
+            SELECT rev_cents AS x,
+                   {", ".join(f"lag(rev_cents, {k}) OVER (ORDER BY day) AS x{k}" for k in range(1, _ACF_LAGS + 1))}
+            FROM daily
+        )
+        {" UNION ALL ".join(
+            f"SELECT CAST({k} AS BIGINT) AS lag, "
+            f"CAST(count(x{k}) AS BIGINT) AS n_pairs, "
+            f"round(corr(x, x{k}), 6) AS acf FROM lagged"
+            for k in range(1, _ACF_LAGS + 1)
+        )}
+    """,
+    tags=("stats", "timeseries", "autocorrelation", "extension"),
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1..7 — the weekly-
+    seasonality diagnostic read before fitting any forecast.
+
+    Positional lag over the day-ordered series (gap days shift the
+    alignment identically in both engines), all seven lag columns from
+    ONE window pass over the calendar-bounded daily frame, all seven
+    correlations from ONE aggregate, then ``stack`` to long form — no
+    per-lag rescan. ``corr`` drops the NULL head of each lag column in
+    both engines; n_pairs records how many pairs each estimate used."""
+    w = Window.orderBy("day")
+    daily = _daily_rev_cents(spark, sf_dir)
+    lagged = daily.select(
+        F.col("rev_cents").alias("x"),
+        *[
+            F.lag("rev_cents", k).over(w).alias(f"x{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    aggs = []
+    for k in range(1, _ACF_LAGS + 1):
+        aggs.append(F.count(f"x{k}").alias(f"n{k}"))
+        aggs.append(
+            F.round(
+                safe_corr(
+                    F.col("x").cast("double"), F.col(f"x{k}").cast("double")
+                ),
+                6,
+            ).alias(f"a{k}")
+        )
+    one = lagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), n{k}, a{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    return one.select(
+        F.expr(f"stack({_ACF_LAGS}, {stack_args}) AS (lag, n_pairs, acf)")
+    )
+
+
+@register(
+    "max_drawdown_daily_revenue",
+    oracle=f"""
+        WITH {_DUCK_DAILY},
+        dd AS (
+            SELECT day, rev_cents,
+                   max(rev_cents) OVER (
+                       ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS peak_cents
+            FROM daily
+        )
+        SELECT day, CAST(rev_cents AS BIGINT) AS rev_cents,
+               CAST(peak_cents AS BIGINT) AS peak_cents,
+               round((peak_cents - rev_cents) / CAST(peak_cents AS DOUBLE), 6)
+                   AS drawdown
+        FROM dd
+        ORDER BY (peak_cents - rev_cents) / CAST(peak_cents AS DOUBLE) DESC,
+                 day
+        LIMIT 1
+    """,
+    tags=("stats", "timeseries", "drawdown", "extension"),
+)
+def q_max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst drawdown of the daily-revenue series: the day whose revenue
+    sits furthest (relatively) below the running peak.
+
+    Running peak via a ROWS UNBOUNDED PRECEDING max over the calendar-
+    bounded daily frame; peak and value stay integer cents, so the one
+    double is a single int64/int64 division — bit-identical IEEE in
+    both engines, safe to ORDER BY (day tiebreak pins equal ratios)."""
+    daily = _daily_rev_cents(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.withColumn("peak_cents", F.max("rev_cents").over(w))
+    ratio = (F.col("peak_cents") - F.col("rev_cents")) / F.col(
+        "peak_cents"
+    ).cast("double")
+    return (
+        dd.select(
+            "day",
+            "rev_cents",
+            "peak_cents",
+            F.round(ratio, 6).alias("drawdown"),
+        )
+        .orderBy(ratio.desc(), "day")
+        .limit(1)
+    )
+
+
+@register(
+    "cusum_changepoint_daily",
+    oracle=f"""
+        WITH {_DUCK_DAILY},
+        t AS (SELECT count(*) AS n, sum(rev_cents) AS s FROM daily),
+        c AS (
+            SELECT day,
+                   (SELECT n FROM t)
+                     * sum(rev_cents) OVER (
+                           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW)
+                     - row_number() OVER (ORDER BY day) * (SELECT s FROM t)
+                       AS cusum_scaled
+            FROM daily
+        )
+        SELECT day AS change_day,
+               CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+               CAST((SELECT n FROM t) AS BIGINT) AS n_days
+        FROM c
+        ORDER BY abs(cusum_scaled) DESC, day
+        LIMIT 1
+    """,
+    tags=("stats", "timeseries", "changepoint", "extension"),
+)
+def q_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint of the daily-revenue series: the day where the
+    cumulative deviation from the global mean peaks in magnitude — the
+    classic single-changepoint estimator.
+
+    The statistic is kept in scaled-integer space: n·Σᵗx − t·S (n days,
+    S total cents) is the textbook Σᵗ(x−μ) multiplied through by n, so
+    the argmax is an exact int64 comparison — no float summation order
+    anywhere. Magnitude bound: days are calendar-bounded (~2.4k), so
+    n·Σx ≲ 2.4k × total-cents; int64-safe through the verified SFs and
+    ~10⁴ beyond (documented bound, same class as the checksum
+    kernels)."""
+    daily = _daily_rev_cents(spark, sf_dir)
+    t = daily.agg(
+        F.count("*").alias("n_days"), F.sum("rev_cents").alias("s")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # t is one row (n_days, total cents); AQE broadcasts it unhinted
+    c = (
+        daily.crossJoin(t)
+        .withColumn("cum", F.sum("rev_cents").over(w))
+        .withColumn("t_idx", F.row_number().over(Window.orderBy("day")))
+        .select(
+            F.col("day").alias("change_day"),
+            (
+                F.col("n_days") * F.col("cum") - F.col("t_idx") * F.col("s")
+            ).alias("cusum_scaled"),
+            "n_days",
+        )
+    )
+    return c.orderBy(F.abs(F.col("cusum_scaled")).desc(), "change_day").limit(1)
+
+
+@register(
+    "theil_index_spend",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_nationkey AS nationkey,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_nationkey
+        ),
+        named AS (
+            SELECT n.n_name AS nation, s.cents
+            FROM spend s JOIN nation n ON n.n_nationkey = s.nationkey
+        ),
+        terms AS (
+            SELECT nation,
+                   (cents / avg(cents) OVER (PARTITION BY nation))
+                     * ln(cents / avg(cents) OVER (PARTITION BY nation)) AS term
+            FROM named
+        )
+        SELECT nation,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(avg(term), 6) AS theil
+        FROM terms GROUP BY nation
+    """,
+    tags=("stats", "inequality", "extension"),
+)
+def q_theil_index_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality index of customer spend within each nation —
+    the decomposable cousin of ``gini_spend_by_nation``: T = mean of
+    (x/μ)·ln(x/μ) over the nation's buying customers.
+
+    Spend is exact integer cents per customer (one groupBy); the
+    per-nation mean comes from a window over the customer-spend frame
+    partitioned by nation, so each element's (x/μ)ln(x/μ) term is a
+    deterministic scalar and the final mean is the accepted
+    ROUND(aggregate-of-double) class. Buying customers only — an inner
+    join, so x > 0 and ln is always finite."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    mu = F.avg("cents").over(Window.partitionBy("nation"))
+    term = (F.col("cents") / mu) * F.log(F.col("cents") / mu)
+    return (
+        spend.join(F.broadcast(nation), "c_nationkey")
+        .select("nation", term.alias("term"))
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("term"), 6).alias("theil"),
+        )
+    )
+
+
+@register(
+    "mann_whitney_u",
+    oracle=f"""
+        WITH x AS (
+            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+              AND o_orderdate >= TIMESTAMP '{_MW_LO} 00:00:00'
+              AND o_orderdate <  TIMESTAMP '{_MW_HI} 00:00:00'
+        ),
+        r AS (
+            SELECT g1,
+                   rank() OVER (ORDER BY v)
+                     + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar
+            FROM x
+        ),
+        agg AS (
+            SELECT CAST(sum(g1) AS BIGINT) AS n1,
+                   CAST(count(*) - sum(g1) AS BIGINT) AS n2,
+                   sum(CASE WHEN g1 = 1 THEN ar ELSE 0 END) AS r1
+            FROM r
+        )
+        SELECT n1, n2,
+               r1 - n1 * (n1 + 1) / 2.0 AS u1,
+               CAST(n1 AS DOUBLE) * n2 - (r1 - n1 * (n1 + 1) / 2.0) AS u2,
+               round(((r1 - n1 * (n1 + 1) / 2.0)
+                      - CAST(n1 AS DOUBLE) * n2 / 2)
+                     / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0),
+                     6) AS z
+        FROM agg
+    """,
+    tags=("stats", "rank", "hypothesis-test", "extension"),
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do URGENT orders run larger than
+    LOW orders (first half of 1995)?
+
+    Average ranks over the pooled sample (same tie rule as
+    ``spearman_rank_corr``); the rank sum R₁ is an exact multiple of
+    0.5 so U₁/U₂ are exact, and the normal-approximation z (no tie
+    correction — documented) is the only display-rounded double. The
+    date filter bounds the pooled rank window (module docstring)."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+        & (F.col("o_orderdate") >= F.lit(_MW_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_MW_HI).cast("timestamp"))
+    )
+    x = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g1"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    ar = F.rank().over(Window.orderBy("v")) + (
+        F.count("*").over(Window.partitionBy("v")) - 1
+    ) / 2.0
+    r = x.select("g1", ar.alias("ar"))
+    agg = r.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        (F.count("*") - F.sum("g1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, F.col("ar")).otherwise(0.0)).alias("r1"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
+        F.round(
+            (u1 - F.col("n1").cast("double") * F.col("n2") / 2)
+            / F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                * (F.col("n1") + F.col("n2") + 1)
+                / 12.0
+            ),
+            6,
+        ).alias("z"),
+    )
