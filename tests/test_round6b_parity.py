@@ -18,12 +18,16 @@ PARITY_QUERIES = [
     "cusum_changepoint_daily",
     "theil_index_spend",
     "mann_whitney_u",
+    "bollinger_breakout_days",
+    "rsi_14_daily",
     # semistruct
     "map_functions_orders",
     "str_to_map_roundtrip",
     "json_struct_roundtrip",
     "csv_line_roundtrip",
     "parse_url_events",
+    # similarity
+    "ann_hard_negatives",
 ]
 
 
@@ -150,6 +154,45 @@ def test_map_filter_threshold_edge(spark, tmp_path):
     assert [(r.priority, r.status, r.n_doubled, r.n_statuses) for r in out] == [
         ("2-HIGH", "O", 10, 2)
     ]
+
+
+def test_rsi_monotone_series_all_overbought(spark, tmp_path):
+    """A strictly rising series has l = 0 in every window: every full
+    window is overbought (3g > 0), none oversold/flat, avg RSI 100."""
+    day0 = datetime.datetime(1994, 1, 1)
+    rows = [
+        (i, 1, "O", 100.0 + i, day0 + datetime.timedelta(days=i), "3-MEDIUM")
+        for i in range(20)
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    from velox_hadoop_spark.plans import registry
+
+    row = registry.queries()["rsi_14_daily"](spark, d).first()
+    # 19 deltas -> 6 full 14-delta windows
+    assert row.n_days == 6
+    assert row.n_overbought == 6
+    assert row.n_oversold == 0 and row.n_flat == 0
+    assert row.avg_rsi == 100.0
+
+
+def test_hard_negatives_never_share_query_label(spark):
+    """Every mined negative must carry a different label than its
+    query, scores must be non-increasing within a query, and ranks
+    must be a dense 1..k prefix."""
+    from tests.conftest import SF_DIR
+    from velox_hadoop_spark.plans import registry
+
+    rows = registry.queries()["ann_hard_negatives"](spark, SF_DIR).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_label != r.query_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r.cos for r in rs]
+        assert cos == sorted(cos, reverse=True)
 
 
 def test_acf_constant_series_is_null(spark, tmp_path):

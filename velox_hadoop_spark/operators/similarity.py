@@ -1487,3 +1487,101 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return _recall_vs_exact(emb, sample, cand)
+
+
+_HARDNEG_K = 3
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE embedding IS NOT NULL AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+        {_DUCK_QS_CTE},
+        cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        scored AS (
+            SELECT e.vec_id, c.centroid_id,
+                   ROUND(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+            FROM e CROSS JOIN cents c
+        ),
+        assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, centroid_id
+                ) AS rn FROM scored
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT qa.vec_id AS query_id, q.label AS query_label,
+                   na.vec_id AS neighbor_id, n.label AS neighbor_label,
+                   {_DUCK_COS} AS cos
+            FROM assign qa
+            JOIN qs ON qa.vec_id = qs.vec_id
+            JOIN assign na ON na.centroid_id = qa.centroid_id
+                          AND na.vec_id <> qa.vec_id
+            JOIN e q ON q.vec_id = qa.vec_id
+            JOIN e n ON n.vec_id = na.vec_id
+            WHERE n.label IS DISTINCT FROM q.label
+        )
+        SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+               neighbor_id, CAST(neighbor_label AS BIGINT) AS neighbor_label,
+               cos, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS rnk FROM pairs
+        ) WHERE rnk <= {_HARDNEG_K}
+    """,
+    tags=("similarity", "ann", "ivf", "training-data", "extension"),
+)
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query in
+    the fixed md5-order sample, the top-3 most-similar vectors carrying
+    a DIFFERENT label, drawn from the query's IVF cell — the standard
+    in-batch-negatives upgrade (high-similarity, wrong-label examples
+    are the ones a contrastive loss learns most from).
+
+    Same scale shape as ``ann_ivf_recall``: same-cell equi-join bounds
+    the candidates, the label filter rides the join (no extra
+    shuffle — label travels with the assignment frame), and the exact
+    re-rank is the guarded Arrow scorer. A NULL-label neighbor counts
+    as a different label (IS DISTINCT FROM semantics in both
+    engines)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = recall_query_sample(emb)
+    assign = ivf_assign(emb)
+    labels = emb.select("vec_id", "label")
+    qa = (
+        assign.join(sample.select("vec_id"), "vec_id", "left_semi")
+        .join(labels, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            F.col("label").alias("query_label"),
+        )
+    )
+    na = assign.join(labels, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "centroid_id",
+        F.col("label").alias("neighbor_label"),
+    )
+    cand = (
+        qa.join(na, "centroid_id")
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & ~F.col("neighbor_label").eqNullSafe(F.col("query_label"))
+        )
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label")
+    )
+    scored = score_pairs_exact(
+        emb, cand.select("query_id", "neighbor_id")
+    ).join(cand, ["query_id", "neighbor_id"])
+    return topk_per_query(scored, _HARDNEG_K).select(
+        "query_id",
+        F.col("query_label").cast("long"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("long"),
+        "cos",
+        "rnk",
+    )

@@ -411,6 +411,139 @@ def q_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.orderBy(F.abs(F.col("cusum_scaled")).desc(), "change_day").limit(1)
 
 
+_BB_WIN = 20
+
+
+@register(
+    "bollinger_breakout_days",
+    oracle=f"""
+        WITH {_DUCK_DAILY},
+        rolled AS (
+            SELECT day, rev_cents / 100.0 AS rev,
+                   avg(rev_cents / 100.0) OVER w AS m,
+                   stddev_samp(rev_cents / 100.0) OVER w AS sd,
+                   count(*) OVER w AS nwin
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN {_BB_WIN - 1} PRECEDING
+                                              AND CURRENT ROW)
+        )
+        SELECT day, rev, ROUND((rev - m) / sd, 4) AS z
+        FROM rolled
+        WHERE nwin = {_BB_WIN} AND sd > 0
+          AND floor(abs((rev - m) / sd) * 10000 + 0.5) / 10000 > 2
+    """,
+    tags=("stats", "timeseries", "anomaly", "extension"),
+)
+def q_bollinger_breakout_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days breaking out of their trailing 20-day Bollinger band
+    (|z| > 2 vs the rolling mean/σ) — the rolling cousin of
+    ``seasonal_weekday_anomaly``'s weekday-profile z.
+
+    One window pass over the calendar-bounded daily spine computes
+    mean, σ, and the full-window count (a partial leading window must
+    not emit — its σ is not a 20-day σ). Membership uses the repo's
+    4-dp floor-grid rule, never the raw double z: the rolling avg and
+    stddev accumulate in different orders across engines, so a z
+    within ulps of 2.0 must not decide row membership."""
+    daily = _daily_rev_cents(spark, sf_dir).select(
+        "day", (F.col("rev_cents") / 100.0).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-(_BB_WIN - 1), 0)
+    rolled = daily.select(
+        "day",
+        "rev",
+        F.avg("rev").over(w).alias("m"),
+        F.stddev_samp("rev").over(w).alias("sd"),
+        F.count("*").over(w).alias("nwin"),
+    )
+    z = (F.col("rev") - F.col("m")) / F.col("sd")
+    return (
+        rolled.where(
+            (F.col("nwin") == _BB_WIN)
+            & (F.col("sd") > 0)
+            & (F.floor(F.abs(z) * 10000 + F.lit(0.5)) / 10000 > 2)
+        )
+        .select("day", "rev", F.round(z, 4).alias("z"))
+    )
+
+
+_RSI_WIN = 14
+
+
+@register(
+    "rsi_14_daily",
+    oracle=f"""
+        WITH {_DUCK_DAILY},
+        deltas AS (
+            SELECT day,
+                   rev_cents - lag(rev_cents) OVER (ORDER BY day) AS d
+            FROM daily
+        ),
+        gl AS (
+            SELECT day,
+                   sum(greatest(d, 0)) OVER w AS g,
+                   sum(greatest(-d, 0)) OVER w AS l,
+                   count(d) OVER w AS nwin
+            FROM deltas WHERE d IS NOT NULL
+            WINDOW w AS (ORDER BY day ROWS BETWEEN {_RSI_WIN - 1} PRECEDING
+                                              AND CURRENT ROW)
+        ),
+        full_win AS (SELECT * FROM gl WHERE nwin = {_RSI_WIN})
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(*) FILTER (WHERE 3 * g > 7 * l) AS BIGINT)
+                   AS n_overbought,
+               CAST(count(*) FILTER (WHERE 7 * g < 3 * l) AS BIGINT)
+                   AS n_oversold,
+               CAST(count(*) FILTER (WHERE g + l = 0) AS BIGINT) AS n_flat,
+               round(avg(CASE WHEN g + l > 0
+                              THEN 100.0 * g / (g + l) END), 6) AS avg_rsi
+        FROM full_win
+    """,
+    tags=("stats", "timeseries", "indicator", "extension"),
+)
+def q_rsi_14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (simple-average form) of daily revenue, with the
+    overbought/oversold census done in EXACT integer arithmetic:
+    RSI > 70 ⟺ 100g > 70(g+l) ⟺ 3g > 7l and RSI < 30 ⟺ 7g < 3l, where
+    g/l are int64 window sums of the positive/negative day-over-day
+    cent deltas — so the classification counts can never ride a float
+    boundary. Only the reported average RSI is a double (display-
+    rounded). Days without a full 14-delta window are excluded; a
+    zero-movement window (g+l=0, RSI undefined) is counted as flat and
+    excluded from the average in both engines."""
+    daily = _daily_rev_cents(spark, sf_dir)
+    d = daily.select(
+        "day",
+        (
+            F.col("rev_cents")
+            - F.lag("rev_cents").over(Window.orderBy("day"))
+        ).alias("d"),
+    ).where(F.col("d").isNotNull())
+    w = Window.orderBy("day").rowsBetween(-(_RSI_WIN - 1), 0)
+    gl = d.select(
+        F.sum(F.greatest(F.col("d"), F.lit(0))).over(w).alias("g"),
+        F.sum(F.greatest(-F.col("d"), F.lit(0))).over(w).alias("l"),
+        F.count("d").over(w).alias("nwin"),
+    ).where(F.col("nwin") == _RSI_WIN)
+    return gl.agg(
+        F.count("*").alias("n_days"),
+        F.count(F.when(3 * F.col("g") > 7 * F.col("l"), 1)).alias(
+            "n_overbought"
+        ),
+        F.count(F.when(7 * F.col("g") < 3 * F.col("l"), 1)).alias("n_oversold"),
+        F.count(F.when(F.col("g") + F.col("l") == 0, 1)).alias("n_flat"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("g") + F.col("l") > 0,
+                    100.0 * F.col("g") / (F.col("g") + F.col("l")),
+                )
+            ),
+            6,
+        ).alias("avg_rsi"),
+    )
+
+
 @register(
     "theil_index_spend",
     oracle="""
