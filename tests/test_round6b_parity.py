@@ -26,8 +26,9 @@ PARITY_QUERIES = [
     "json_struct_roundtrip",
     "csv_line_roundtrip",
     "parse_url_events",
-    # similarity
+    # similarity / dedup gates
     "ann_hard_negatives",
+    "lsh_dedup_recall_gate",
 ]
 
 
@@ -193,6 +194,22 @@ def test_hard_negatives_never_share_query_label(spark):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         cos = [r.cos for r in rs]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_dedup_recall_gate_bounds(spark):
+    """The gate's counts must be consistent: caught ⊆ truth, recall in
+    [0, 1], and recall exactly floor(caught/true·1e6+0.5)/1e6."""
+    from tests.conftest import SF_DIR
+    from velox_hadoop_spark.plans import registry
+
+    row = registry.queries()["lsh_dedup_recall_gate"](spark, SF_DIR).first()
+    assert 0 <= row.n_caught <= row.n_true
+    if row.n_true:
+        import math
+
+        assert row.recall == math.floor(
+            row.n_caught / row.n_true * 1e6 + 0.5
+        ) / 1e6
 
 
 def test_acf_constant_series_is_null(spark, tmp_path):

@@ -613,6 +613,104 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingle_set(docs, "doc_id", "text"), "doc_id")
 
 
+_DEDUP_RECALL_T = 0.5
+
+
+@register(
+    "lsh_dedup_recall_gate",
+    oracle=_duck_minhash_cte()
+    + f""",
+        bands AS ({_BAND_KEYS}),
+        coolb AS (
+            SELECT band_id, band_key FROM bands
+            GROUP BY band_id, band_key
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        capped AS (
+            SELECT bands.* FROM bands JOIN coolb USING (band_id, band_key)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a JOIN capped b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        cools AS (
+            SELECT shingle FROM sh
+            GROUP BY shingle HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        shc AS (SELECT sh.* FROM sh JOIN cools USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM shc a JOIN shc b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON i.id_a = sa.doc_id
+            JOIN sizes sb ON i.id_b = sb.doc_id
+            WHERE ROUND(i.n_shared / (sa.n + sb.n - i.n_shared), 6)
+                  >= {_DEDUP_RECALL_T}
+        )
+        SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+               CAST((SELECT count(*) FROM truth t
+                     JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                   AS BIGINT) AS n_caught,
+               FLOOR((SELECT count(*) FROM truth t
+                      JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                     / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS recall
+    """,
+    tags=("dedup", "minhash", "lsh", "quality-gate", "extension"),
+)
+def q_lsh_dedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate stage against the true
+    Jaccard ≥ 0.5 pair set — the dedup counterpart of the ANN recall
+    gates: before bands replace the exact shingle join in a pipeline,
+    this measures what fraction of real near-dup pairs they surface
+    (theory for 4 bands × 2 rows at J = 0.5: 1 − (1 − J²)⁴ ≈ 0.68;
+    this gate reports the corpus's actual number).
+
+    Truth comes from the capped exact-Jaccard join (the
+    ``ngram_jaccard_pairs`` kernel — at audit scale you bound the truth
+    side exactly as the production join is bounded, so recall is
+    measured against the pair universe dedup actually operates on);
+    the membership threshold rides the ROUND-ed exact integer ratio,
+    identical IEEE math in both engines. The truth frame is persisted:
+    the count and the semi-join both read it, and unpersisted the
+    whole shingle self-join would execute twice. Recall is the ANN
+    gates' integer-count ratio, floor-rounded at 6 dp."""
+    docs = _docs_par(spark, sf_dir)
+    truth = (
+        jaccard_pairs(shingle_set(docs, "doc_id", "text"), "doc_id")
+        .where(F.col("jaccard") >= _DEDUP_RECALL_T)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    cand = lsh_candidate_pairs(
+        lsh_bands(minhash_signature_inline(docs, "doc_id", "text"), "doc_id"),
+        "doc_id",
+    )
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    stats = truth.agg(F.count("*").alias("n_true"))
+    # nc is one row (a global count); AQE broadcasts it unhinted
+    nc = caught.agg(F.count("*").alias("n_caught"))
+    return stats.crossJoin(nc).select(
+        "n_true",
+        "n_caught",
+        (
+            F.floor(
+                F.col("n_caught") / F.col("n_true").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("recall"),
+    )
+
+
 _PREFIX_JACCARD_T = 0.8
 
 
