@@ -212,6 +212,39 @@ def test_dedup_recall_gate_bounds(spark):
         ) / 1e6
 
 
+def test_mann_whitney_single_group_z_is_null(spark, tmp_path):
+    """With only URGENT rows in the window, n2 = 0: U statistics are
+    NULL-propagated and z must be NULL (σ_U = 0) — under ANSI mode an
+    unguarded division would raise DIVIDE_BY_ZERO instead."""
+    day = datetime.datetime(1995, 2, 1)
+    rows = [(i, 1, "O", 10.0 * (i + 1), day, "1-URGENT") for i in range(4)]
+    d = _write_orders(spark, tmp_path, rows)
+    from velox_hadoop_spark.plans import registry
+
+    row = registry.queries()["mann_whitney_u"](spark, d).first()
+    assert (row.n1, row.n2) == (4, 0)
+    assert row.z is None
+
+
+def test_dedup_recall_gate_empty_truth_is_null(spark, tmp_path):
+    """A corpus with no Jaccard >= 0.5 pair (all-distinct texts) must
+    report (0, 0, NULL), not crash on the zero division."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "a", 30),
+            (2, "one two three four five six", "en", "a", 25),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+    from velox_hadoop_spark.plans import registry
+
+    row = registry.queries()["lsh_dedup_recall_gate"](spark, d).first()
+    assert (row.n_true, row.n_caught) == (0, 0)
+    assert row.recall is None
+
+
 def test_acf_constant_series_is_null(spark, tmp_path):
     """corr against a zero-variance lag is NULL in both engines — the
     degenerate series must yield NULL acf, not crash or fake a 1.0."""

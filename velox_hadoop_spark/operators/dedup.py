@@ -701,12 +701,16 @@ def q_lsh_dedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(nc).select(
         "n_true",
         "n_caught",
-        (
+        # n_true = 0 (a clean corpus — the case the gate certifies) must
+        # report NULL recall like the oracle, not DIVIDE_BY_ZERO: ANSI
+        # mode raises on double division by zero where DuckDB yields NULL
+        F.when(
+            F.col("n_true") > 0,
             F.floor(
                 F.col("n_caught") / F.col("n_true").cast("double") * F.lit(1e6)
                 + F.lit(0.5)
             )
-            / F.lit(1e6)
+            / F.lit(1e6),
         ).alias("recall"),
     )
 

@@ -326,12 +326,16 @@ def q_ann_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_queries",
             "n_exact",
             "n_hits",
-            (
+            # NULL recall on an empty exact baseline, like the oracle —
+            # ANSI double division by zero raises (same guard as
+            # _recall_vs_exact / lsh_dedup_recall_gate)
+            F.when(
+                F.col("n_exact") > 0,
                 F.floor(
                     F.col("n_hits") / F.col("n_exact").cast("double") * F.lit(1e6)
                     + F.lit(0.5)
                 )
-                / F.lit(1e6)
+                / F.lit(1e6),
             ).alias("recall"),
         )
         out = row if out is None else out.unionByName(row)

@@ -1189,12 +1189,16 @@ def _recall_vs_exact(emb, sample, cand):
         "n_queries",
         "n_exact",
         "n_hits",
-        (
+        # empty exact baseline (empty/all-degenerate corpus) must report
+        # NULL recall like the oracle — ANSI double division by zero
+        # raises where DuckDB yields NULL
+        F.when(
+            F.col("n_exact") > 0,
             F.floor(
                 F.col("n_hits") / F.col("n_exact").cast("double") * F.lit(1e6)
                 + F.lit(0.5)
             )
-            / F.lit(1e6)
+            / F.lit(1e6),
         ).alias("recall"),
     )
 

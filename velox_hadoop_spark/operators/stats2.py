@@ -15,9 +15,12 @@ Determinism rules (same as the rest of the repo):
   * ratio statistics (rho, F, acf, theil, z) are display-rounded at
     6 dp in BOTH engines — the accepted ROUND(aggregate-of-double)
     class; no membership predicate rides a raw double.
-  * rank windows run over a bounded slice: the Spearman / Mann-Whitney
-    inputs are calendar-month-filtered (a bounded row count at any SF
-    — the same contract as the interval-join per-key bound), and the
+  * rank statistics never sort the ROW set: average ranks come from
+    the distinct-VALUE frame (count per value → prefix sum → avg rank,
+    joined back to rows), so the one ordered window runs over the
+    value domain — bounded by the generator's price/quantity domains,
+    not by SF. The date filters on the Spearman / Mann-Whitney inputs
+    are semantic (a month's snapshot), not the scale mechanism. The
     series statistics run over the per-DAY aggregate, whose length is
     calendar-bounded (~2.4k rows regardless of SF).
 """
@@ -84,13 +87,40 @@ _DUCK_DAILY = """
     )
 """
 
-# Bounded input slice for the rank-window tests: one ship/order month.
-# A rank window needs a total order over its partition; filtering to a
-# calendar month first bounds the per-partition row count at any SF
-# (the unbounded-input alternative is the distinct-value prefix-sum
-# rank, domain-bounded rather than row-bounded).
+# Semantic input slices for the rank tests (one ship month / one order
+# half-year): they pick WHICH snapshot is tested, not how it scales —
+# a calendar slice of TPC-H still grows linearly with SF, which is why
+# the rank machinery below is domain-bounded, not slice-bounded.
 _SPEAR_LO, _SPEAR_HI = "1995-03-01", "1995-04-01"
 _MW_LO, _MW_HI = "1995-01-01", "1995-07-01"
+
+
+def avg_rank_map(df: DataFrame, part_cols: list[str], val_col: str) -> DataFrame:
+    """Average pooled rank per DISTINCT value — the scale-safe rank
+    kernel of the Spearman / Mann-Whitney statistics.
+
+    ``rank() + (|ties|−1)/2`` over the row set needs a total order over
+    every row of the partition — a single-task sort that grows with SF.
+    The identical average ranks come from the distinct-value frame:
+    count per value, ordered prefix sum, ``avg_rank = cum_before +
+    (n+1)/2`` (min-rank is ``cum_before + 1``; the tie block's average
+    adds ``(n−1)/2``). The one ordered window here runs over DISTINCT
+    values, bounded by the column's generator domain (quantity: 50
+    values; prices: the fixed cent range), not by the corpus; rows then
+    re-acquire their rank by a plain value equi-join. Ranks are exact
+    multiples of 0.5 at any size (int prefix + half)."""
+    vals = df.groupBy(*part_cols, val_col).agg(F.count("*").alias("_n"))
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("_n").over(w), F.lit(0))
+    return vals.select(
+        *part_cols,
+        val_col,
+        (cum_before + (F.col("_n") + 1) / 2.0).alias("avg_rank"),
+    )
 
 
 @register(
@@ -120,12 +150,14 @@ def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of quantity vs extended price per
     return flag, over one ship month.
 
-    Average ranks for ties, the textbook definition: min-rank from
-    ``rank()`` plus ``(|ties| − 1)/2`` from a per-value count window —
-    both windows hash-partition by flag; the month filter bounds the
-    per-flag sort (see module docstring). Rank values are exact
+    Average ranks for ties, the textbook definition, computed by the
+    domain-bounded ``avg_rank_map`` kernel (the oracle's row-level
+    ``rank() + (|ties|−1)/2`` windows express the same ranks — a
+    row-sort is fine in a single-node reference, not in the
+    distributed plan); rows re-acquire their two ranks by per-flag
+    value joins, no row-ordered window anywhere. Rank values are exact
     multiples of 0.5, so the only float aggregate is the final
-    ``corr``, display-rounded at 6 dp in both engines."""
+    correlation, display-rounded at 6 dp in both engines."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit(_SPEAR_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(_SPEAR_HI).cast("timestamp"))
@@ -135,14 +167,11 @@ def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("a"),
         F.col("l_extendedprice").alias("b"),
     )
-    ra = F.rank().over(Window.partitionBy("flag").orderBy("a")) + (
-        F.count("*").over(Window.partitionBy("flag", "a")) - 1
-    ) / 2.0
-    rb = F.rank().over(Window.partitionBy("flag").orderBy("b")) + (
-        F.count("*").over(Window.partitionBy("flag", "b")) - 1
-    ) / 2.0
+    ra = avg_rank_map(x, ["flag"], "a").withColumnRenamed("avg_rank", "ra")
+    rb = avg_rank_map(x, ["flag"], "b").withColumnRenamed("avg_rank", "rb")
     return (
-        x.select("flag", ra.alias("ra"), rb.alias("rb"))
+        x.join(ra, ["flag", "a"])
+        .join(rb, ["flag", "b"])
         .groupBy("flag")
         .agg(
             F.count("*").alias("n"),
@@ -645,11 +674,17 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test: do URGENT orders run larger than
     LOW orders (first half of 1995)?
 
-    Average ranks over the pooled sample (same tie rule as
-    ``spearman_rank_corr``); the rank sum R₁ is an exact multiple of
-    0.5 so U₁/U₂ are exact, and the normal-approximation z (no tie
-    correction — documented) is the only display-rounded double. The
-    date filter bounds the pooled rank window (module docstring)."""
+    Average pooled ranks via the distinct-value form: per distinct
+    cent value, (total count, group-1 count) in one groupBy, the
+    domain-bounded prefix sum gives the value's average rank, and
+    R₁ = Σ n1(v)·avg_rank(v) — algebraically identical to summing each
+    group-1 row's rank (a tie block's ranks sum to count × average),
+    which is what the oracle's row-level window computes. R₁ is an
+    exact multiple of 0.5 so U₁/U₂ are exact; the normal-approximation
+    z (no tie correction — documented) is the only display-rounded
+    double, and it is NULL when either group is empty (σ_U = 0 —
+    guarded: ANSI raises on the zero division where DuckDB yields
+    NULL)."""
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
         & (F.col("o_orderdate") >= F.lit(_MW_LO).cast("timestamp"))
@@ -661,14 +696,22 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("g1"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
     )
-    ar = F.rank().over(Window.orderBy("v")) + (
-        F.count("*").over(Window.partitionBy("v")) - 1
-    ) / 2.0
-    r = x.select("g1", ar.alias("ar"))
-    agg = r.agg(
-        F.sum("g1").cast("long").alias("n1"),
-        (F.count("*") - F.sum("g1")).cast("long").alias("n2"),
-        F.sum(F.when(F.col("g1") == 1, F.col("ar")).otherwise(0.0)).alias("r1"),
+    vals = x.groupBy("v").agg(
+        F.count("*").alias("_n"), F.sum("g1").alias("_n1")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "_n",
+        "_n1",
+        (
+            F.coalesce(F.sum("_n").over(w), F.lit(0))
+            + (F.col("_n") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = ranked.agg(
+        F.sum("_n1").cast("long").alias("n1"),
+        (F.sum("_n") - F.sum("_n1")).cast("long").alias("n2"),
+        F.sum(F.col("_n1") * F.col("avg_rank")).alias("r1"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     return agg.select(
@@ -676,14 +719,17 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         u1.alias("u1"),
         (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
-        F.round(
-            (u1 - F.col("n1").cast("double") * F.col("n2") / 2)
-            / F.sqrt(
-                F.col("n1").cast("double")
-                * F.col("n2")
-                * (F.col("n1") + F.col("n2") + 1)
-                / 12.0
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.round(
+                (u1 - F.col("n1").cast("double") * F.col("n2") / 2)
+                / F.sqrt(
+                    F.col("n1").cast("double")
+                    * F.col("n2")
+                    * (F.col("n1") + F.col("n2") + 1)
+                    / 12.0
+                ),
+                6,
             ),
-            6,
         ).alias("z"),
     )
