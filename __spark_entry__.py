@@ -42,37 +42,23 @@ def _verified_names() -> set[str]:
 
 
 # Front-of-queue rows within the never-verified group (entries already
-# driver-green are skipped automatically). Round 6: the r3/r5 backlogs
-# are fully burned down — only the two round-5 stragglers
-# (cumulative_distinct_users, interval_overlap_pairs) have never had a
-# driver row; boosting them ahead of the rows-only approx_* rows (which
-# re-sample every round by contract) guarantees they land in the
-# driver's budget first.
-_BOOST = (
-    "cumulative_distinct_users",
-    "interval_overlap_pairs",
-)
+# driver-green are skipped automatically). Round 7: empty — every r6
+# boost name came back green in CORRECTNESS_r06, so the 20
+# never-driver-sampled round-6 registrations (stats2/semistruct/llmops3
+# tail) head the queue automatically via registration order.
+_BOOST = ()
 
 
 # Driver-green rows whose underlying code or oracle changed AFTER the
 # green row was recorded. They re-enter the verification queue right
 # behind the never-verified boost group so the driver refreshes their
-# evidence. Round 6: skyline_3d_parts (phase-1 persist + O(n·k) global
-# recheck rewrite) and the two de-broadcast queries (plan-only changes,
-# but the kernels were touched) re-queue for fresh evidence.
+# evidence. Round 7: the two ADVICE-fix kernels (AUC NULL-guard, Gini
+# decimal accumulator) and the pagerank convergence-loop rewrite
+# re-queue for fresh evidence; everything else from r6 is current-green.
 _REVERIFY = (
-    "skyline_3d_parts",
-    "tpch_q2_min_cost_supplier",
-    "dangling_fk_audit",
-    "in_subquery_nested_two_level",  # de-broadcast (promo part set)
-    # round-6 review fixes to green r5 queries (ANSI-mode crashes,
-    # oracle parity, vacuous-witness predicate, one-scan funnel):
-    "regexp_extract_all_tokens",
-    "quality_gate_funnel",
-    "embedding_drift_monitor",
-    "ntile_decile_customer_spend",
-    "bitwise_flag_aggregates",
-    "not_exists_parts_never_ordered",
+    "auc_quality_en_classifier",
+    "gini_spend_by_nation",
+    "pagerank_converged",
 )
 
 

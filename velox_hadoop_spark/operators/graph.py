@@ -73,6 +73,16 @@ def pagerank(
     column — the number of propagation passes actually executed — so a
     convergence-controlled run can be hash-checked against the
     fixed-iteration oracle unrolled at that count.
+
+    Scheduling shape (the cost driver at small-to-mid scale): tol mode
+    runs propagation passes in PAIRS — two lazy passes fuse into ONE
+    Spark action, and a single two-column aggregate over the persisted
+    pair frame yields BOTH boundary deltas (the frame threads
+    ``prev_rank``/``prev2`` through the joins). The stopping pass is
+    still the FIRST i with Σ|Δᵢ| < tol — the earlier delta is checked
+    first, and if it already clears tol the pair's second (speculative)
+    pass is discarded by selecting ``prev_rank`` back out of the same
+    persisted frame. Exact same semantics, half the driver actions.
     """
     edges = edges.select(F.col("src"), F.col("dst")).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
@@ -92,62 +102,108 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    damp = float(damping)
+
+    def _propagate(cur: DataFrame, keep_prev2: bool) -> DataFrame:
+        """One lazy pass: (node, rank[, prev_rank]) → (node, rank,
+        prev_rank[, prev2]). The contribution aggregate joins back onto
+        the CURRENT rank frame (which carries every node by
+        construction), so the previous rank rides the propagation join —
+        the Σ|Δ| scalar is a bare aggregate, never a third node-keyed
+        join per pass."""
+        contribs = edges_deg.join(
+            cur.select(F.col("node").alias("src"), "rank"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("contrib"),
+        )
+        summed = contribs.groupBy("node").agg(F.sum("contrib").alias("s"))
+        carry = [F.col("node"), F.col("rank").alias("prev_rank")]
+        out = [
+            F.col("node"),
+            (
+                F.lit(1.0 - damp) + F.lit(damp) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+            F.col("prev_rank"),
+        ]
+        if keep_prev2:
+            carry.append(F.col("prev_rank").alias("prev2"))
+            out.append(F.col("prev2"))
+        return cur.select(*carry).join(summed, "node", "left").select(*out)
+
     ranks = nodes.withColumn("rank", F.lit(1.0))
     prev_persisted = None
     last_ckpt = None  # fixed-iter mode: superseded checkpoint awaiting free
     iters_run = 0
 
-    for i in range(max_iters):
-        contribs = (
-            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("contrib"),
-            )
-        )
-        summed = contribs.groupBy("node").agg(F.sum("contrib").alias("s"))
-        new_ranks = nodes.join(summed, "node", "left").select(
-            "node",
-            (
-                F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        iters_run = i + 1
-        if (i + 1) % checkpoint_every == 0:
-            # cut lineage: without this the plan doubles in depth per pass
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-            if tol is None:
-                # fixed-iter mode has no supersede/release path below, so
-                # free the PREVIOUS checkpoint here (the new eager one no
+    if tol is None:
+        for i in range(max_iters):
+            new_ranks = _propagate(ranks, keep_prev2=False).select("node", "rank")
+            iters_run = i + 1
+            if (i + 1) % checkpoint_every == 0:
+                # cut lineage: without this the plan doubles in depth per pass
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+                # free the PREVIOUS checkpoint (the new eager one no
                 # longer lineage-depends on it); the final checkpoint is
                 # what the caller receives and stays materialized.
                 if last_ckpt is not None:
                     free_local_checkpoint(last_ckpt)
                 last_ckpt = new_ranks
-        if tol is not None:
-            # persist: new_ranks feeds BOTH the delta scalar and the next
-            # iteration — without this the whole pass recomputes twice
-            new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
-            delta = (
-                new_ranks.withColumnRenamed("rank", "new_rank")
-                .join(ranks, "node")
-                .agg(F.sum(F.abs(F.col("new_rank") - F.col("rank"))).alias("d"))
-                .first()["d"]
-            )
+            ranks = new_ranks
+        result = ranks
+    else:
+        i = 0
+        since_ckpt = 0
+        result = None
+        while i < max_iters:
+            f1 = _propagate(ranks, keep_prev2=False)
+            pair = 2 if i + 1 < max_iters else 1
+            frame = _propagate(f1, keep_prev2=True) if pair == 2 else f1
+            since_ckpt += pair
+            if since_ckpt >= checkpoint_every:
+                # cut lineage (plan depth grows two joins per pass otherwise)
+                frame = frame.localCheckpoint(eager=True)
+                since_ckpt = 0
+            # persist: the frame feeds the delta scalar, the possible
+            # result, AND the next pair — without this the whole pair
+            # recomputes once per consumer
+            frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+            if pair == 2:
+                row = frame.agg(
+                    F.sum(F.abs(F.col("prev_rank") - F.col("prev2"))).alias("d1"),
+                    F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d2"),
+                ).first()
+                d1, d2 = row["d1"], row["d2"]
+            else:
+                row = frame.agg(
+                    F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d1")
+                ).first()
+                d1, d2 = row["d1"], None
             if prev_persisted is not None:
                 # release = unpersist + free the checkpoint RDD when the
                 # superseded frame was a localCheckpoint (unpersist alone
                 # leaks it — see functions/lineage.py)
                 release(prev_persisted)
-            prev_persisted = new_ranks
-            ranks = new_ranks
-            if delta is not None and delta < tol:
+            prev_persisted = frame
+            if pair == 2 and d1 is not None and d1 < tol:
+                # converged at the pair's FIRST pass: the second pass was
+                # speculative — recover pass-i ranks from prev_rank out
+                # of the same persisted frame
+                iters_run = i + 1
+                result = frame.select("node", F.col("prev_rank").alias("rank"))
                 break
-        else:
-            ranks = new_ranks
+            iters_run = i + pair
+            ranks = frame
+            last_d = d2 if pair == 2 else d1
+            if last_d is not None and last_d < tol:
+                break
+            i += pair
+        if result is None:
+            result = ranks.select("node", "rank")
+
     if with_iters:
-        return ranks.withColumn("iters", F.lit(iters_run))
-    return ranks
+        return result.withColumn("iters", F.lit(iters_run))
+    return result
 
 
 def _pagerank_oracle(iters: int, damping: float = DAMPING) -> str:

@@ -640,18 +640,24 @@ def q_auc_quality_en_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos_s").alias("n_pos"),
         F.sum(F.col("n_s") - F.col("n_pos_s")).alias("n_neg"),
     )
+    # Degenerate corpus (all-positive or all-negative): AUC is
+    # undefined — report NULL like the DuckDB oracle instead of letting
+    # ANSI mode raise DIVIDE_BY_ZERO.
     return agg.select(
         "n_pos",
         "n_neg",
-        F.round(
-            (
-                F.col("two_rank_sum").cast("double") / 2.0
-                - F.col("n_pos").cast("double")
-                * (F.col("n_pos").cast("double") + 1.0)
-                / 2.0
-            )
-            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
-            6,
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (
+                    F.col("two_rank_sum").cast("double") / 2.0
+                    - F.col("n_pos").cast("double")
+                    * (F.col("n_pos").cast("double") + 1.0)
+                    / 2.0
+                )
+                / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+                6,
+            ),
         ).alias("auc"),
     )
 
@@ -728,11 +734,11 @@ def q_event_entropy_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_nationkey,
                    count(*) AS n,
                    CAST(sum(cents) AS BIGINT) AS total,
-                   CAST(sum(i * cents) AS BIGINT) AS isum
+                   sum(CAST(i AS HUGEINT) * cents) AS isum
             FROM ranked GROUP BY c_nationkey
         )
         SELECT c_nationkey, n,
-               round(2.0 * isum / (n * CAST(total AS DOUBLE))
+               round(2.0 * CAST(isum AS DOUBLE) / (n * CAST(total AS DOUBLE))
                      - (n + 1.0) / n, 6) AS gini
         FROM agg WHERE total > 0
     """,
@@ -742,8 +748,11 @@ def q_gini_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend within each nation (among
     ordering customers), from the sorted-rank identity
     G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. Spend is exact cents, the rank
-    order is totalized by custkey, and Σ(i·x) is an exact BIGINT — the
-    one double division happens on exact integers."""
+    order is totalized by custkey, and Σ(i·x) accumulates in
+    decimal(38,0) (DuckDB side in HUGEINT) — i·cents would overflow
+    int64 around ~3.5e5 customers per nation (≈ sf60); the decimal
+    accumulator is exact to any realistic SF, and the one double
+    division happens on exact integers."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     spend = (
@@ -758,13 +767,17 @@ def q_gini_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("c_nationkey").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("total"),
-        F.sum(F.col("i") * F.col("cents")).alias("isum"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("isum"),
     )
     return agg.where(F.col("total") > 0).select(
         "c_nationkey",
         "n",
         F.round(
-            2.0 * F.col("isum") / (F.col("n") * F.col("total").cast("double"))
+            2.0
+            * F.col("isum").cast("double")
+            / (F.col("n") * F.col("total").cast("double"))
             - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),
@@ -1151,9 +1164,11 @@ def _attach_oracles() -> None:
             FROM ranked
         )
         SELECT n_pos, n_neg,
-               round((CAST(two_rank_sum AS DOUBLE) / 2.0
-                      - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
-                     / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   round((CAST(two_rank_sum AS DOUBLE) / 2.0
+                          - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                         / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+               END AS auc
         FROM agg
     """
     late = {
