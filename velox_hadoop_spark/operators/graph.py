@@ -649,3 +649,138 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = top_k(scored, 20, F.desc("j"), F.asc("s1"), F.asc("s2"))
     return ranked.select("s1", "s2", "n_common", F.round("j", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical containment walk (BOM-style rollup)
+# ---------------------------------------------------------------------------
+
+
+def containment_walk(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 12,
+) -> DataFrame:
+    """Resolve each node's ROOT ancestor and depth over a parent
+    forest — the iterative-driver-loop counterpart of ``bfs_levels``
+    (reference semantics: the PageRank.java:65-82 driver-controlled
+    loop, applied to hierarchy resolution instead of rank flow).
+
+    ``nodes``: (node); ``edges``: (child, parent) with at most one
+    parent per child (a forest). Each pass advances every unsettled
+    pointer one level via ONE equi-join (anc = child) and pulls a
+    single scalar (how many pointers moved); node frames never reach
+    the driver. Passes are bounded by the forest height — for the
+    digit-prefix hierarchy registered below that is ≤ len(str(max_key))
+    regardless of SF, so the loop is constant-depth at 100 TB while
+    each pass stays a linear shuffle join. Frames persist across
+    passes with the same release discipline as ``pagerank``.
+    """
+    edges = edges.select("child", "parent").persist(StorageLevel.MEMORY_AND_DISK)
+    cur = nodes.select(
+        F.col("node"),
+        F.col("node").alias("anc"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    prev_persisted = None
+    for _ in range(max_iters):
+        # fresh projection (new expr ids) per pass: joining the SAME
+        # persisted edge Dataset repeatedly otherwise trips Spark's
+        # ambiguous-self-join detection once cur's lineage contains a
+        # previous pass's join with it
+        ed = edges.toDF("__c", "__p")
+        stepped = (
+            cur.join(ed, F.col("anc") == F.col("__c"), "left")
+            .select(
+                F.col("node"),
+                F.coalesce(F.col("__p"), F.col("anc")).alias("anc"),
+                (F.col("depth") + F.col("__p").isNotNull().cast("long")).alias(
+                    "depth"
+                ),
+                F.col("__p").isNotNull().alias("moved"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_moved = stepped.agg(F.count(F.when(F.col("moved"), 1)).alias("m")).first()[
+            "m"
+        ]
+        if prev_persisted is not None:
+            release(prev_persisted)
+        prev_persisted = stepped
+        cur = stepped.select("node", "anc", "depth")
+        if not n_moved:
+            break
+    return cur
+
+
+@register(
+    "bom_rollup_levels",
+    oracle="""
+        WITH RECURSIVE edges AS (
+            SELECT c.p_partkey AS child, p.p_partkey AS parent
+            FROM part c JOIN part p
+              ON p.p_partkey = c.p_partkey // 10 AND p.p_brand = c.p_brand
+            WHERE c.p_partkey >= 10
+        ),
+        walk AS (
+            SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM part
+            UNION ALL
+            SELECT w.node, e.parent, w.depth + 1
+            FROM walk w JOIN edges e ON w.anc = e.child
+        ),
+        tops AS (
+            SELECT node, max(depth) AS depth FROM walk GROUP BY node
+        ),
+        resolved AS (
+            SELECT w.node, w.anc AS root, w.depth
+            FROM walk w JOIN tops t ON w.node = t.node AND w.depth = t.depth
+        )
+        SELECT r.root,
+               count(*) AS n_parts,
+               CAST(max(r.depth) AS BIGINT) AS max_depth,
+               CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                   AS subtree_cents
+        FROM resolved r JOIN part p ON r.node = p.p_partkey
+        GROUP BY r.root
+    """,
+    tags=("graph", "iterative", "hierarchy", "reference:PageRank.java:65-82"),
+)
+def q_bom_rollup_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM-style hierarchical rollup: a part is CONTAINED BY the part
+    whose key is its key ÷ 10 — but only when both share a brand (the
+    data-dependent pruning that makes this a real traversal, not
+    arithmetic). The driver loop resolves every part's root container
+    and depth (containment_walk, one scalar pull per level), then one
+    aggregate rolls subtree size / max depth / retail-price cents up
+    to each root. The oracle is the same forest resolved by a
+    recursive CTE — integer keys and cents, so the fixpoint must match
+    exactly. Forest height ≤ digits(max partkey): the pass count grows
+    with log10 of the key range, not with SF."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    child = part.select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey div 10").alias("pk"),
+        F.col("p_brand").alias("cb"),
+    ).where(F.col("child") >= 10)
+    edges = child.join(
+        part.select(F.col("p_partkey").alias("parent"), F.col("p_brand").alias("pb")),
+        (F.col("pk") == F.col("parent")) & (F.col("cb") == F.col("pb")),
+    ).select("child", "parent")
+    resolved = containment_walk(
+        part.select(F.col("p_partkey").alias("node")), edges
+    )
+    return (
+        resolved.join(
+            part.select(
+                F.col("p_partkey").alias("node"),
+                F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+            ),
+            "node",
+        )
+        .groupBy(F.col("anc").alias("root"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.max("depth").alias("max_depth"),
+            F.sum("cents").alias("subtree_cents"),
+        )
+    )
