@@ -1,0 +1,259 @@
+"""Round-7 parity tests: degenerate-input CROSS-ENGINE sweep.
+
+The r6 verdict's item 5: the NULL-guard bug class (ANSI Spark raises
+DIVIDE_BY_ZERO where DuckDB yields NULL) was found three times in
+round-6 review and twice more by the r6 ADVICE (AUC, Gini). Instead of
+pinning each kernel's Spark behavior alone, this sweep runs the REAL
+contract — registry query vs its DuckDB oracle — on degenerate tables
+(all empty; all-ties; single-day; one-class labels) written to a tmp
+sf dir. Any kernel whose degenerate behavior diverges between engines
+fails here before the driver can find it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from local_gate import _multiset  # noqa: E402
+
+from velox_hadoop_spark.plans import registry
+
+TABLE_SCHEMAS = {
+    "region": "r_regionkey long, r_name string",
+    "nation": "n_nationkey long, n_name string, n_regionkey long",
+    "customer": "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    "supplier": "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    "part": "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    "orders": "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    "lineitem": (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
+    ),
+    "events": "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    "documents": "doc_id long, text string, lang string, source string, n_chars long",
+    "embeddings": "vec_id long, embedding array<float>, label int",
+}
+
+# The r6-continuation statistical tail (never-driver-sampled backlog)
+# plus every round-7 registration with an oracle. Each must hold its
+# engine-parity contract on EMPTY inputs: composed pipelines must
+# degrade to an empty (or all-NULL-aggregate) result identically in
+# both engines, never crash.
+EMPTY_SWEEP = [
+    # stats2 / llmops3 / semistruct backlog
+    "spearman_rank_corr",
+    "anova_f_priority",
+    "acf_daily_revenue",
+    "max_drawdown_daily_revenue",
+    "cusum_changepoint_daily",
+    "theil_index_spend",
+    "mann_whitney_u",
+    "bollinger_breakout_days",
+    "rsi_14_daily",
+    "gini_spend_by_nation",
+    "benford_first_digit_prices",
+    "hapax_rate_by_source",
+    "split_leakage_audit",
+    "embedding_dim_stats",
+    "ks_statistic_order_values",
+    "map_functions_orders",
+    "str_to_map_roundtrip",
+    "json_struct_roundtrip",
+    "csv_line_roundtrip",
+    "parse_url_events",
+    "auc_quality_en_classifier",
+    # round-7 registrations
+    "pivot_multi_agg_status",
+    "array_lambda_breadth",
+    "hypothetical_rank_price",
+    "iso_week_revenue",
+    "status_change_count",
+    "status_set_signature",
+    "null_safe_join_events",
+    "interval_union_coverage",
+    "asof_join_nearest",
+    "pareto_80_20_customers",
+    "weekday_hour_heatmap",
+    "qty_discount_heatmap",
+    "corr_matrix_measures",
+    "rolling_median_7d",
+    "window_peer_avg_exclude_self",
+    "events_session_gap_param",
+    "decile_lift_table",
+    "token_fertility_by_lang",
+    "context_window_budget",
+    "curation_pack_report",
+    "source_lang_mix_entropy",
+    "vocab_growth_curve",
+    "bom_rollup_levels",
+]
+
+
+def _compare(spark, sf_dir: str, name: str) -> None:
+    spec = registry.specs()[name]
+    assert spec.oracle is not None, f"{name} has no oracle"
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()  # private: NEVER repoint the shared fixture views
+    try:
+        for t in TABLE_SCHEMAS:
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(path):
+                # Spark writes a parquet DIRECTORY; glob its part files
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{path}/*.parquet')"
+                )
+        rel = con.sql(spec.oracle)
+        drows = rel.fetchall()
+        dcols = [d[0] for d in rel.description]
+    finally:
+        con.close()
+    s_set, s_cols = _multiset(sdf.columns, srows)
+    d_set, d_cols = _multiset(dcols, drows)
+    assert s_cols == d_cols, f"{name}: cols {s_cols} vs {d_cols}"
+    assert s_set == d_set, (
+        f"{name}: spark={s_set[:3]}({len(s_set)} rows) duck={d_set[:3]}({len(d_set)} rows)"
+    )
+
+
+@pytest.fixture(scope="module")
+def sf_empty(spark, tmp_path_factory):
+    """A complete sf dir where every table exists and is EMPTY."""
+    d = tmp_path_factory.mktemp("sf_empty")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t, schema in TABLE_SCHEMAS.items():
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMPTY_SWEEP)
+def test_empty_inputs_cross_engine(spark, sf_empty, name):
+    _compare(spark, sf_empty, name)
+
+
+@pytest.fixture(scope="module")
+def sf_degenerate(spark, tmp_path_factory):
+    """Small NON-empty degenerate data: all-ties values, a single day,
+    zero variance, one-class labels, singleton groups."""
+    d = tmp_path_factory.mktemp("sf_degenerate")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = {
+        # one day, all order totals identical (zero variance), one customer
+        "orders": [
+            (i, 1, "F", 100.0, "2024-01-02 00:00:00", "1-URGENT") for i in range(1, 6)
+        ],
+        # all quantities tied; zero-variance discount/tax
+        "lineitem": [
+            (i, 1, 1, 1, 10.0, 100.0, 0.05, 0.02, "A", "F", "2024-01-02 00:00:00")
+            for i in range(1, 6)
+        ],
+        # single customer (singleton nation group), one supplier
+        "customer": [(1, "c1", 7, 100.0, "BUILDING")],
+        "supplier": [(1, "s1", 7, 100.0)],
+        "nation": [(7, "GERMANY", 1)],
+        "region": [(1, "EUROPE", )],
+        # parts all below the containment threshold (no BOM edges)
+        "part": [(i, f"p{i}", "Brand#1", "t", 1, 10.0) for i in range(1, 6)],
+        # ONE event (no pairs, no gaps, singleton session)
+        "events": [(1, "2024-01-02 00:00:00", 1, "purchase", 5.0, "{}")],
+        # one-class corpus: every doc is 'en' (AUC n_neg = 0, lift tot_pos = n)
+        "documents": [
+            (i, "the a of and to", "en", "web", 15) for i in range(1, 4)
+        ],
+        "embeddings": [(1, [0.0, 0.0], 0)],
+    }
+    casts = {
+        "orders": "o_orderdate",
+        "lineitem": "l_shipdate",
+        "events": "ts",
+    }
+    from pyspark.sql import functions as F
+
+    for t, schema in TABLE_SCHEMAS.items():
+        df = spark.createDataFrame(
+            rows.get(t, []),
+            schema.replace("timestamp_ntz", "string")
+            if t in casts
+            else schema,
+        )
+        if t in casts:
+            df = df.withColumn(casts[t], F.col(casts[t]).cast("timestamp_ntz"))
+        df.write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+# Kernels whose degenerate contract the r6 round fixed or documented:
+# zero-variance ranks (spearman -> NULL rho), one-group ANOVA, single-
+# day series (ACF/drawdown/CUSUM/bollinger/RSI ramp), all-ties Mann-
+# Whitney, one-class AUC/lift (NULL, the round-7 guards), singleton-
+# group peer average (NULL), single-event islands, all-ties medians.
+DEGENERATE_SWEEP = [
+    "spearman_rank_corr",
+    "anova_f_priority",
+    "acf_daily_revenue",
+    "max_drawdown_daily_revenue",
+    "cusum_changepoint_daily",
+    "theil_index_spend",
+    "mann_whitney_u",
+    "bollinger_breakout_days",
+    "rsi_14_daily",
+    "gini_spend_by_nation",
+    "benford_first_digit_prices",
+    "ks_statistic_order_values",
+    "auc_quality_en_classifier",
+    "hypothetical_rank_price",
+    "corr_matrix_measures",
+    "rolling_median_7d",
+    "window_peer_avg_exclude_self",
+    "interval_union_coverage",
+    "asof_join_nearest",
+    "events_session_gap_param",
+    "decile_lift_table",
+    "token_fertility_by_lang",
+    "pareto_80_20_customers",
+    "bom_rollup_levels",
+]
+
+
+@pytest.mark.parametrize("name", DEGENERATE_SWEEP)
+def test_degenerate_inputs_cross_engine(spark, sf_degenerate, name):
+    _compare(spark, sf_degenerate, name)
+
+
+def test_avg_rank_map_window_runs_over_distinct_value_domain(spark):
+    """The r6 verdict's watch item 3a, made a measured assertion: the
+    ONE ordered window inside avg_rank_map must consume the DISTINCT
+    (partition, value) frame — its input row count equals the distinct
+    cardinality, never the row count — so the per-partition sort is
+    value-domain-bounded. A duplicated-heavy frame (1000 rows, 10
+    distinct values × 2 partitions) must enter the window as exactly 20
+    rows, and the pooled average ranks must equal the textbook
+    tie-averaged ranks over the full row set."""
+    from velox_hadoop_spark.operators.stats2 import avg_rank_map
+
+    rows = [("p%d" % (i % 2), float((i // 2) % 10)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    ranks = avg_rank_map(df, ["part"], "v")
+    out = ranks.collect()
+    # window input == distinct domain (20 rows), not the 1000-row set
+    assert len(out) == 20
+    # textbook check: each partition has 500 rows, 10 values x 50 ties;
+    # value k occupies rows [50k+1 .. 50k+50] -> avg rank 50k + 25.5
+    got = {(r.part, r.v): r.avg_rank for r in out}
+    for p in ("p0", "p1"):
+        for k in range(10):
+            assert got[(p, float(k))] == 50 * k + 25.5
+    # and the physical plan's window node sees the aggregated frame:
+    # the Window operator sits ABOVE the HashAggregate, so the sort it
+    # implies is over aggregate output (distinct values), not the scan
+    plan = ranks._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("Window") < plan.index("Aggregate")

@@ -1035,8 +1035,10 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM v
         )
         SELECT t.no_tot AS n_open, t.nf_tot AS n_finished,
-               round(CAST(max(abs(c.co * t.nf_tot - c.cf * t.no_tot)) AS DOUBLE)
-                     / (t.no_tot * CAST(t.nf_tot AS DOUBLE)), 6) AS ks_stat
+               CASE WHEN t.no_tot > 0 AND t.nf_tot > 0 THEN
+                   round(CAST(max(abs(c.co * t.nf_tot - c.cf * t.no_tot)) AS DOUBLE)
+                         / (t.no_tot * CAST(t.nf_tot AS DOUBLE)), 6)
+               END AS ks_stat
         FROM cum c CROSS JOIN tot t
         GROUP BY t.no_tot, t.nf_tot
     """,
@@ -1098,10 +1100,16 @@ def q_ks_statistic_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("no_tot").alias("n_open"),
             F.col("nf_tot").alias("n_finished"),
-            F.round(
-                F.col("max_diff").cast("double")
-                / (F.col("no_tot") * F.col("nf_tot").cast("double")),
-                6,
+            # one-class input (no 'O' or no 'F' orders): the KS
+            # statistic is undefined — NULL like the oracle, not an
+            # ANSI DIVIDE_BY_ZERO (same guard class as AUC / lift)
+            F.when(
+                (F.col("no_tot") > 0) & (F.col("nf_tot") > 0),
+                F.round(
+                    F.col("max_diff").cast("double")
+                    / (F.col("no_tot") * F.col("nf_tot").cast("double")),
+                    6,
+                ),
             ).alias("ks_stat"),
         )
     )

@@ -198,19 +198,20 @@ def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(count(*) AS BIGINT) AS k,
                    sum(s) AS total
             FROM g
+        ),
+        parts AS (
+            SELECT sum(n * power(CAST(s AS DOUBLE) / n
+                                 - CAST(total AS DOUBLE) / big_n, 2)) AS ssb,
+                   sum(CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * s / n) AS ssw
+            FROM g, t
         )
         SELECT big_n AS n_rows, k AS n_groups,
                CAST(big_n - k AS BIGINT) AS df_within,
-               round(
-                   ((SELECT sum(n * power(CAST(s AS DOUBLE) / n
-                                          - CAST(total AS DOUBLE) / big_n, 2))
-                     FROM g, t) / (k - 1))
-                   /
-                   ((SELECT sum(CAST(ss AS DOUBLE)
-                                - CAST(s AS DOUBLE) * s / n)
-                     FROM g) / (big_n - k)),
-                   6) AS f_stat
-        FROM t
+               CASE WHEN k > 1 AND big_n > k AND ssw > 0 THEN
+                   round((ssb / (k - 1)) / (ssw / (big_n - k)), 6)
+               END AS f_stat
+        FROM t CROSS JOIN parts
     """,
     tags=("stats", "anova", "extension"),
 )
@@ -247,9 +248,6 @@ def q_anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcasts a 1-row side unconditionally (lint_plans rule)
     joined = g.crossJoin(t)
     parts = joined.agg(
-        F.first("big_n").alias("n_rows"),
-        F.first("k").alias("n_groups"),
-        (F.first("big_n") - F.first("k")).alias("df_within"),
         F.sum(
             F.col("n")
             * F.pow(
@@ -263,14 +261,23 @@ def q_anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("s").cast("double") * F.col("s") / F.col("n")
         ).alias("ssw"),
     )
-    return parts.select(
-        "n_rows",
-        "n_groups",
-        "df_within",
-        F.round(
-            (F.col("ssb") / (F.col("n_groups") - 1))
-            / (F.col("ssw") / (F.col("n_rows") - F.col("n_groups"))),
-            6,
+    # Final row comes from t (the totals frame), NOT from an aggregate
+    # over the possibly-EMPTY joined frame: on an empty input DuckDB's
+    # `SELECT ... FROM t` still sees k = 0 where a first()-over-empty
+    # would yield NULL. F is guarded NULL when it is undefined: fewer
+    # than two groups, no within degrees of freedom, or zero
+    # within-group variance — identical CASE in the oracle.
+    return t.crossJoin(parts).select(
+        F.col("big_n").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        (F.col("big_n") - F.col("k")).alias("df_within"),
+        F.when(
+            (F.col("k") > 1) & (F.col("big_n") > F.col("k")) & (F.col("ssw") > 0),
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("big_n") - F.col("k"))),
+                6,
+            ),
         ).alias("f_stat"),
     )
 
