@@ -24,7 +24,12 @@ minimums into WARM_TIMINGS.json (keyed by query, with the run list for
 provenance). BENCH_TIMINGS.json stays strictly the one-pass sweep;
 WARM_TIMINGS.json is the isolated min-of-3 record a judge can diff
 warm-vs-warm across rounds. With no names, --save re-times the 15
-slowest sweep entries from BENCH_TIMINGS.json.
+slowest sweep entries from BENCH_TIMINGS.json — but note that a
+MULTI-query session contaminates later entries (memory pressure +
+persisted state from earlier queries inflated ann_recall_budget_curve
+3.9 → 11.1s in round 7's batch run): the gold-standard number is one
+``--retime --save <name>`` invocation per query, each in a fresh
+process; use the batch mode only for a quick first pass.
 """
 
 from __future__ import annotations
@@ -76,11 +81,20 @@ def retime(names: list[str], runs: int = 3, save: bool = False) -> None:
         print(f"{name}: min {out[name]}s of {all_samples[name]}", file=sys.stderr)
     if save:
         path = os.path.join(repo_dir, "WARM_TIMINGS.json")
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         try:
             with open(path) as f:
                 record = json.load(f)
         except (OSError, ValueError):
-            record = {"note": "isolated warm min-of-N per query (bench.py --retime --save); BENCH_TIMINGS.json is the separate one-pass sweep", "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1], "queries": {}}
+            record = {}
+        # a record from a DIFFERENT scale factor is not comparable —
+        # start fresh rather than silently mixing regimes under one label
+        if record.get("sf") != sf or not isinstance(record.get("queries"), dict):
+            record = {
+                "note": "isolated warm min-of-N per query (bench.py --retime --save); BENCH_TIMINGS.json is the separate one-pass sweep",
+                "sf": sf,
+                "queries": {},
+            }
         for name in out:
             record["queries"][name] = {"warm_min_sec": out[name], "runs": all_samples[name]}
         with open(path, "w") as f:

@@ -163,8 +163,16 @@ def sf_degenerate(spark, tmp_path_factory):
         "region": [(1, "EUROPE", )],
         # parts all below the containment threshold (no BOM edges)
         "part": [(i, f"p{i}", "Brand#1", "t", 1, 10.0) for i in range(1, 6)],
-        # ONE event (no pairs, no gaps, singleton session)
-        "events": [(1, "2024-01-02 00:00:00", 1, "purchase", 5.0, "{}")],
+        # SAME-TIMESTAMP ties: a purchase and two clicks at one instant
+        # (the island/as-of tie shape the round-7 review flagged — the
+        # windows must order by (ts, event_id), a total order, for the
+        # engines to agree here), plus one lone later event
+        "events": [
+            (1, "2024-01-02 00:00:00", 1, "purchase", 5.0, "{}"),
+            (2, "2024-01-02 00:00:00", 1, "click", 3.0, "{}"),
+            (3, "2024-01-02 00:00:00", 1, "click", 4.0, "{}"),
+            (4, "2024-01-02 12:00:00", 2, "view", 1.0, "{}"),
+        ],
         # one-class corpus: every doc is 'en' (AUC n_neg = 0, lift tot_pos = n)
         "documents": [
             (i, "the a of and to", "en", "web", 15) for i in range(1, 4)

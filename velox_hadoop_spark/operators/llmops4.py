@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velox_hadoop_spark.operators.contamination import PACK_BUDGET
+from velox_hadoop_spark.operators.llmops2 import _DUCK_FIX4, _fix4
 from velox_hadoop_spark.plans.registry import attach_oracle, register
 
 MIN_CHARS = 200  # quality gate, same constant as pipeline.py
@@ -32,13 +33,6 @@ CTX_BUCKETS = (16, 32, 64, 128, 256)
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def _fix4(c):
-    return F.floor(c * 10000 + 0.5) / 10000
-
-
-_DUCK_FIX4 = "floor(({}) * 10000 + 0.5) / 10000"
 
 
 # ---------------------------------------------------------------------------

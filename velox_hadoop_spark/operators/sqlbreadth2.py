@@ -333,7 +333,7 @@ def q_null_safe_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         flagged AS (
-            SELECT user_id, s, e,
+            SELECT user_id, event_id, s, e,
                    CASE WHEN max(e) OVER (
                             PARTITION BY user_id ORDER BY s, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -348,7 +348,7 @@ def q_null_safe_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         islands AS (
             SELECT user_id, s, e,
                    sum(new_island) OVER (
-                       PARTITION BY user_id ORDER BY s, e
+                       PARTITION BY user_id ORDER BY s, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS island
             FROM flagged
@@ -374,12 +374,11 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     union length is exactly max(end) − min(start) because by
     construction it has no internal gap. Microsecond integers end to
     end; one shuffle on user_id serves both windows and the final
-    aggregates. The flag window is ordered by (s, event_id) — a total
-    order — but the island-sum window orders by (s, e): e is constant
-    given s here (fixed 10-minute width), so same-(s) rows tie; their
-    flags are all 0 except possibly the first in the (s, event_id)
-    order, and a running SUM is order-insensitive within a tie group,
-    so the assignment is still deterministic."""
+    aggregates. BOTH windows order by (s, event_id) — the same total
+    order — because a running ROWS sum is order-sensitive per row
+    within a tie group: under an (s, e)-only order, a same-timestamp
+    row sorted ahead of its group's flag-1 row would join the previous
+    island and overcount coverage."""
     ev = _t(spark, sf_dir, "events")
     iv = ev.select(
         "user_id",
@@ -394,6 +393,7 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(
@@ -405,7 +405,7 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
