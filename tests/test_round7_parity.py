@@ -172,6 +172,9 @@ def sf_degenerate(spark, tmp_path_factory):
             (2, "2024-01-02 00:00:00", 1, "click", 3.0, "{}"),
             (3, "2024-01-02 00:00:00", 1, "click", 4.0, "{}"),
             (4, "2024-01-02 12:00:00", 2, "view", 1.0, "{}"),
+            # a purchase with NO click anywhere for that user: the
+            # nearest-as-of both-sides-NULL path
+            (5, "2024-01-03 00:00:00", 3, "purchase", 2.0, "{}"),
         ],
         # one-class corpus: every doc is 'en' (AUC n_neg = 0, lift tot_pos = n)
         "documents": [
@@ -265,3 +268,73 @@ def test_avg_rank_map_window_runs_over_distinct_value_domain(spark):
     # implies is over aggregate output (distinct values), not the scan
     plan = ranks._jdf.queryExecution().optimizedPlan().toString()
     assert plan.index("Window") < plan.index("Aggregate")
+
+
+# ---------------------------------------------------------------------------
+# Semantic invariants of the round-7 kernels (properties the oracle
+# comparison cannot state: monotonicity, conservation, bounds)
+# ---------------------------------------------------------------------------
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_session_count_monotone_in_gap(spark):
+    """A larger inactivity gap can only MERGE sessions: n_sessions at
+    60 minutes must be <= n_sessions at 15 minutes, with total events
+    conserved."""
+    qs = registry.queries()
+    rows = {r.gap_minutes: r for r in qs["events_session_gap_param"](spark, SF_SMALL).collect()}
+    assert rows[60].n_sessions <= rows[15].n_sessions
+    assert rows[60].n_events == rows[15].n_events
+
+
+def test_decile_lift_gains_reach_one(spark):
+    """Cumulative gain read from the top decile down must be
+    nondecreasing and end at exactly 1.0 (every positive is somewhere),
+    and per-decile docs must sum to the corpus size."""
+    qs = registry.queries()
+    rows = sorted(
+        qs["decile_lift_table"](spark, SF_SMALL).collect(),
+        key=lambda r: -r.decile,
+    )
+    gains = [r.cum_gain_from_top for r in rows]
+    assert gains == sorted(gains)
+    assert abs(gains[-1] - 1.0) < 1e-9
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_interval_union_coverage_bounds(spark):
+    """Union coverage is bounded: at least one interval width (600s),
+    at most n_events * width; island count never exceeds event count."""
+    qs = registry.queries()
+    per_user_events = {}
+    import duckdb
+
+    for uid, n in duckdb.sql(
+        f"SELECT user_id, count(*) FROM '{SF_SMALL}/events.parquet' GROUP BY 1"
+    ).fetchall():
+        per_user_events[uid] = n
+    width = 600_000_000
+    for r in qs["interval_union_coverage"](spark, SF_SMALL).collect():
+        n = per_user_events[r.user_id]
+        assert width <= r.covered_us <= n * width
+        assert 1 <= r.n_islands <= n
+
+
+def test_bom_rollup_conserves_parts(spark):
+    """Every part lands in exactly one subtree: Σ n_parts over roots ==
+    |part|, and depth is bounded by the digit count of the max key."""
+    import duckdb
+
+    qs = registry.queries()
+    rows = qs["bom_rollup_levels"](spark, SF_SMALL).collect()
+    n_parts, max_key = duckdb.sql(
+        f"SELECT count(*), max(p_partkey) FROM '{SF_SMALL}/part.parquet'"
+    ).fetchone()
+    assert sum(r.n_parts for r in rows) == n_parts
+    assert max(r.max_depth for r in rows) <= len(str(max_key))
