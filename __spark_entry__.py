@@ -59,6 +59,14 @@ _REVERIFY = (
     "auc_quality_en_classifier",
     "gini_spend_by_nation",
     "pagerank_converged",
+    # empty-sweep hardening (guards / oracle seed / schema-on-read /
+    # count-form nulls) touched these green kernels:
+    "bfs_levels_from_min_supplier",
+    "funnel_view_click_purchase",
+    "profile_columns_orders",
+    "profile_drift_orders",
+    "partitioned_parquet_prune",
+    "dynamic_partition_prune_join",
 )
 
 

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Full-registry EMPTY-input cross-engine sweep.
+
+Runs EVERY oracled registry query against its DuckDB oracle on a
+directory of all-empty tables. A 100 TB pipeline routinely materializes
+empty frames mid-plan (filters matching nothing, empty partitions, a
+day with no events); this sweep proves each kernel degrades to the SAME
+empty/NULL-aggregate result in both engines instead of crashing or
+diverging. tests/test_round7_parity.py pins a curated subset in CI;
+this script is the per-round full sweep (found 11 divergences on its
+first run: ANOVA/KS/funnel ANSI DIVIDE_BY_ZEROs, a BFS int(None) crash
+and a phantom-seed oracle row, schema-inference failures on empty
+partitioned writes, profile sum-vs-count NULL/0 parity).
+
+    python scripts/empty_sweep.py
+
+Exits non-zero on any divergence outside KNOWN_EMPTY_DIVERGENT.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from local_gate import _multiset  # noqa: E402
+
+from velox_hadoop_spark.plans import registry  # noqa: E402
+from velox_hadoop_spark.session import get_spark  # noqa: E402
+from tests.test_round7_parity import TABLE_SCHEMAS  # noqa: E402
+
+# ENGINE-SEMANTIC divergence, not a kernel bug: on EMPTY input DuckDB
+# (per the standard) emits the grand-total row for the `()` member of
+# GROUPING SETS / ROLLUP / CUBE — the global-aggregate contract — while
+# Spark's Expand+HashAggregate emits zero rows. Aligning would mean
+# grafting a special-case union row onto correct queries; the driver
+# never verifies at empty scale, so the divergence is recorded here
+# instead of papered over.
+KNOWN_EMPTY_DIVERGENT = {
+    "cube_priority_status",
+    "grouping_id_report",
+    "grouping_sets_revenue",
+    "rollup_returnflag_status",
+    "time_rollup_revenue",
+}
+
+
+def main() -> int:
+    spark = get_spark(app_name="empty-sweep", cpus=8, shuffle_partitions=8)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = "/tmp/velox_hadoop_spark_empty_sweep"
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        for t, schema in TABLE_SCHEMAS.items():
+            spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+                f"{d}/{t}.parquet"
+            )
+
+    bad = []
+    n_ok = n_known = 0
+    for name, spec in sorted(registry.specs().items()):
+        if spec.oracle is None:
+            continue
+        if name in KNOWN_EMPTY_DIVERGENT:
+            n_known += 1
+            continue
+        try:
+            sdf = spec.fn(spark, d)
+            srows = [tuple(r) for r in sdf.collect()]
+            con = duckdb.connect()
+            for t in TABLE_SCHEMAS:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{d}/{t}.parquet/*.parquet')"
+                )
+            rel = con.sql(spec.oracle)
+            drows = rel.fetchall()
+            dcols = [dd[0] for dd in rel.description]
+            con.close()
+            s_set, s_cols = _multiset(sdf.columns, srows)
+            d_set, d_cols = _multiset(dcols, drows)
+            if s_cols != d_cols or s_set != d_set:
+                bad.append((name, "mismatch", f"spark n={len(s_set)} duck n={len(d_set)}"))
+            else:
+                n_ok += 1
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, type(e).__name__, str(e).split(chr(10))[0][:160]))
+
+    print(f"{n_ok} ok, {n_known} known-divergent (documented), {len(bad)} BAD")
+    for name, kind, detail in bad:
+        print(f"BAD  {name}: {kind}: {detail}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

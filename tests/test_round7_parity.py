@@ -93,6 +93,15 @@ EMPTY_SWEEP = [
     "source_lang_mix_entropy",
     "vocab_growth_curve",
     "bom_rollup_levels",
+    # fixed by the first full-registry empty sweep (scripts/empty_sweep.py):
+    # ANSI div-zero, int(None) start, phantom oracle seed, empty
+    # partitioned writes, sum-vs-count NULL/0 parity
+    "bfs_levels_from_min_supplier",
+    "funnel_view_click_purchase",
+    "profile_columns_orders",
+    "profile_drift_orders",
+    "partitioned_parquet_prune",
+    "dynamic_partition_prune_join",
 ]
 
 

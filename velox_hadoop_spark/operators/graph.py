@@ -444,7 +444,9 @@ def bfs_levels(
         ),
         start AS (SELECT min(src) AS s FROM (SELECT l_suppkey AS src FROM lineitem)),
         reach(node, lvl) AS (
-            SELECT s, 0 FROM start
+            -- s IS NOT NULL: an EMPTY graph has no start node — without
+            -- the guard the seed row would be a phantom (NULL, 0)
+            SELECT s, 0 FROM start WHERE s IS NOT NULL
             UNION
             -- lvl < 12 bounds the recursion: without it the cycle
             -- start->x->start regenerates every node at lvl+2 forever.
@@ -464,6 +466,14 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the undirected supplier-part graph."""
     edges = _lineitem_edges(spark, sf_dir)
     start = edges.agg(F.min("src").alias("s")).first()["s"]
+    if start is None:
+        # EMPTY graph: no start node exists, so the reachable set is
+        # empty (the oracle's recursive CTE seeds from an empty start
+        # table) — return the typed empty frame instead of crashing on
+        # int(None)
+        return edges.select(
+            F.col("src").alias("node"), F.lit(0).cast("int").alias("lvl")
+        ).where(F.lit(False))
     # max_levels matches the oracle's recursion bound (lvl < 12 emits
     # levels up to 12); require_drained makes a deeper-than-12 graph
     # fail LOUDLY on the Spark side instead of hash-mismatching the

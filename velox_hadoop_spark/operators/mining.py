@@ -777,7 +777,7 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT count(*) FROM c) AS n_clicked_after,
                (SELECT count(*) FROM p) AS n_purchased_after,
                ROUND((SELECT count(*) FROM c) * 1.0
-                     / (SELECT count(*) FROM v), 6) AS click_rate,
+                     / nullif((SELECT count(*) FROM v), 0), 6) AS click_rate,
                ROUND((SELECT count(*) FROM p) * 1.0
                      / nullif((SELECT count(*) FROM c), 0), 6) AS purchase_rate
     """,
@@ -824,7 +824,11 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_viewed",
             "n_clicked_after",
             "n_purchased_after",
-            F.round(F.col("n_clicked_after") / F.col("n_viewed"), 6).alias("click_rate"),
+            # nullif: an empty view stage reports NULL rates like the
+            # oracle, not an ANSI DIVIDE_BY_ZERO (empty-sweep parity)
+            F.round(
+                F.col("n_clicked_after") / F.nullif(F.col("n_viewed"), F.lit(0)), 6
+            ).alias("click_rate"),
             F.round(
                 F.col("n_purchased_after")
                 / F.nullif(F.col("n_clicked_after"), F.lit(0)),

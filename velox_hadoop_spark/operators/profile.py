@@ -61,7 +61,10 @@ def profile_columns(df: DataFrame, cols: tuple[tuple[str, str], ...]) -> DataFra
         parts.append(
             df.select(c).agg(
                 F.lit(c).alias("col_name"),
-                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                # count(when(...)), not sum(cast): count is 0 on an
+                # EMPTY input where sum is NULL — the oracle's
+                # count(CASE ...) is 0 there (empty-sweep parity)
+                F.count(F.when(F.col(c).isNull(), 1)).alias("n_nulls"),
                 F.countDistinct(c).alias("n_distinct"),
                 _minmax_spark(c, kind, "min").alias("min_val"),
                 _minmax_spark(c, kind, "max").alias("max_val"),
@@ -173,7 +176,9 @@ def q_profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             parts.append(
                 frame.select(c).agg(
                     F.lit(c).alias("col_name"),
-                    F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                    # count-form for the same empty-leg parity as
+                    # profile_columns (sum over empty -> NULL, not 0)
+                    F.count(F.when(F.col(c).isNull(), 1)).alias("n_nulls"),
                     F.countDistinct(c).alias("n_distinct"),
                     F.count("*").alias("n_rows"),
                 )

@@ -247,7 +247,11 @@ def q_partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"{tempfile.gettempdir()}/velox_hadoop_spark_part_prune_{tag}"
     write_partitioned_parquet(orders, path, "o_orderpriority")
-    back = spark.read.parquet(path).where(F.col("o_orderpriority") == "1-URGENT")
+    # explicit schema: an EMPTY input writes a dir with no part files,
+    # where schema inference fails — the known schema round-trips it
+    back = spark.read.schema(orders.schema).parquet(path).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
@@ -322,7 +326,9 @@ def q_dynamic_partition_prune_join(spark: SparkSession, sf_dir: str) -> DataFram
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"{tempfile.gettempdir()}/velox_hadoop_spark_part_dpp_{tag}"
     write_partitioned_parquet(orders, path, "o_orderpriority")
-    fact = spark.read.parquet(path)
+    # explicit schema: same empty-input round-trip contract as
+    # partitioned_parquet_prune; partition discovery still prunes
+    fact = spark.read.schema(orders.schema).parquet(path)
     # The dim must carry a real selective Filter for the optimizer's
     # pruning-has-benefit check — a bare 2-row LocalRelation is folded
     # before DPP runs and no pruning subquery gets injected.
