@@ -73,9 +73,13 @@ _REVERIFY = (
 # Queries added in the current round: they go to the BACK of the
 # never-verified group so each new registration extends the burn-down
 # queue instead of displacing older queries out of the driver's
-# per-round verification budget. (Round 5: empty — the r3 backlog is
-# boosted instead, and r5's new registrations fill the remaining
-# budget in registration order.)
+# per-round verification budget. Round 7: empty — registration order
+# already queues the r6 backlog (20) ahead of this round's 23 new
+# names. Budget note: 20 backlog + 23 new + 9 reverify + 2 rows-only
+# = 54 candidates vs ~50 driver slots, so the ~4 newest llmops4
+# registrations are expected to spill to r8's sample; all four are
+# judge-gate green at sf0.01 and covered by the empty/degenerate
+# sweeps in tests/test_round7_parity.py meanwhile.
 _DEFER = ()
 
 
