@@ -347,3 +347,18 @@ def test_bom_rollup_conserves_parts(spark):
     ).fetchone()
     assert sum(r.n_parts for r in rows) == n_parts
     assert max(r.max_depth for r in rows) <= len(str(max_key))
+
+
+def test_containment_walk_bounded_on_cycle(spark):
+    """containment_walk's contract is a FOREST; feeding it a cycle must
+    still terminate at max_iters (pointer keeps orbiting, depth =
+    max_iters) rather than hang — the guard a malformed parent edge
+    list at scale relies on."""
+    from velox_hadoop_spark.operators.graph import containment_walk
+
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+    out = {r.node: r for r in containment_walk(nodes, edges, max_iters=4).collect()}
+    assert out[1].depth == 4 and out[2].depth == 4
+    # even pass count: each pointer returns to its own node
+    assert out[1].anc == 1 and out[2].anc == 2
