@@ -68,6 +68,14 @@ _REVERIFY = (
     "partitioned_parquet_prune",
     "dynamic_partition_prune_join",
 )
+# NOT re-queued (documented budget trade-off): the degenerate-sweep
+# guard fixes to corr_quantity_price / histogram_order_totals /
+# moment_stats_by_flag / regression_functions / pivot_orders_status are
+# guard-only branches that cannot fire on real data (zero-variance /
+# single-status inputs); their sf0.01 gate results were re-verified
+# hash-identical this round (scripts/local_gate.py + the full /verify
+# harness), and re-queueing them would push five never-sampled round-7
+# registrations out of the driver's ~50-slot budget.
 
 
 # Queries added in the current round: they go to the BACK of the

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Full-registry DEGENERATE-input cross-engine sweep.
+
+Companion to scripts/empty_sweep.py: runs every oracled registry query
+against its DuckDB oracle on a tiny but pathological corpus — all-ties
+values (zero variance everywhere), a single calendar day, one-class
+labels, singleton groups, same-timestamp event ties, a clickless
+purchaser. Its first run found 4 ANSI DIVIDE_BY_ZERO crashes (Spark 4's
+`corr` on zero variance, histogram zero bucket width, moment-skewness,
+and `regression_functions`' Pearson r) and one pivot NULL-vs-0 parity
+gap — all fixed with identical guards in both engines.
+
+    python scripts/degenerate_sweep.py
+
+Exits non-zero on any divergence outside KNOWN_DEGENERATE_DIVERGENT.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from local_gate import _multiset  # noqa: E402
+
+from velox_hadoop_spark.plans import registry  # noqa: E402
+from velox_hadoop_spark.session import get_spark  # noqa: E402
+from tests.test_round7_parity import TABLE_SCHEMAS  # noqa: E402
+
+# DOCUMENTED data-dependent contracts, not kernel bugs:
+# - conditional_agg_flags: max_by/min_by ties are engine-arbitrary; the
+#   query's docstring pins the no-ties data contract (o_totalprice
+#   unique per status at every real SF — DuckDB itself returns
+#   different winners run to run on the tied corpus).
+# - pagerank_converged: the oracle is unrolled at the pass count the
+#   REAL data converges in (5 at sf0.001/sf0.01, a documented scale
+#   pin); the degenerate graph converges in 1.
+KNOWN_DEGENERATE_DIVERGENT = {
+    "conditional_agg_flags",
+    "pagerank_converged",
+}
+
+ROWS = {
+    "orders": [
+        (i, 1, "F", 100.0, "2024-01-02 00:00:00", "1-URGENT") for i in range(1, 6)
+    ],
+    "lineitem": [
+        (i, 1, 1, 1, 10.0, 100.0, 0.05, 0.02, "A", "F", "2024-01-02 00:00:00")
+        for i in range(1, 6)
+    ],
+    "customer": [(1, "c1", 7, 100.0, "BUILDING")],
+    "supplier": [(1, "s1", 7, 100.0)],
+    "nation": [(7, "GERMANY", 1)],
+    "region": [(1, "EUROPE",)],
+    "part": [(i, f"p{i}", "Brand#1", "t", 1, 10.0) for i in range(1, 6)],
+    "events": [
+        (1, "2024-01-02 00:00:00", 1, "purchase", 5.0, "{}"),
+        (2, "2024-01-02 00:00:00", 1, "click", 3.0, "{}"),
+        (3, "2024-01-02 00:00:00", 1, "click", 4.0, "{}"),
+        (4, "2024-01-02 12:00:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-03 00:00:00", 3, "purchase", 2.0, "{}"),
+    ],
+    "documents": [(i, "the a of and to", "en", "web", 15) for i in range(1, 4)],
+    "embeddings": [(1, [0.0, 0.0], 0)],
+}
+CASTS = {"orders": "o_orderdate", "lineitem": "l_shipdate", "events": "ts"}
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="degenerate-sweep", cpus=8, shuffle_partitions=8)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = "/tmp/velox_hadoop_spark_degenerate_sweep"
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        for t, schema in TABLE_SCHEMAS.items():
+            df = spark.createDataFrame(
+                ROWS.get(t, []),
+                schema.replace("timestamp_ntz", "string") if t in CASTS else schema,
+            )
+            if t in CASTS:
+                df = df.withColumn(CASTS[t], F.col(CASTS[t]).cast("timestamp_ntz"))
+            df.write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+
+    bad = []
+    n_ok = n_known = 0
+    for name, spec in sorted(registry.specs().items()):
+        if spec.oracle is None:
+            continue
+        if name in KNOWN_DEGENERATE_DIVERGENT:
+            n_known += 1
+            continue
+        try:
+            sdf = spec.fn(spark, d)
+            srows = [tuple(r) for r in sdf.collect()]
+            con = duckdb.connect()
+            for t in TABLE_SCHEMAS:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{d}/{t}.parquet/*.parquet')"
+                )
+            rel = con.sql(spec.oracle)
+            drows = rel.fetchall()
+            dcols = [dd[0] for dd in rel.description]
+            con.close()
+            s_set, s_cols = _multiset(sdf.columns, srows)
+            d_set, d_cols = _multiset(dcols, drows)
+            if s_cols != d_cols or s_set != d_set:
+                bad.append((name, "mismatch", f"spark n={len(s_set)} duck n={len(d_set)}"))
+            else:
+                n_ok += 1
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, type(e).__name__, str(e).split(chr(10))[0][:160]))
+
+    print(f"{n_ok} ok, {n_known} known-divergent (documented), {len(bad)} BAD")
+    for name, kind, detail in bad:
+        print(f"BAD  {name}: {kind}: {detail}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

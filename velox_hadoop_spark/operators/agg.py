@@ -308,7 +308,9 @@ def q_damped_rank_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     "histogram_order_totals",
     oracle="""
         WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-        SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS INTEGER) AS bucket,
+        SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE
+                    least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+               END AS INTEGER) AS bucket,
                count(*) AS n_orders,
                ROUND(min(o_totalprice), 2) AS bucket_min,
                ROUND(max(o_totalprice), 2) AS bucket_max
@@ -330,12 +332,18 @@ def q_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
+    # hi = lo (constant column / single row): zero bucket width — all
+    # rows land in bucket 0 instead of an ANSI DIVIDE_BY_ZERO
     binned = orders.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20)
-            ),
-            F.lit(19),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 20)
+                ),
+                F.lit(19),
+            )
         )
         .cast("int")
         .alias("bucket"),
@@ -364,9 +372,16 @@ def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag — the statistical-profiling aggregates, partial+final
     like any Tungsten agg (each partition keeps (n, Σx, Σy, Σxy, ...)
     moments; only moments merge at the shuffle)."""
+    from velox_hadoop_spark.operators.stats2 import safe_corr
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # safe_corr, not F.corr: Spark 4's ANSI corr THROWS DIVIDE_BY_ZERO
+    # on a zero-variance group where DuckDB returns NULL (degenerate
+    # sweep); the moment form's 1e-12 noise is absorbed by the 6 dp round
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(
+            safe_corr(F.col("l_quantity").cast("double"), F.col("l_extendedprice")), 6
+        ).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
     )
 

@@ -40,9 +40,15 @@ def pivot_status_counts(orders: DataFrame) -> DataFrame:
         .pivot("o_orderstatus", list(ORDER_STATUSES))
         .count()
     )
+    # coalesce: pivot leaves an EMPTY cell NULL where the oracle's
+    # CASE-sum says 0 — on real data every cell is populated, but a
+    # degenerate (single-status) input must still agree cross-engine
     return wide.select(
         "o_orderpriority",
-        *[F.col(s).alias(f"cnt_{s.lower()}") for s in ORDER_STATUSES],
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"cnt_{s.lower()}")
+            for s in ORDER_STATUSES
+        ],
     )
 
 

@@ -596,10 +596,12 @@ def q_string_pad_translate_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, n,
                round(CAST(s1 AS DOUBLE) / n, 6) AS mean_q,
                round(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6) AS var_q,
-               round((CAST(s3 AS DOUBLE) / n
-                      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
-                      + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                     / pow(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5), 6) AS skew_q
+               CASE WHEN n * s2 > s1 * s1 THEN
+                   round((CAST(s3 AS DOUBLE) / n
+                          - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                          + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                         / pow(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5), 6)
+               END AS skew_q
         FROM s
     """,
     tags=("stats", "moments", "extension"),
@@ -629,9 +631,12 @@ def q_moment_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(m1, 6).alias("mean_q"),
         F.round(var, 6).alias("var_q"),
-        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
-            "skew_q"
-        ),
+        # zero variance -> skewness undefined: NULL in both engines via
+        # the EXACT integer predicate n*s2 > s1^2 (never the double var)
+        F.when(
+            F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"),
+            F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6),
+        ).alias("skew_q"),
     )
 
 

@@ -425,6 +425,8 @@ def q_regression_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance and Pearson r — all single-pass partial+final moment
     aggregates (no self-join, no window), bit-compatible with DuckDB's
     regr_* family after rounding."""
+    from velox_hadoop_spark.operators.stats2 import safe_corr
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -433,5 +435,9 @@ def q_regression_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_s"),
         F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_p"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+        # safe_corr: Spark 4 ANSI corr throws on zero variance where
+        # DuckDB (and every regr_* builtin) returns NULL
+        F.round(
+            safe_corr(F.col("l_quantity").cast("double"), F.col("l_extendedprice")), 6
+        ).alias("r"),
     )
