@@ -18,15 +18,17 @@ Re-expresses the reference's PageRank Spark-first:
     convergence (PageRank.java:86) — we always rank the CURRENT frame.
 
 Scale notes: each iteration is two shuffles (join on src, agg on dst).
-Lineage is cut with localCheckpoint every ``checkpoint_every``
-iterations, otherwise the plan tree grows linearly and stage-retry
-cost explodes. Ranks/edges are persisted across iterations; edges are
-re-used, never recomputed.
+Lineage is cut with localCheckpoint — every ``checkpoint_every``
+iterations in fixed-count mode, every pass-pair in tol mode (deep plan
+trees cost superlinear driver-side re-analysis per action even when
+execution is fully cached) — otherwise the plan tree grows linearly
+and both planning and stage-retry cost explode. Edges are persisted
+across iterations, re-used, never recomputed.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -76,29 +78,32 @@ def pagerank(
 
     Scheduling shape (the cost driver at small-to-mid scale): tol mode
     runs propagation passes in PAIRS — two lazy passes fuse into ONE
-    Spark action, and a single two-column aggregate over the persisted
-    pair frame yields BOTH boundary deltas (the frame threads
-    ``prev_rank``/``prev2`` through the joins). The stopping pass is
-    still the FIRST i with Σ|Δᵢ| < tol — the earlier delta is checked
-    first, and if it already clears tol the pair's second (speculative)
-    pass is discarded by selecting ``prev_rank`` back out of the same
-    persisted frame. Exact same semantics, half the driver actions.
+    Spark action, and a single two-column aggregate over the
+    checkpointed pair frame yields BOTH boundary deltas (the frame
+    threads ``prev_rank``/``prev2`` through the joins). The stopping
+    pass is still the FIRST i with Σ|Δᵢ| < tol — the earlier delta is
+    checked first, and if it already clears tol the pair's second
+    (speculative) pass is discarded by selecting ``prev_rank`` back out
+    of the same frame. Exact same semantics, half the driver actions;
+    each pair eagerly localCheckpoints so every action plans over a
+    constant-depth tree (see the in-loop comment for the measurement).
     """
-    edges = edges.select(F.col("src"), F.col("dst")).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # Pre-join degree onto the (static) edge list ONCE — the loop then
-    # does a single join per pass instead of two; the persisted frame
-    # keeps its hash partitioning on src across iterations.
+    # Degree rides a count window over the distinct edge frame: ONE
+    # shuffle (by src) annotates every edge, and the persisted frame
+    # keeps that hash partitioning for the per-pass contribution join.
+    # The former groupBy+join alternative costs a second exchange at
+    # scale — the |V|-row degree side outgrows any broadcast threshold
+    # at 100 TB and falls back to re-shuffling the edge frame — and
+    # locally it double-cached the edge list (pre- and post-degree).
     edges_deg = (
-        edges.join(outdeg, "src")
-        .select("src", "dst", "deg")
+        edges.select(F.col("src"), F.col("dst"))
+        .distinct()
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        edges_deg.select(F.col("src").alias("node"))
+        .union(edges_deg.select(F.col("dst").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -153,21 +158,24 @@ def pagerank(
         result = ranks
     else:
         i = 0
-        since_ckpt = 0
         result = None
         while i < max_iters:
             f1 = _propagate(ranks, keep_prev2=False)
             pair = 2 if i + 1 < max_iters else 1
             frame = _propagate(f1, keep_prev2=True) if pair == 2 else f1
-            since_ckpt += pair
-            if since_ckpt >= checkpoint_every:
-                # cut lineage (plan depth grows two joins per pass otherwise)
-                frame = frame.localCheckpoint(eager=True)
-                since_ckpt = 0
-            # persist: the frame feeds the delta scalar, the possible
-            # result, AND the next pair — without this the whole pair
-            # recomputes once per consumer
-            frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+            # Cut lineage EVERY pair. Measured at sf0.1: with persist-only
+            # frames the per-pair cost climbs 1.9s → 2.0s → 4.3s — cached
+            # EXECUTION is flat but Catalyst/AQE re-analyze the whole
+            # accumulated join tree per action, and that driver-side
+            # planning grows superlinearly in depth. The eager checkpoint
+            # replaces the persist as the pair's single materialization
+            # (blocks land in the executor BlockManager either way; the
+            # delta scalar, the possible result, and the next pair all
+            # scan those blocks), so each action plans over a constant
+            # three-node tree. Durability class is unchanged from the
+            # every-checkpoint_every cadence this replaces — see
+            # functions/lineage.py on the executor-loss trade-off.
+            frame = frame.localCheckpoint(eager=True)
             if pair == 2:
                 row = frame.agg(
                     F.sum(F.abs(F.col("prev_rank") - F.col("prev2"))).alias("d1"),
