@@ -127,6 +127,40 @@ def test_bfs_releases_superseded_visited_snapshots(spark):
     spark.catalog.clearCache()
 
 
+def test_pagerank_tol_result_is_checkpoint_backed(spark):
+    """tol mode must hand back a frame rooted at the final pair's
+    localCheckpoint, not at the accumulated join lineage: constant-depth
+    plans are what keeps per-action Catalyst/AQE re-analysis flat across
+    passes (measured superlinear growth otherwise — see the loop
+    comment in operators/graph.py)."""
+    ranks = pagerank(
+        _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3)]), max_iters=6, tol=1e-9
+    )
+    plan = ranks._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    assert "Join" not in plan
+    spark.catalog.clearCache()
+
+
+def test_pagerank_tol_releases_superseded_pair_checkpoints(spark):
+    """After a tol-mode run, the only persistent entries allowed to
+    remain are the edge frame, the node frame, and the FINAL pair
+    checkpoint — every superseded pair's checkpoint RDD must have been
+    released, or a long convergence run accumulates O(passes) full rank
+    snapshots in executor memory."""
+    from tests.test_mining import _persistent_rdd_ids
+
+    before = _persistent_rdd_ids(spark)
+    # asymmetric graph (not at its fixed point) with a tolerance tight
+    # enough that the loop runs to the max_iters cap: 5 pairs, 4 of
+    # whose checkpoints are superseded and must be freed
+    asym = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1)]
+    ranks = pagerank(_edges(spark, asym), max_iters=10, tol=1e-12)
+    ranks.collect()
+    assert len(_persistent_rdd_ids(spark) - before) <= 3
+    spark.catalog.clearCache()
+
+
 def test_bfs_drained_probe_accepts_exact_cap(spark):
     """max_levels exactly equal to the graph's eccentricity: the result
     is complete, so require_drained must NOT raise — the final-level
