@@ -284,7 +284,7 @@ def test_avg_rank_map_window_runs_over_distinct_value_domain(spark):
 # comparison cannot state: monotonicity, conservation, bounds)
 # ---------------------------------------------------------------------------
 
-SF_SMALL = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR as SF_SMALL  # honors SPARK_GRAFT_TEST_SF_DIR
 
 
 def test_session_count_monotone_in_gap(spark):

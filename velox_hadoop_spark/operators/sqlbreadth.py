@@ -596,7 +596,8 @@ def q_string_pad_translate_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, n,
                round(CAST(s1 AS DOUBLE) / n, 6) AS mean_q,
                round(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6) AS var_q,
-               CASE WHEN n * s2 > s1 * s1 THEN
+               CASE WHEN CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+                         > CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) THEN
                    round((CAST(s3 AS DOUBLE) / n
                           - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
                           + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
@@ -632,9 +633,14 @@ def q_moment_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m1, 6).alias("mean_q"),
         F.round(var, 6).alias("var_q"),
         # zero variance -> skewness undefined: NULL in both engines via
-        # the EXACT integer predicate n*s2 > s1^2 (never the double var)
+        # the EXACT integer predicate n*s2 > s1^2 (never the double var).
+        # The products run in decimal(38,0) / HUGEINT: at sf~40 the 'N'
+        # flag group's s1^2 already exceeds int64 (s1 ~ 25.5n), while
+        # the widened predicate stays exact past 1e17 rows per group
+        # (n*s2 <= 2500*n^2 < 1e38).
         F.when(
-            F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"),
+            F.col("n").cast("decimal(19,0)") * F.col("s2").cast("decimal(19,0)")
+            > F.col("s1").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)"),
             F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6),
         ).alias("skew_q"),
     )
