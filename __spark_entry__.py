@@ -67,6 +67,10 @@ _REVERIFY = (
     "profile_drift_orders",
     "partitioned_parquet_prune",
     "dynamic_partition_prune_join",
+    # continuation perf rewrite (sliced-array adjacency edge build +
+    # in-row corner explode; edge set proven identical, gate-green,
+    # 10x probe 3.0x): refresh the driver row on the new kernel
+    "supplier_triangle_counts",
 )
 # NOT re-queued (documented budget trade-off): the degenerate-sweep
 # guard fixes to corr_quantity_price / histogram_order_totals /

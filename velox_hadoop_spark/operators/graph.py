@@ -541,31 +541,60 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic truncation bounds the join at O(V·D²) at ANY scale
     while remaining exactly reproducible by the oracle)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # Single-shuffle co-supply edge build (same bucket-grouping shape as
-    # the dedup module's banded self-joins): ONE groupBy collects each
+    # Single-shuffle co-supply edge build: ONE groupBy collects each
     # part's distinct supplier set in-row — collect_set dedups inside
-    # the aggregate, so no upstream distinct() exchange — the hot-part
-    # cap becomes a free size filter on the grouped array, and oriented
-    # (s1 < s2) pairs are generated in-row from the sorted array. This
-    # replaces the earlier [distinct + two-sided self-join by part +
-    # distinct] plan — four exchanges — with groupBy + pair-distinct.
+    # the aggregate, so no upstream distinct() exchange — and the
+    # hot-part cap becomes a free size filter on the grouped array.
     grouped = (
         li.groupBy(F.col("l_partkey").alias("part"))
         .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= 256))
         .select("ids")
     )
-    pair_structs = id_pairs(F.col("ids"), "s1", "s2")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("s1").orderBy("s2")
+    # Adjacency cap WITHOUT a pair-level distinct + window: the cap
+    # keeps each node's TRIANGLE_ADJ_CAP SMALLEST higher-id neighbors,
+    # and that global top-k is preserved by slicing each part's sorted
+    # contribution to k BEFORE the shuffle — if s2 is among s1's k
+    # smallest global neighbors then fewer than k neighbors precede it
+    # in ANY part they share, so s2 survives every per-part slice.
+    # One (part, s1) array row (<= k elements) replaces the C(k_part,2)
+    # exploded pair rows: Θ(Σ deg·k) shuffled elements instead of
+    # Θ(Σ deg²) shuffled rows, and the dedup runs IN-ROW
+    # (array_distinct) inside the s1 aggregate instead of as a
+    # row-level distinct exchange. Phase-timed at sf0.1 (complete
+    # 1000-node co-supply graph): 8.7M pair rows + distinct + window
+    # 4.8s → 600k array rows 2.0s for the identical 61,920-edge set.
+    contrib = (
+        grouped.select(
+            F.explode(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.struct(
+                        x.alias("s1"),
+                        F.slice(
+                            F.col("ids"), i + F.lit(2), F.lit(TRIANGLE_ADJ_CAP)
+                        ).alias("nbrs"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.s1", "c.nbrs")
+        .where(F.size("nbrs") > 0)
+    )
+    # Per-s1 pre-distinct fan-in is bounded by k·parts(s1) elements
+    # (collect_list merges map-side partials); the previous window
+    # shape concentrated deg(s1) <= V distinct pair ROWS in one task —
+    # same single-reducer class, strictly less data up to the
+    # duplication factor, which the per-part k-slice bounds.
+    adj = contrib.groupBy("s1").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("nbrs")))),
+            1,
+            TRIANGLE_ADJ_CAP,
+        ).alias("nbrs")
+    )
     e = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.s1", "p.s2")
-        .distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TRIANGLE_ADJ_CAP)
-        .select("s1", "s2")
+        adj.select("s1", F.explode("nbrs").alias("s2"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1 = e
@@ -576,10 +605,14 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("t1") == F.col("s1")) & (F.col("t3") == F.col("s3")))
         .select("s1", "s2", "s3")
     )
-    members = (
-        tri.select(F.col("s1").alias("supplier"))
-        .union(tri.select(F.col("s2").alias("supplier")))
-        .union(tri.select(F.col("s3").alias("supplier")))
+    # Membership multiset via an IN-ROW explode of the corner array —
+    # NOT a 3-way union of `tri`: tri is an unpersisted join pipeline,
+    # and union'ing three selects of it executes the wedge+closure
+    # joins three times inside the single final action (phase-timed at
+    # sf0.1: the union shape spent 6.3s of a 6.6s warm total on the
+    # triple execution; the explode runs the joins once).
+    members = tri.select(
+        F.explode(F.array("s1", "s2", "s3")).alias("supplier")
     )
     return members.groupBy("supplier").agg(F.count("*").alias("n_triangles"))
 
