@@ -179,3 +179,48 @@ def test_bfs_drained_probe_accepts_exact_cap(spark):
     # one level short of the eccentricity must still fail loudly
     with pytest.raises(RuntimeError, match="not drained"):
         bfs_levels(edges, start=1, max_levels=2, require_drained=True).collect()
+
+
+def test_triangle_adjacency_cap_slice_equals_global_topk(spark, tmp_path):
+    """The triangle census caps each node at its TRIANGLE_ADJ_CAP
+    smallest higher-id neighbors by slicing each PART's sorted
+    contribution to the cap BEFORE the shuffle (operators/graph.py).
+    That per-part slice is lossless for the global top-k — if s2 is in
+    s1's global k-smallest, fewer than k neighbors precede it in any
+    shared part — but only a corpus with parts ABOVE the cap exercises
+    the argument; sf0.01/sf0.1 never slice. This corpus does: one
+    150-supplier part (slice drops 85 of supplier 0's neighbors), a
+    high-id part whose contribution is entirely cut by lower-id
+    neighbors elsewhere, and a low-id part that reorders the global
+    top-64. The DuckDB oracle computes the cap with the brute-force
+    row_number window over ALL distinct pairs, so parity here IS the
+    equivalence proof, engine-run."""
+    from tests.test_round7_parity import TABLE_SCHEMAS, _compare
+
+    rows = []
+
+    def part_rows(pk, supps):
+        for i, s in enumerate(supps):
+            rows.append(
+                (
+                    pk * 10_000 + i,  # l_orderkey (unused)
+                    pk,
+                    s,
+                    1,
+                    1.0,
+                    1.0,
+                    0.0,
+                    0.0,
+                    "N",
+                    "O",
+                    None,
+                )
+            )
+
+    part_rows(1, list(range(0, 150)))  # giant part: slice active for low ids
+    part_rows(2, [0, 1] + list(range(200, 260)))  # high ids cut by part 1's 64
+    part_rows(3, [0, 40, 41, 42, 300])  # small part, mixed contribution
+    part_rows(4, list(range(140, 155)))  # overlaps part 1's sliced-out tail
+    df = spark.createDataFrame(rows, TABLE_SCHEMAS["lineitem"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    _compare(spark, str(tmp_path), "supplier_triangle_counts")
