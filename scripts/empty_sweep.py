@@ -19,17 +19,14 @@ Exits non-zero on any divergence outside KNOWN_EMPTY_DIVERGENT.
 
 from __future__ import annotations
 
-import os
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
-sys.path.insert(0, os.path.join(REPO, "scripts"))
-
-from sweep_common import fresh_dir, run_sweep  # noqa: E402
+# sys.path bootstrap lives in sweep_common (scripts/ is sys.path[0]
+# when this file runs as a script); importing it first puts the repo
+# root on the path for the velox_hadoop_spark import below.
+from sweep_common import TABLE_SCHEMAS, fresh_dir, run_sweep
 
 from velox_hadoop_spark.session import get_spark  # noqa: E402
-from tests.test_round7_parity import TABLE_SCHEMAS  # noqa: E402
 
 # ENGINE-SEMANTIC divergence, not a kernel bug: on EMPTY input DuckDB
 # (per the standard) emits the grand-total row for the `()` member of

@@ -22,13 +22,41 @@ from local_gate import _multiset  # noqa: E402
 
 from velox_hadoop_spark.plans import registry  # noqa: E402
 
+# The driver-table DDL the sweeps (and tests/test_round7_parity.py)
+# build their synthetic corpora from. Canonical home is HERE, not the
+# test module: importing a tests/ module from the sweep scripts would
+# transitively import tests/conftest.py, whose VHS_ORACLE_LINT=1
+# side effect makes registry loading schema-probe every oracle against
+# /root/testdata — a cost (and testdata dependency) the standalone
+# sweeps must not pay.
+TABLE_SCHEMAS = {
+    "region": "r_regionkey long, r_name string",
+    "nation": "n_nationkey long, n_name string, n_regionkey long",
+    "customer": "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    "supplier": "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    "part": "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    "orders": "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    "lineitem": (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
+    ),
+    "events": "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    "documents": "doc_id long, text string, lang string, source string, n_chars long",
+    "embeddings": "vec_id long, embedding array<float>, label int",
+}
+
 
 def fresh_dir(d: str) -> str:
     """Always rebuild the sweep corpus from scratch: a stale directory
     (edited ROWS, or a run interrupted mid-write) would otherwise be
     silently reused and green-light data that no longer matches the
-    fixtures. The tables are tiny — regeneration costs seconds."""
-    shutil.rmtree(d, ignore_errors=True)
+    fixtures. The tables are tiny — regeneration costs seconds.
+    Removal failures propagate (no ignore_errors): a partially-removed
+    or irremovable corpus dir must abort the sweep loudly, not
+    resurface as a misleading FileExistsError from makedirs."""
+    if os.path.lexists(d):
+        shutil.rmtree(d)
     os.makedirs(d)
     return d
 

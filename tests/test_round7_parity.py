@@ -21,25 +21,10 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 from local_gate import _multiset  # noqa: E402
+from sweep_common import TABLE_SCHEMAS  # noqa: E402  (canonical home)
 
 from velox_hadoop_spark.plans import registry
 
-TABLE_SCHEMAS = {
-    "region": "r_regionkey long, r_name string",
-    "nation": "n_nationkey long, n_name string, n_regionkey long",
-    "customer": "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
-    "supplier": "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
-    "part": "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
-    "orders": "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
-    "lineitem": (
-        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
-        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
-        "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
-    ),
-    "events": "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
-    "documents": "doc_id long, text string, lang string, source string, n_chars long",
-    "embeddings": "vec_id long, embedding array<float>, label int",
-}
 
 # The r6-continuation statistical tail (never-driver-sampled backlog)
 # plus every round-7 registration with an oracle. Each must hold its
