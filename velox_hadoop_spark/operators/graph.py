@@ -116,6 +116,15 @@ def pagerank(
         construction), so the previous rank rides the propagation join —
         the Σ|Δ| scalar is a bare aggregate, never a third node-keyed
         join per pass."""
+        # Deliberately UNHINTED join: at local SF Catalyst broadcasts
+        # edges_deg (its InMemoryRelation stats sit under the 64 MB
+        # threshold, and in a single JVM the "broadcast" is a free
+        # reference hand-off that also skips the rank-side exchange —
+        # measured 1.4x faster than a forced SHUFFLE_HASH build at
+        # sf0.1); at scale the same stats exceed the threshold and the
+        # planner falls back to a shuffle join that reuses the persisted
+        # frame's src partitioning, shuffling only the |V|-row rank
+        # side. Forcing either strategy would pessimize one regime.
         contribs = edges_deg.join(
             cur.select(F.col("node").alias("src"), "rank"), "src"
         ).select(
