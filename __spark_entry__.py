@@ -87,9 +87,9 @@ _REVERIFY = (
 # queue instead of displacing older queries out of the driver's
 # per-round verification budget. Round 7: empty — registration order
 # already queues the r6 backlog (20) ahead of this round's 23 new
-# names. Budget note: 20 backlog + 23 new + 9 reverify + 2 rows-only
-# = 54 candidates vs ~50 driver slots, so the ~4 newest llmops4
-# registrations are expected to spill to r8's sample; all four are
+# names. Budget note: 20 backlog + 23 new + 10 reverify + 2 rows-only
+# = 55 candidates vs ~50 driver slots, so the ~5 newest llmops4
+# registrations are expected to spill to r8's sample; all are
 # judge-gate green at sf0.01 and covered by the empty/degenerate
 # sweeps in tests/test_round7_parity.py meanwhile.
 _DEFER = ()
