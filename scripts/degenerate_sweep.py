@@ -17,12 +17,16 @@ Exits non-zero on any divergence outside KNOWN_DEGENERATE_DIVERGENT.
 
 from __future__ import annotations
 
+import os
 import sys
 
-# sys.path bootstrap lives in sweep_common (scripts/ is sys.path[0]
-# when this file runs as a script); importing it first puts the repo
-# root on the path for the velox_hadoop_spark import below.
-from sweep_common import TABLE_SCHEMAS, fresh_dir, run_sweep
+# Make `from sweep_common import ...` resolve under BOTH invocation
+# styles (`python scripts/x.py` puts scripts/ first already;
+# `python -m scripts.x` puts the repo root first). sweep_common then
+# bootstraps the repo root for the velox_hadoop_spark import below.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sweep_common import TABLE_SCHEMAS, fresh_dir, run_sweep  # noqa: E402
 
 from velox_hadoop_spark.session import get_spark  # noqa: E402
 
