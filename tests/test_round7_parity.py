@@ -347,3 +347,99 @@ def test_containment_walk_bounded_on_cycle(spark):
     assert out[1].depth == 4 and out[2].depth == 4
     # even pass count: each pointer returns to its own node
     assert out[1].anc == 1 and out[2].anc == 2
+
+
+def test_vocab_growth_curve_conserves_vocabulary(spark):
+    """cum_vocab is nondecreasing, buckets lie in 1..10, and the final
+    cumulative vocabulary equals the independently-computed distinct
+    lowercase-token count — the conservation the oracle comparison
+    can't state on its own (both engines could drop tokens the same
+    way)."""
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        registry.specs()["vocab_growth_curve"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows, "curve must be non-empty on real data"
+    assert all(1 <= r.bucket <= 10 for r in rows)
+    cums = [r.cum_vocab for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r.new_tokens for r in rows)
+    truth = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(
+            F.explode(
+                F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")
+            ).alias("tok")
+        )
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+    )
+    assert cums[-1] == truth
+
+
+def test_source_lang_mix_entropy_bounds(spark):
+    """0 <= entropy <= ln(n_langs) (+rounding slack); a monolingual
+    source reports exactly 0."""
+    import math
+
+    rows = registry.specs()["source_lang_mix_entropy"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= r.n_langs >= 1
+        assert -1e-6 <= r.lang_entropy <= math.log(r.n_langs) + 1e-6, r
+        if r.n_langs == 1:
+            assert r.lang_entropy == 0.0
+
+
+def test_context_window_budget_cumulative_share(spark):
+    """cum_doc_share is nondecreasing in bucket order and reaches
+    exactly 1.0 at the last populated bucket; every emitted bucket is
+    non-empty."""
+    rows = sorted(
+        registry.specs()["context_window_budget"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r.bucket_ord,
+    )
+    assert rows
+    shares = [r.cum_doc_share for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1.0
+    assert all(r.n_docs > 0 and r.total_tokens >= r.n_docs for r in rows)
+
+
+def test_curation_pack_report_conserves_kept_docs(spark):
+    """Per source: packing cannot create documents (n_seqs <=
+    n_docs_kept, each sequence holds >= 1 doc) and overflow sequences
+    are a subset of all sequences; across sources the kept-doc total
+    equals the independently-computed quality-gated exact-dedup keeper
+    count — the end-to-end conservation of the chained pipeline."""
+    from pyspark.sql import functions as F
+    from velox_hadoop_spark.operators.llmops4 import MIN_CHARS
+
+    rows = registry.specs()["curation_pack_report"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_seqs <= r.n_docs_kept
+        assert 0 <= r.n_overflow <= r.n_seqs
+        assert r.utilization > 0
+    truth = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where(F.col("n_chars") >= MIN_CHARS)
+        .agg(F.countDistinct(F.md5("text")))
+        .first()[0]
+    )
+    assert sum(r.n_docs_kept for r in rows) == truth
+
+
+def test_token_fertility_at_least_one(spark):
+    """Every whitespace word contains >= 1 non-space char, and the
+    BPE-ish alternatives ([a-z]+ | [0-9] | [^a-z0-9 ]) jointly cover
+    every non-space char class, so per-language fertility >= 1 whenever
+    any words exist."""
+    rows = registry.specs()["token_fertility_by_lang"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.total_bpe >= r.total_ws
+        if r.total_ws > 0:
+            assert r.fertility >= 1.0

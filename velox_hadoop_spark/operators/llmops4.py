@@ -289,9 +289,11 @@ def q_source_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         firsts AS (
             SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
         ),
-        n AS (SELECT max(doc_id) AS max_doc FROM documents),
+        n AS (SELECT min(doc_id) AS min_doc, max(doc_id) AS max_doc
+              FROM documents),
         buckets AS (
-            SELECT CAST(floor(((first_doc - 1) * 10.0) / n.max_doc) AS BIGINT) + 1
+            SELECT CAST(floor(((first_doc - n.min_doc) * 10.0)
+                              / (n.max_doc - n.min_doc + 1)) AS BIGINT) + 1
                        AS bucket,
                    count(*) AS new_tokens
             FROM firsts CROSS JOIN n
@@ -323,12 +325,19 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
-    n = docs.agg(F.max("doc_id").alias("max_doc"))
+    # Anchor the tenths at the ACTUAL id range (doc ids are 0-based in
+    # the generated corpora): (first - min) * 10 / (max - min + 1) is
+    # always in 0..9, so buckets are exactly 1..10 for any id base.
+    n = docs.agg(F.min("doc_id").alias("min_doc"), F.max("doc_id").alias("max_doc"))
     buckets = (
         firsts.crossJoin(F.broadcast(n))
         .select(
             (
-                F.floor(((F.col("first_doc") - 1) * 10.0) / F.col("max_doc")) + 1
+                F.floor(
+                    ((F.col("first_doc") - F.col("min_doc")) * 10.0)
+                    / (F.col("max_doc") - F.col("min_doc") + 1)
+                )
+                + 1
             ).alias("bucket")
         )
         .groupBy("bucket")
