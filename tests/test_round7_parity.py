@@ -443,3 +443,116 @@ def test_token_fertility_at_least_one(spark):
         assert r.total_bpe >= r.total_ws
         if r.total_ws > 0:
             assert r.fertility >= 1.0
+
+
+def test_heatmaps_conserve_row_counts(spark):
+    """Both heatmaps are partitions of their base table: cell counts
+    must sum to the table's row count and cell coordinates must stay
+    in their value domains."""
+    ev_total = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    rows = registry.specs()["weekday_hour_heatmap"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n for r in rows) == ev_total
+    assert all(1 <= r.dow <= 7 and 0 <= r.hr <= 23 for r in rows)
+
+    li_total = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
+    rows = registry.specs()["qty_discount_heatmap"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n for r in rows) == li_total
+    assert all(r.disc_pct >= 0 and r.n > 0 for r in rows)
+
+
+def test_pivot_and_calendar_conserve_orders(spark):
+    """The multi-agg pivot and the ISO-week rollup both partition the
+    orders table: counts (and integer cents) must sum to the table
+    totals, and ISO weeks stay in 1..53."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    tot = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    ).first()
+
+    rows = registry.specs()["pivot_multi_agg_status"].fn(spark, SF_SMALL).collect()
+    assert sum(r.f_n + r.o_n + r.p_n for r in rows) == tot.n
+    assert sum(r.f_cents + r.o_cents + r.p_cents for r in rows) == tot.cents
+
+    rows = registry.specs()["iso_week_revenue"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n_orders for r in rows) == tot.n
+    assert sum(r.rev_cents for r in rows) == tot.cents
+    assert all(1 <= r.iso_week <= 53 for r in rows)
+
+
+def test_status_change_and_rank_bounds(spark):
+    """Per customer, 0 <= flips <= n_orders - 1 and the per-customer
+    order counts sum to the table total; hypothetical ranks obey
+    dense <= rank <= n+1 and percent_rank in [0, 1]."""
+    rows = registry.specs()["status_change_count"].fn(spark, SF_SMALL).collect()
+    assert rows
+    assert all(0 <= r.n_changes <= r.n_orders - 1 for r in rows)
+    total = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == total
+
+    rows = registry.specs()["hypothetical_rank_price"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.hyp_dense_rank <= r.hyp_rank <= r.n + 1
+        assert 0.0 <= r.hyp_percent_rank <= 1.0
+
+
+def test_corr_matrix_and_rolling_median_bounds(spark):
+    """Correlations lie in [-1, 1]; the rolling 7-day median lies
+    between the global min and max daily cents."""
+    rows = registry.specs()["corr_matrix_measures"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 6
+    assert all(-1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9 for r in rows if r.corr is not None)
+
+    rows = registry.specs()["rolling_median_7d"].fn(spark, SF_SMALL).collect()
+    assert rows
+    lo = min(r.cents for r in rows)
+    hi = max(r.cents for r in rows)
+    assert all(lo <= r.med7_cents <= hi for r in rows)
+
+
+def test_asof_nearest_is_truly_nearest(spark):
+    """The nearest-direction as-of join must pick, for every purchase,
+    the minimal |Δt| over ALL of that user's clicks — recomputed here
+    by brute force (tiny SF), which the window formulation and the
+    oracle share no code with. Also pins the output row set: exactly
+    the purchases of users who have at least one click."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        .collect()
+    )
+    clicks = defaultdict(list)
+    for r in ev:
+        if r.event_type == "click":
+            clicks[r.user_id].append(r.t)
+    truth = {
+        r.event_id: min(abs(r.t - ct) for ct in clicks[r.user_id])
+        for r in ev
+        if r.event_type == "purchase" and clicks[r.user_id]
+    }
+    rows = registry.specs()["asof_join_nearest"].fn(spark, SF_SMALL).collect()
+    got = {r.event_id: r.dt_us for r in rows}
+    assert got == truth
+
+
+def test_pareto_share_is_ratio_of_counts(spark):
+    """k is a valid prefix size (1..n) and the reported share is the
+    exact rounded ratio k/n."""
+    rows = registry.specs()["pareto_80_20_customers"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.k_for_80pct <= r.n_customers
+        assert r.share_of_customers == round(r.k_for_80pct / r.n_customers, 6)
