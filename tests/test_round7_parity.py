@@ -556,3 +556,98 @@ def test_pareto_share_is_ratio_of_counts(spark):
     for r in rows:
         assert 1 <= r.k_for_80pct <= r.n_customers
         assert r.share_of_customers == round(r.k_for_80pct / r.n_customers, 6)
+
+
+def test_statistical_tail_bounds(spark):
+    """Domain bounds for the statistical-test family, each checkable
+    without re-deriving the statistic: correlations and AUC in their
+    unit ranges, inequality indices nonnegative (Gini < 1, Theil <=
+    ln n), drawdowns in [0, 1] against a running peak, RSI in
+    [0, 100] with the day census partitioning the window days,
+    Mann-Whitney U1+U2 = n1*n2, KS in [0, 1], Benford shares a
+    distribution, hapax counts bounded by token counts."""
+    import math
+
+    s = lambda q: registry.specs()[q].fn(spark, SF_SMALL).collect()  # noqa: E731
+
+    for r in s("spearman_rank_corr"):
+        if r.spearman_rho is not None:
+            assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
+
+    for r in s("gini_spend_by_nation"):
+        if r.gini is not None:
+            assert 0.0 <= r.gini < 1.0
+
+    for r in s("theil_index_spend"):
+        if r.theil is not None:
+            assert -1e-9 <= r.theil <= math.log(r.n_customers) + 1e-9
+
+    rows = s("max_drawdown_daily_revenue")
+    for r in rows:
+        assert r.peak_cents >= r.rev_cents
+        assert 0.0 <= r.drawdown <= 1.0
+
+    (r,) = s("rsi_14_daily")
+    assert r.n_overbought + r.n_oversold + r.n_flat <= r.n_days
+    assert 0.0 <= r.avg_rsi <= 100.0
+
+    (r,) = s("mann_whitney_u")
+    assert r.u1 + r.u2 == r.n1 * r.n2
+    assert r.u1 >= 0 and r.u2 >= 0
+
+    (r,) = s("ks_statistic_order_values")
+    if r.ks_stat is not None:
+        assert 0.0 <= r.ks_stat <= 1.0
+
+    rows = s("benford_first_digit_prices")
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.pct for r in rows) - 1.0) < 5e-4  # per-digit rounding
+    assert abs(sum(r.benford_expected for r in rows) - 1.0) < 5e-3
+
+    for r in s("hapax_rate_by_source"):
+        assert 0 <= r.n_hapax <= r.n_tokens
+        assert 0.0 <= r.hapax_rate <= 1.0
+
+    (r,) = s("auc_quality_en_classifier")
+    if r.auc is not None:
+        assert 0.0 <= r.auc <= 1.0
+        assert r.n_pos > 0 and r.n_neg > 0
+
+
+def test_peer_avg_identity(spark):
+    """(Σ − x)/(n − 1) identity: for every customer, peer_avg*(n−1)+x
+    must reconstruct the nation's total balance (integer cents compared
+    at the kernel's 4-dp rounding)."""
+    from collections import defaultdict
+
+    rows = registry.specs()["window_peer_avg_exclude_self"].fn(spark, SF_SMALL).collect()
+    assert rows
+    tot = defaultdict(int)
+    cnt = defaultdict(int)
+    for r in rows:
+        tot[r.c_nationkey] += r.bal_cents
+        cnt[r.c_nationkey] += 1
+    for r in rows:
+        n = cnt[r.c_nationkey]
+        if n == 1:
+            assert r.peer_avg_bal is None
+            continue
+        expect = (tot[r.c_nationkey] - r.bal_cents) / (n - 1) / 100.0
+        assert abs(r.peer_avg_bal - expect) < 1e-3, r
+
+
+def test_signature_and_nullsafe_conservation(spark):
+    """Set-signature cohorts partition the customers-with-orders set;
+    the null-safe join's per-key counts bound its high-value subset."""
+    from pyspark.sql import functions as F
+
+    rows = registry.specs()["status_set_signature"].fn(spark, SF_SMALL).collect()
+    with_orders = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .agg(F.countDistinct("o_custkey"))
+        .first()[0]
+    )
+    assert sum(r.n_customers for r in rows) == with_orders
+
+    for r in registry.specs()["null_safe_join_events"].fn(spark, SF_SMALL).collect():
+        assert 0 <= r.n_high <= r.n_all
