@@ -248,3 +248,43 @@ def test_bankers_round_breaks_the_duckdb_contract():
         "SELECT ROUND(x, 2) AS r FROM (SELECT unnest([0.125, -0.125, 0.375, 2.5, -2.5]::DOUBLE[]) AS x)"
     ).fetchnumpy()["r"]
     assert np.round(ties, 2).tolist() != duck.tolist()
+
+
+_parts = st.lists(
+    st.lists(st.integers(min_value=0, max_value=12), min_size=0, max_size=9),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(parts=_parts, cap=st.sampled_from([1, 2, 3]))
+@settings(**SETTINGS)
+def test_co_supply_slice_cap_equals_bruteforce_topk(spark, parts, cap):
+    """The sliced-array edge build's per-part k-slice must yield
+    exactly the brute-force capped edge set (distinct oriented pairs,
+    each node keeping its k smallest higher-id neighbors) on ANY
+    membership structure — small caps (1..3) drive the slice boundary
+    far harder than the production corpora, whose parts never exceed
+    the cap."""
+    from velox_hadoop_spark.operators.graph import co_supply_capped_edges
+
+    rows = [(p, s) for p, supps in enumerate(parts) for s in supps]
+    # brute force: per part distinct members, all oriented pairs,
+    # then per s1 keep the cap smallest s2
+    nbrs = {}
+    for p, supps in enumerate(parts):
+        mem = sorted(set(supps))
+        for i, a in enumerate(mem):
+            for b in mem[i + 1 :]:
+                nbrs.setdefault(a, set()).add(b)
+    expected = {
+        (a, b) for a, bs in nbrs.items() for b in sorted(bs)[:cap]
+    }
+    df = spark.createDataFrame(rows or [(0, 0)], "part long, s long")
+    if not rows:
+        df = df.where("false")
+    got = {
+        (r.s1, r.s2)
+        for r in co_supply_capped_edges(df, adj_cap=cap, part_cap=10_000).collect()
+    }
+    assert got == expected

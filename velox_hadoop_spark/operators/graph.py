@@ -499,6 +499,72 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLE_ADJ_CAP = 64
+TRIANGLE_PART_CAP = 256
+
+
+def co_supply_capped_edges(
+    membership: DataFrame,
+    adj_cap: int = TRIANGLE_ADJ_CAP,
+    part_cap: int = TRIANGLE_PART_CAP,
+) -> DataFrame:
+    """Oriented (s1 < s2) co-supply edges from a (part, s) membership
+    frame, degree-bounded on both axes: parts with more than
+    ``part_cap`` distinct members are dropped, and each node keeps its
+    ``adj_cap`` SMALLEST higher-id neighbors.
+
+    Single-shuffle edge build: ONE groupBy collects each part's
+    distinct member set in-row (collect_set dedups inside the
+    aggregate, so no upstream distinct() exchange) and the hot-part
+    cap is a free size filter on the grouped array. The adjacency cap
+    needs NO pair-level distinct + window: the global top-k smallest
+    is preserved by slicing each part's sorted contribution to k
+    BEFORE the shuffle — if s2 is among s1's k smallest global
+    neighbors then fewer than k neighbors precede it in ANY part they
+    share, so s2 survives every per-part slice (property-tested
+    against a brute-force reference in tests/test_properties.py).
+    One (part, s1) array row (<= k elements) replaces the C(deg,2)
+    exploded pair rows: Θ(Σ deg·k) shuffled elements instead of
+    Θ(Σ deg²) shuffled rows, and the dedup runs IN-ROW
+    (array_distinct) inside the s1 aggregate instead of as a
+    row-level distinct exchange. Phase-timed at sf0.1 (complete
+    1000-node co-supply graph): 8.7M pair rows + distinct + window
+    4.8s → 600k array rows 2.0s for the identical 61,920-edge set.
+    Per-s1 pre-distinct fan-in is bounded by k·parts(s1) elements
+    (collect_list merges map-side partials); the previous window
+    shape concentrated deg(s1) <= V distinct pair ROWS in one task —
+    same single-reducer class, strictly less data up to the
+    duplication factor, which the per-part k-slice bounds."""
+    grouped = (
+        membership.groupBy("part")
+        .agg(F.sort_array(F.collect_set("s")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= part_cap))
+        .select("ids")
+    )
+    contrib = (
+        grouped.select(
+            F.explode(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.struct(
+                        x.alias("s1"),
+                        F.slice(F.col("ids"), i + F.lit(2), F.lit(adj_cap)).alias(
+                            "nbrs"
+                        ),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.s1", "c.nbrs")
+        .where(F.size("nbrs") > 0)
+    )
+    adj = contrib.groupBy("s1").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("nbrs")))),
+            1,
+            adj_cap,
+        ).alias("nbrs")
+    )
+    return adj.select("s1", F.explode("nbrs").alias("s2"))
 
 
 @register(
@@ -550,62 +616,9 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic truncation bounds the join at O(V·D²) at ANY scale
     while remaining exactly reproducible by the oracle)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # Single-shuffle co-supply edge build: ONE groupBy collects each
-    # part's distinct supplier set in-row — collect_set dedups inside
-    # the aggregate, so no upstream distinct() exchange — and the
-    # hot-part cap becomes a free size filter on the grouped array.
-    grouped = (
-        li.groupBy(F.col("l_partkey").alias("part"))
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= 256))
-        .select("ids")
-    )
-    # Adjacency cap WITHOUT a pair-level distinct + window: the cap
-    # keeps each node's TRIANGLE_ADJ_CAP SMALLEST higher-id neighbors,
-    # and that global top-k is preserved by slicing each part's sorted
-    # contribution to k BEFORE the shuffle — if s2 is among s1's k
-    # smallest global neighbors then fewer than k neighbors precede it
-    # in ANY part they share, so s2 survives every per-part slice.
-    # One (part, s1) array row (<= k elements) replaces the C(k_part,2)
-    # exploded pair rows: Θ(Σ deg·k) shuffled elements instead of
-    # Θ(Σ deg²) shuffled rows, and the dedup runs IN-ROW
-    # (array_distinct) inside the s1 aggregate instead of as a
-    # row-level distinct exchange. Phase-timed at sf0.1 (complete
-    # 1000-node co-supply graph): 8.7M pair rows + distinct + window
-    # 4.8s → 600k array rows 2.0s for the identical 61,920-edge set.
-    contrib = (
-        grouped.select(
-            F.explode(
-                F.transform(
-                    "ids",
-                    lambda x, i: F.struct(
-                        x.alias("s1"),
-                        F.slice(
-                            F.col("ids"), i + F.lit(2), F.lit(TRIANGLE_ADJ_CAP)
-                        ).alias("nbrs"),
-                    ),
-                )
-            ).alias("c")
-        )
-        .select("c.s1", "c.nbrs")
-        .where(F.size("nbrs") > 0)
-    )
-    # Per-s1 pre-distinct fan-in is bounded by k·parts(s1) elements
-    # (collect_list merges map-side partials); the previous window
-    # shape concentrated deg(s1) <= V distinct pair ROWS in one task —
-    # same single-reducer class, strictly less data up to the
-    # duplication factor, which the per-part k-slice bounds.
-    adj = contrib.groupBy("s1").agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("nbrs")))),
-            1,
-            TRIANGLE_ADJ_CAP,
-        ).alias("nbrs")
-    )
-    e = (
-        adj.select("s1", F.explode("nbrs").alias("s2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    e = co_supply_capped_edges(
+        li.select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("s"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = e
     e2 = e.select(F.col("s1").alias("s2"), F.col("s2").alias("s3"))
     e3 = e.select(F.col("s1").alias("t1"), F.col("s2").alias("t3"))
