@@ -651,3 +651,69 @@ def test_signature_and_nullsafe_conservation(spark):
 
     for r in registry.specs()["null_safe_join_events"].fn(spark, SF_SMALL).collect():
         assert 0 <= r.n_high <= r.n_all
+
+
+def test_histograms_and_deciles_conserve_counts(spark):
+    """Shared-formula insurance (the class the vocab-growth fix
+    exposed: an oracle that mirrors the kernel's formula cannot catch a
+    shared derivation error — conservation against the base table can):
+    the 20-bucket order histogram must conserve the order count with
+    min/max inside each bucket's bounds; ntile deciles must cover every
+    ordering customer with deciles 1..10, pct_rank/cume in [0,1]."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    n_orders = orders.count()
+
+    rows = registry.specs()["histogram_order_totals"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert all(r.bucket_min <= r.bucket_max and r.n_orders > 0 for r in rows)
+    lo = orders.agg(F.min("o_totalprice")).first()[0]
+    hi = orders.agg(F.max("o_totalprice")).first()[0]
+    assert min(r.bucket_min for r in rows) == lo
+    assert max(r.bucket_max for r in rows) == hi
+
+    rows = registry.specs()["ntile_decile_customer_spend"].fn(spark, SF_SMALL).collect()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert len(rows) == n_cust
+    assert {r.decile for r in rows} == set(range(1, 11))
+    assert all(0.0 <= r.pct_rank <= 1.0 and 0.0 < r.cume <= 1.0 for r in rows)
+
+
+def test_session_length_histogram_conserves_sessions(spark):
+    """Bucketed session lengths must sum to a brute-force 10-minute-gap
+    session count recomputed in plain Python from the raw events —
+    independent of both the kernel's windows and the oracle. (NOT the
+    stateful batch twin: that kernel deliberately uses a 30-minute
+    gap.)"""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    rows = registry.specs()["session_length_histogram"].fn(spark, SF_SMALL).collect()
+    n_hist = sum(r.n_sessions for r in rows)
+    assert all(0 <= r.bucket_5min <= 6 and r.n_sessions > 0 for r in rows)
+
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.t, r.event_id))
+    n_truth = 0
+    for ts in per_user.values():
+        ts.sort()
+        prev = None
+        for t, _ in ts:
+            # the kernel's rule: a gap STRICTLY greater than 10 min opens
+            # a new session (first event always does)
+            if prev is None or t - prev > 600_000_000:
+                n_truth += 1
+            prev = t
+    assert n_hist == n_truth
