@@ -717,3 +717,69 @@ def test_session_length_histogram_conserves_sessions(spark):
                 n_truth += 1
             prev = t
     assert n_hist == n_truth
+
+
+def test_rolling_7d_active_users_matches_bruteforce(spark):
+    """The day-grain dedup + bounded range-join rewrite (and its
+    mirrored oracle) against a plain-Python trailing-window recompute:
+    for every active day, the distinct users over the trailing 7
+    calendar days."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    pairs = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_day = defaultdict(set)
+    for r in pairs:
+        by_day[r.d].add(r.user_id)
+    truth = {}
+    for d in by_day:
+        users = set()
+        for back in range(7):
+            users |= by_day.get(d - timedelta(days=back), set())
+        truth[d] = len(users)
+
+    rows = registry.specs()["rolling_7d_active_users"].fn(spark, SF_SMALL).collect()
+    got = {r.day: r.active_7d for r in rows}
+    assert got == truth
+
+
+def test_cumulative_distinct_users_matches_bruteforce(spark):
+    """The first-seen decomposition of the running COUNT(DISTINCT)
+    against a plain-Python cumulative set walk over the day-ordered
+    events; the final cumulative count must equal the table's total
+    distinct users."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    pairs = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_day = defaultdict(set)
+    for r in pairs:
+        by_day[r.d].add(r.user_id)
+    seen = set()
+    truth = {}
+    for d in sorted(by_day):
+        seen |= by_day[d]
+        truth[d] = len(seen)
+
+    rows = registry.specs()["cumulative_distinct_users"].fn(spark, SF_SMALL).collect()
+    got = {r.d: r.cum_users for r in rows}
+    # the kernel only emits FIRST-SEEN days (days where new_users > 0);
+    # on those days the cumulative counts must agree, and the final
+    # total must be the full distinct-user count
+    assert set(got) <= set(truth)
+    assert all(truth[d] == c for d, c in got.items())
+    assert max(got.values()) == len(seen)
+    assert all(r.new_users > 0 for r in rows)
