@@ -783,3 +783,76 @@ def test_cumulative_distinct_users_matches_bruteforce(spark):
     assert all(truth[d] == c for d, c in got.items())
     assert max(got.values()) == len(seen)
     assert all(r.new_users > 0 for r in rows)
+
+
+def test_asof_backward_matches_bruteforce(spark):
+    """Backward as-of (most recent click at-or-before each purchase,
+    clicks deduped per (user, ts) by max value) against a plain-Python
+    recompute — the oracle mirrors the tagged-union fill window, so
+    only an independent derivation can catch a shared fill-rule
+    error."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        .collect()
+    )
+    clicks = defaultdict(dict)  # user -> ts -> max value
+    for r in ev:
+        if r.event_type == "click":
+            cur = clicks[r.user_id].get(r.t)
+            clicks[r.user_id][r.t] = r.value if cur is None else max(cur, r.value)
+    truth = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            prior = [(t, v) for t, v in clicks[r.user_id].items() if t <= r.t]
+            truth[r.event_id] = max(prior)[1] if prior else None
+
+    rows = registry.specs()["asof_join_events"].fn(spark, SF_SMALL).collect()
+    got = {r.event_id: r.asof_click_value for r in rows}
+    assert got == truth
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """Price-weighted median quantity per return flag against a sorted
+    cumulative-weight walk in plain Python (the oracle mirrors the
+    kernel's integer cw*2 >= tw formulation)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select(
+            "l_returnflag",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    w = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        w[r.l_returnflag][r.l_quantity] += r.cents
+    truth = {}
+    for flag, qw in w.items():
+        total = sum(qw.values())
+        cum = 0
+        for q in sorted(qw):
+            cum += qw[q]
+            if cum * 2 >= total:
+                truth[flag] = round(q, 2)
+                break
+
+    rows = registry.specs()["weighted_median_quantity"].fn(spark, SF_SMALL).collect()
+    got = {r.l_returnflag: r.weighted_median for r in rows}
+    assert got == truth
