@@ -856,3 +856,50 @@ def test_weighted_median_matches_bruteforce(spark):
     rows = registry.specs()["weighted_median_quantity"].fn(spark, SF_SMALL).collect()
     got = {r.l_returnflag: r.weighted_median for r in rows}
     assert got == truth
+
+
+def test_rolling_median_7d_matches_bruteforce(spark):
+    """The rolling median's middle-element formula is stated
+    IDENTICALLY in both engines (shared-formula class); recompute it
+    with Python's statistics.median over the trailing <=7 OBSERVED
+    days (the kernel's ROWS frame runs over the daily spine, which has
+    calendar gaps — not trailing 7 calendar days)."""
+    import statistics
+
+    rows = sorted(
+        registry.specs()["rolling_median_7d"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    cents = [r.cents for r in rows]
+    for i, r in enumerate(rows):
+        frame = cents[max(0, i - 6) : i + 1]
+        assert r.med7_cents == statistics.median(frame), r.day
+
+
+def test_mode_median_matches_bruteforce(spark):
+    """Deterministic mode (max count, ties to lowest priority string)
+    and interpolated median per status against plain-Python recomputes
+    (the mode oracle mirrors the rank-window rewrite)."""
+    import statistics
+    from collections import Counter, defaultdict
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_status_prio = Counter()
+    prices = defaultdict(list)
+    for r in orders:
+        by_status_prio[(r.o_orderstatus, r.o_orderpriority)] += 1
+        prices[r.o_orderstatus].append(r.o_totalprice)
+    truth = {}
+    for status in prices:
+        mode_prio = min(
+            (p for (s, p) in by_status_prio if s == status),
+            key=lambda p: (-by_status_prio[(status, p)], p),
+        )
+        truth[status] = (mode_prio, round(statistics.median(prices[status]), 4))
+
+    rows = registry.specs()["mode_median_order_price"].fn(spark, SF_SMALL).collect()
+    got = {r.o_orderstatus: (r.mode_priority, r.median_price) for r in rows}
+    assert got == truth
