@@ -903,3 +903,140 @@ def test_mode_median_matches_bruteforce(spark):
     rows = registry.specs()["mode_median_order_price"].fn(spark, SF_SMALL).collect()
     got = {r.o_orderstatus: (r.mode_priority, r.median_price) for r in rows}
     assert got == truth
+
+
+def _rha(x: float, dec: int) -> float:
+    """round-half-away, matching both engines' display rounding"""
+    import math
+
+    p = 10**dec
+    return math.floor(x * p + 0.5) / p if x >= 0 else -math.floor(-x * p + 0.5) / p
+
+
+def test_max_drawdown_matches_bruteforce(spark):
+    """Running-peak walk in plain Python: the worst (peak-rev)/peak day
+    (ties to the earliest day) must match the kernel's single row."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).collect()
+    daily = defaultdict(int)
+    for r in orders:
+        daily[r.d] += r.cents
+    peak = 0
+    best = None  # (drawdown, day, rev, peak)
+    for d in sorted(daily):
+        peak = max(peak, daily[d])
+        dd = (peak - daily[d]) / peak
+        if best is None or dd > best[0]:
+            best = (dd, d, daily[d], peak)
+
+    (row,) = registry.specs()["max_drawdown_daily_revenue"].fn(spark, SF_SMALL).collect()
+    assert (row.day, row.rev_cents, row.peak_cents) == (best[1], best[2], best[3])
+    assert row.drawdown == _rha(best[0], 6)
+
+
+def test_ewma_matches_bruteforce(spark):
+    """Calendar-decayed weighted average recomputed in plain Python
+    over each day's trailing 28-day window of PRESENT days (both
+    engines state the same truncated-decay formula)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+    from velox_hadoop_spark.operators.mining import _EWMA_DECAY, _EWMA_WINDOW
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).collect()
+    daily = defaultdict(int)
+    for r in orders:
+        daily[r.d] += r.cents
+    rev = {d: c / 100.0 for d, c in daily.items()}
+    truth = {}
+    for d in rev:
+        num = den = 0.0
+        for back in range(_EWMA_WINDOW):
+            b = d - timedelta(days=back)
+            if b in rev:
+                wgt = _EWMA_DECAY**back
+                num += rev[b] * wgt
+                den += wgt
+        truth[d] = _rha(num / den, 4)
+
+    rows = registry.specs()["ewma_daily_revenue"].fn(spark, SF_SMALL).collect()
+    got = {r.d: r.ewma for r in rows}
+    assert got == truth
+
+
+def test_hhi_matches_bruteforce(spark):
+    """Herfindahl index per nation recomputed from per-supplier integer
+    revenue units (sum r^2 / t^2, floor-half-up at 6 dp)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+        .alias("r"),
+    )
+    sup = spark.read.parquet(f"{SF_SMALL}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{SF_SMALL}/nation.parquet").collect()
+    }
+    rows = li.join(sup, li.l_suppkey == sup.s_suppkey).collect()
+    rev = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        rev[r.s_nationkey][r.l_suppkey] += r.r
+    truth = {}
+    for nk, per_s in rev.items():
+        t = sum(per_s.values())
+        r2 = sum(v * v for v in per_s.values())
+        truth[nat[nk]] = (len(per_s), _rha(r2 / (t * t), 6))
+
+    out = registry.specs()["supplier_concentration_hhi"].fn(spark, SF_SMALL).collect()
+    got = {r.n_name: (r.n_suppliers, r.hhi) for r in out}
+    assert got == truth
+
+
+def test_gini_matches_bruteforce(spark):
+    """Gini via the sorted-rank identity recomputed in plain Python
+    with the kernel's exact rank order (cents, then custkey)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    rows = orders.join(cust, orders.o_custkey == cust.c_custkey).collect()
+    spend = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        spend[r.c_nationkey][r.o_custkey] += r.cents
+    truth = {}
+    for nk, per_c in spend.items():
+        ordered = sorted(per_c.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(ordered)
+        total = sum(c for _, c in ordered)
+        if total <= 0:
+            continue
+        isum = sum((i + 1) * c for i, (_, c) in enumerate(ordered))
+        truth[nk] = (n, _rha(2.0 * isum / (n * total) - (n + 1.0) / n, 6))
+
+    out = registry.specs()["gini_spend_by_nation"].fn(spark, SF_SMALL).collect()
+    got = {r.c_nationkey: (r.n, r.gini) for r in out}
+    assert got == truth
