@@ -1040,3 +1040,96 @@ def test_gini_matches_bruteforce(spark):
     out = registry.specs()["gini_spend_by_nation"].fn(spark, SF_SMALL).collect()
     got = {r.c_nationkey: (r.n, r.gini) for r in out}
     assert got == truth
+
+
+def test_anova_ks_cusum_theil_match_bruteforce(spark):
+    """Classic-formula recomputes in plain Python for the remaining
+    mirrored-oracle statistics: one-way ANOVA F (SSB/(k−1) over
+    SSW/(n−k)), two-sample KS via exact integer cross-products over
+    the merged cents grid, the scaled-integer CUSUM argmax (earliest
+    day on ties), and per-nation Theil as avg((x/μ)·ln(x/μ))."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).collect()
+
+    # --- ANOVA across priorities
+    groups = defaultdict(list)
+    for r in orders:
+        groups[r.o_orderpriority].append(r.cents)
+    big_n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    grand = sum(sum(v) for v in groups.values()) / big_n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum(float(x) * x for x in v) - float(sum(v)) * sum(v) / len(v)
+        for v in groups.values()
+    )
+    f_truth = _rha((ssb / (k - 1)) / (ssw / (big_n - k)), 6)
+    (row,) = registry.specs()["anova_f_priority"].fn(spark, SF_SMALL).collect()
+    assert (row.n_rows, row.n_groups, row.df_within) == (big_n, k, big_n - k)
+    assert abs(row.f_stat - f_truth) <= 1e-6  # double cancellation noise
+
+    # --- KS between open and finished order values
+    o_vals = sorted(r.cents for r in orders if r.o_orderstatus == "O")
+    f_vals = sorted(r.cents for r in orders if r.o_orderstatus == "F")
+    no, nf = len(o_vals), len(f_vals)
+    grid = sorted(set(o_vals) | set(f_vals))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(o_vals, c) * nf - bisect.bisect_right(f_vals, c) * no)
+        for c in grid
+    )
+    ks_truth = _rha(d_num / (no * float(nf)), 6)
+    (row,) = registry.specs()["ks_statistic_order_values"].fn(spark, SF_SMALL).collect()
+    assert (row.n_open, row.n_finished, row.ks_stat) == (no, nf, ks_truth)
+
+    # --- CUSUM changepoint over the daily series
+    daily = defaultdict(int)
+    for r in orders:
+        daily[r.d] += r.cents
+    days = sorted(daily)
+    n, s = len(days), sum(daily.values())
+    cum = 0
+    best = None  # (|cusum|, day, cusum)
+    for t, d in enumerate(days, start=1):
+        cum += daily[d]
+        c = n * cum - t * s
+        if best is None or abs(c) > best[0]:
+            best = (abs(c), d, c)
+    (row,) = registry.specs()["cusum_changepoint_daily"].fn(spark, SF_SMALL).collect()
+    assert (row.change_day, row.cusum_scaled, row.n_days) == (best[1], best[2], n)
+
+    # --- Theil index per nation
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    }
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{SF_SMALL}/nation.parquet").collect()
+    }
+    spend = defaultdict(lambda: defaultdict(int))
+    for r in orders:
+        spend[cust[r.o_custkey]][r.o_custkey] += r.cents
+    truth = {}
+    for nk, per_c in spend.items():
+        xs = list(per_c.values())
+        mu = sum(xs) / len(xs)
+        theil = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+        truth[nat[nk]] = (len(xs), _rha(theil, 6))
+    rows = registry.specs()["theil_index_spend"].fn(spark, SF_SMALL).collect()
+    got = {r.nation: (r.n_customers, r.theil) for r in rows}
+    assert set(got) == set(truth)
+    for nation, (cnt, th) in truth.items():
+        assert got[nation][0] == cnt
+        assert abs(got[nation][1] - th) <= 1e-6
