@@ -1133,3 +1133,105 @@ def test_anova_ks_cusum_theil_match_bruteforce(spark):
     for nation, (cnt, th) in truth.items():
         assert got[nation][0] == cnt
         assert abs(got[nation][1] - th) <= 1e-6
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    return cov / (vx * vy) ** 0.5
+
+
+def _avg_ranks(vals):
+    """1-based average (midrank) ranks with ties."""
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        for t in range(i, j + 1):
+            ranks[order[t]] = avg
+        i = j + 1
+    return ranks
+
+
+def test_spearman_acf_mannwhitney_benford_match_bruteforce(spark):
+    """Final mirrored-oracle statistics batch: Spearman via plain-
+    Python midranks + Pearson, the ACF as lag-k Pearson over complete
+    pairs, Mann-Whitney U/z from combined midrank sums, and Benford's
+    expected shares as log10(1 + 1/d)."""
+    import math
+    from collections import defaultdict
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    # --- Spearman (per return flag, March 1995 slice)
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+        )
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag = defaultdict(lambda: ([], []))
+    for r in li:
+        by_flag[r.l_returnflag][0].append(r.l_quantity)
+        by_flag[r.l_returnflag][1].append(r.l_extendedprice)
+    rows = registry.specs()["spearman_rank_corr"].fn(spark, SF_SMALL).collect()
+    got = {r.flag: (r.n, r.spearman_rho) for r in rows}
+    assert set(got) == set(by_flag)
+    for flag, (a, b) in by_flag.items():
+        rho = _pearson(_avg_ranks(a), _avg_ranks(b))
+        assert got[flag][0] == len(a)
+        assert abs(got[flag][1] - rho) <= 2e-6, flag
+
+    # --- ACF at lags 1..7 over the daily revenue series
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).collect()
+    daily = defaultdict(int)
+    for r in orders:
+        daily[r.d] += r.cents
+    series = [daily[d] for d in sorted(daily)]
+    rows = registry.specs()["acf_daily_revenue"].fn(spark, SF_SMALL).collect()
+    got = {r.lag: (r.n_pairs, r.acf) for r in rows}
+    assert set(got) == set(range(1, 8))
+    for k in range(1, 8):
+        xs, ys = series[k:], series[:-k]
+        assert got[k][0] == len(xs)
+        assert abs(got[k][1] - _pearson(xs, ys)) <= 2e-6, k
+
+    # --- Mann-Whitney URGENT vs LOW (H1 1995)
+    g1 = [
+        r.cents
+        for r in orders
+        if r.o_orderpriority == "1-URGENT" and date(1995, 1, 1) <= r.d < date(1995, 7, 1)
+    ]
+    g2 = [
+        r.cents
+        for r in orders
+        if r.o_orderpriority == "5-LOW" and date(1995, 1, 1) <= r.d < date(1995, 7, 1)
+    ]
+    ranks = _avg_ranks(g1 + g2)
+    r1 = sum(ranks[: len(g1)])
+    n1, n2 = len(g1), len(g2)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    u2 = n1 * n2 - u1
+    z = _rha((u1 - n1 * n2 / 2) / math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 6)
+    (row,) = registry.specs()["mann_whitney_u"].fn(spark, SF_SMALL).collect()
+    assert (row.n1, row.n2, row.u1, row.u2, row.z) == (n1, n2, u1, u2, z)
+
+    # --- Benford expected shares
+    rows = registry.specs()["benford_first_digit_prices"].fn(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r.benford_expected == _rha(math.log10(1.0 + 1.0 / r.digit), 4)
