@@ -1235,3 +1235,69 @@ def test_spearman_acf_mannwhitney_benford_match_bruteforce(spark):
     rows = registry.specs()["benford_first_digit_prices"].fn(spark, SF_SMALL).collect()
     for r in rows:
         assert r.benford_expected == _rha(math.log10(1.0 + 1.0 / r.digit), 4)
+
+
+def test_bollinger_rsi_match_bruteforce(spark):
+    """Rolling-window recomputes for the two remaining indicator
+    kernels: Bollinger breakout days via a 20-row rolling mean /
+    sample-stddev walk (membership decided on the 4-dp half-away grid,
+    as both engines state), and the 14-day RSI census from the delta
+    series with the exact integer 3g>7l / 7g<3l predicates."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).collect()
+    daily = defaultdict(int)
+    for r in orders:
+        daily[r.d] += r.cents
+    days = sorted(daily)
+
+    # --- Bollinger (20-row window over the daily spine)
+    revs = [daily[d] / 100.0 for d in days]
+    truth = {}
+    for i in range(19, len(revs)):
+        win = revs[i - 19 : i + 1]
+        m = sum(win) / 20
+        var = sum((x - m) ** 2 for x in win) / 19  # sample variance
+        if var <= 0:
+            continue
+        z = (revs[i] - m) / var**0.5
+        if _rha(abs(z), 4) > 2:
+            truth[days[i]] = (revs[i], _rha(z, 4))
+    rows = registry.specs()["bollinger_breakout_days"].fn(spark, SF_SMALL).collect()
+    got = {r.day: (r.rev, r.z) for r in rows}
+    assert set(got) == set(truth)
+    for d, (rev, z) in truth.items():
+        assert got[d][0] == rev
+        assert abs(got[d][1] - z) <= 2e-4, d  # stddev cancellation noise at 4dp
+
+    # --- RSI census (14-delta windows)
+    deltas = [daily[days[i]] - daily[days[i - 1]] for i in range(1, len(days))]
+    n_ob = n_os = n_flat = 0
+    rsis = []
+    n_full = 0
+    for i in range(13, len(deltas)):
+        win = deltas[i - 13 : i + 1]
+        g = sum(x for x in win if x > 0)
+        loss = sum(-x for x in win if x < 0)
+        n_full += 1
+        if 3 * g > 7 * loss:
+            n_ob += 1
+        if 7 * g < 3 * loss:
+            n_os += 1
+        if g + loss == 0:
+            n_flat += 1
+        else:
+            rsis.append(100.0 * g / (g + loss))
+    (row,) = registry.specs()["rsi_14_daily"].fn(spark, SF_SMALL).collect()
+    assert (row.n_days, row.n_overbought, row.n_oversold, row.n_flat) == (
+        n_full,
+        n_ob,
+        n_os,
+        n_flat,
+    )
+    assert abs(row.avg_rsi - sum(rsis) / len(rsis)) <= 1e-6
