@@ -42,56 +42,31 @@ def _verified_names() -> set[str]:
 
 
 # Front-of-queue rows within the never-verified group (entries already
-# driver-green are skipped automatically). Round 7: empty — every r6
-# boost name came back green in CORRECTNESS_r06, so the 20
-# never-driver-sampled round-6 registrations (stats2/semistruct/llmops3
-# tail) head the queue automatically via registration order.
+# driver-green are skipped automatically). Round 8: empty — all 10 r7
+# _REVERIFY names re-greened in CORRECTNESS_r07, so the 4 llmops4
+# registrations that spilled from r7's 55-candidates-vs-50-slots budget
+# (context_window_budget, curation_pack_report, source_lang_mix_entropy,
+# vocab_growth_curve — all judge-gated green at sf0.01) head the queue
+# automatically via registration order.
 _BOOST = ()
 
 
 # Driver-green rows whose underlying code or oracle changed AFTER the
 # green row was recorded. They re-enter the verification queue right
 # behind the never-verified boost group so the driver refreshes their
-# evidence. Round 7: the two ADVICE-fix kernels (AUC NULL-guard, Gini
-# decimal accumulator) and the pagerank convergence-loop rewrite
-# re-queue for fresh evidence; everything else from r6 is current-green.
-_REVERIFY = (
-    "auc_quality_en_classifier",
-    "gini_spend_by_nation",
-    "pagerank_converged",
-    # empty-sweep hardening (guards / oracle seed / schema-on-read /
-    # count-form nulls) touched these green kernels:
-    "bfs_levels_from_min_supplier",
-    "funnel_view_click_purchase",
-    "profile_columns_orders",
-    "profile_drift_orders",
-    "partitioned_parquet_prune",
-    "dynamic_partition_prune_join",
-    # continuation perf rewrite (sliced-array adjacency edge build +
-    # in-row corner explode; edge set proven identical, gate-green,
-    # 10x probe 3.0x): refresh the driver row on the new kernel
-    "supplier_triangle_counts",
-)
-# NOT re-queued (documented budget trade-off): the degenerate-sweep
-# guard fixes to corr_quantity_price / histogram_order_totals /
-# moment_stats_by_flag / regression_functions / pivot_orders_status are
-# guard-only branches that cannot fire on real data (zero-variance /
-# single-status inputs); their sf0.01 gate results were re-verified
-# hash-identical this round (scripts/local_gate.py + the full /verify
-# harness), and re-queueing them would push five never-sampled round-7
-# registrations out of the driver's ~50-slot budget.
+# evidence. Round 8: empty — every r7 re-queue came back green and no
+# green kernel has been rewritten since its latest row.
+_REVERIFY = ()
 
 
 # Queries added in the current round: they go to the BACK of the
 # never-verified group so each new registration extends the burn-down
 # queue instead of displacing older queries out of the driver's
-# per-round verification budget. Round 7: empty — registration order
-# already queues the r6 backlog (20) ahead of this round's 23 new
-# names. Budget note: 20 backlog + 23 new + 10 reverify + 2 rows-only
-# = 55 candidates vs ~50 driver slots, so the ~5 newest llmops4
-# registrations are expected to spill to r8's sample; all are
-# judge-gate green at sf0.01 and covered by the empty/degenerate
-# sweeps in tests/test_round7_parity.py meanwhile.
+# per-round verification budget. Round 8: empty — registration order
+# already queues the 4 spilled llmops4 names ahead of this round's new
+# registrations. Budget arithmetic (the r7 pattern, repeated): 4
+# backlog + ~40 new + 0 reverify + 2 rows-only ≈ 46 candidates vs ~50
+# driver slots — everything should be sampled this round.
 _DEFER = ()
 
 

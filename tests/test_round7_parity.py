@@ -338,15 +338,28 @@ def test_containment_walk_bounded_on_cycle(spark):
     """containment_walk's contract is a FOREST; feeding it a cycle must
     still terminate at max_iters (pointer keeps orbiting, depth =
     max_iters) rather than hang — the guard a malformed parent edge
-    list at scale relies on."""
+    list at scale relies on. With require_drained (the registered
+    default) the same undrained cap raises LOUDLY instead of returning
+    partially-resolved roots that would silently hash-mismatch the
+    fully-resolving recursive-CTE oracle."""
+    import pytest
+
     from velox_hadoop_spark.operators.graph import containment_walk
 
     nodes = spark.createDataFrame([(1,), (2,)], "node long")
     edges = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
-    out = {r.node: r for r in containment_walk(nodes, edges, max_iters=4).collect()}
+    out = {
+        r.node: r
+        for r in containment_walk(
+            nodes, edges, max_iters=4, require_drained=False
+        ).collect()
+    }
     assert out[1].depth == 4 and out[2].depth == 4
     # even pass count: each pointer returns to its own node
     assert out[1].anc == 1 and out[2].anc == 2
+
+    with pytest.raises(RuntimeError, match="still moving"):
+        containment_walk(nodes, edges, max_iters=4)
 
 
 def test_vocab_growth_curve_conserves_vocabulary(spark):

@@ -733,6 +733,7 @@ def containment_walk(
     nodes: DataFrame,
     edges: DataFrame,
     max_iters: int = 12,
+    require_drained: bool = True,
 ) -> DataFrame:
     """Resolve each node's ROOT ancestor and depth over a parent
     forest — the iterative-driver-loop counterpart of ``bfs_levels``
@@ -783,6 +784,19 @@ def containment_walk(
         cur = stepped.select("node", "anc", "depth")
         if not n_moved:
             break
+    else:
+        # mirror bfs_levels' require_drained: pointers still moving at
+        # the iteration cap means a deeper-than-max_iters forest (or a
+        # cycle) — a silent return would hand back partially-resolved
+        # roots that hash-mismatch the fully-resolving recursive-CTE
+        # oracle with no loud signal. require_drained=False keeps the
+        # bounded-orbit termination guard for malformed (cyclic) edge
+        # lists where the caller wants the capped frame back.
+        if require_drained:
+            raise RuntimeError(
+                f"containment_walk: {n_moved} pointers still moving after "
+                f"{max_iters} passes — forest deeper than max_iters"
+            )
     return cur
 
 
