@@ -48,7 +48,7 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | list[str],
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
@@ -60,12 +60,18 @@ def asof_join(
     scale-correct pattern (a naive correlated max-subquery would be a
     join-per-row).
 
+    ``key`` may be a single column or a composite key list (the grouped
+    / multi-key as-of: per-symbol fills partition on every key column,
+    which also bounds each window partition to one group's rows — the
+    property that keeps the sort local at 100 TB).
+
     Two right rows on the SAME (key, ts) are a defined tie: the row
     with the greatest ``value_cols`` tuple wins. Without that ordering
     term the winner would be whichever row the shuffle happened to
     deliver last — a run-to-run nondeterminism that only shows up at
     scale (same-millisecond ticks), so the window order pins it.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     lcols = left.columns
     l = left.withColumn("__t", F.col(left_ts).cast("timestamp")).withColumn(
         "__tag", F.lit(1)
@@ -73,7 +79,7 @@ def asof_join(
     for v in value_cols:
         l = l.withColumn(f"__v_{v}", F.lit(None).cast(right.schema[v].dataType))
     r = right.select(
-        F.col(key),
+        *[F.col(k) for k in keys],
         F.col(right_ts).cast("timestamp").alias("__t"),
         F.lit(0).alias("__tag"),
         *[F.col(v).alias(f"__v_{v}") for v in value_cols],
@@ -85,7 +91,7 @@ def asof_join(
         r.select(*lcols, "__t", "__tag", *[f"__v_{v}" for v in value_cols])
     )
     w = (
-        Window.partitionBy(key)
+        Window.partitionBy(*keys)
         .orderBy("__t", "__tag", *[F.col(f"__v_{v}") for v in value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -1,0 +1,466 @@
+"""Time-series operators, round 8. [extension]
+
+Grouped / multi-key as-of joins (the per-symbol fill family a market-
+data or feature-store pipeline runs constantly), tolerance-bounded
+as-of, LOCF gap fill onto a per-group daily spine, MACD smoothing, and
+Kendall rank correlation over the day domain.
+
+Reference parity: the reference engine's join surface is the
+repartition/broadcast equi-join family (LeanJoin.java.bak:105-140,
+Step3Mapper.java:22-76); the as-of variants here are the standard
+extension of that surface to ordered keys, expressed as tagged-union +
+fill windows (one shuffle, no per-row lookups) rather than a
+correlated lookup per probe row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.operators.join import asof_join
+from velox_hadoop_spark.plans.registry import register
+
+# MACD spans (classic 12/26/9) expressed as smoothing factors
+# alpha = 2/(span+1); the EMA is evaluated in truncated-window form
+# over the daily spine (horizon below), like ewma_daily_revenue —
+# the exact recursive form is not a relational expression, and the
+# truncated form is what both engines can state identically.
+MACD_FAST = 2.0 / 13.0
+MACD_SLOW = 2.0 / 27.0
+MACD_SIGNAL = 2.0 / 10.0
+MACD_HORIZON = 60  # days; residual tail weight (1-a)^60 < 0.5% for all three
+
+ASOF_TOLERANCE_S = 600  # tolerance-bounded as-of: 10 minutes
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Multi-key (grouped) backward as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_grouped_backward",
+    oracle="""
+        WITH views AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, ts, max(value) AS v
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, CAST(ts AS DATE), ts
+        ),
+        p AS (
+            SELECT event_id, user_id, CAST(ts AS DATE) AS d, ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.d, p.ts, p.value,
+               (SELECT v.v FROM views v
+                WHERE v.user_id = p.user_id AND v.d = p.d AND v.ts <= p.ts
+                ORDER BY v.ts DESC, v.v DESC LIMIT 1) AS asof_view_value
+        FROM p
+    """,
+    tags=("timeseries", "asof-join", "multi-key", "extension"),
+)
+def q_asof_join_grouped_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-KEY backward as-of join: for each purchase, the most
+    recent view value at-or-before its timestamp within the same
+    (user, calendar day) — the per-symbol/per-session variant of
+    ``asof_join_events``. The composite key goes straight into the
+    shared tagged-union kernel (``join.asof_join``), whose fill window
+    now partitions on BOTH key columns: each window partition is one
+    user-day, so the sort is local and bounded no matter how long the
+    user's full history grows — the property the single-key form loses
+    on multi-year hot users. The oracle is a correlated subquery
+    (independent formulation, not a mirror of the fill window). Views
+    on the same (user, day, ts) are pre-collapsed by max value, the
+    kernel's documented tie rule."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "ts",
+        "value",
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"), "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key=["user_id", "d"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["v"],
+    )
+    return out.select(
+        "event_id", "user_id", "d", "ts", "value", F.col("asof_v").alias("asof_view_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tolerance-bounded backward as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+        WITH clicks AS (
+            SELECT user_id, ts, max(value) AS v
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        p AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               (SELECT c.v FROM clicks c
+                WHERE c.user_id = p.user_id
+                  AND c.ts <= p.ts
+                  AND c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_S} SECOND
+                ORDER BY c.ts DESC, c.v DESC LIMIT 1) AS click_value_10m
+        FROM p
+    """,
+    tags=("timeseries", "asof-join", "tolerance", "extension"),
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded backward as-of: each purchase gets the user's
+    most recent click value, but only if it is at most 10 minutes
+    stale — older state is NULL (the staleness contract every
+    feature-store point-in-time join carries). Same tagged-union +
+    fill-window shape as the unbounded kernel, except the fill carries
+    a (ts, value) STRUCT so the staleness of the carried click is
+    known at the probe row, where one comparison nulls out expired
+    state — no second join, no correlated lookup. The oracle is the
+    independent correlated-subquery formulation with the window bound
+    in the WHERE clause."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    l = purchases.withColumn("__tag", F.lit(1)).withColumn(
+        "__cv", F.lit(None).cast("struct<ts:timestamp,v:double>")
+    )
+    r = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("__tag"),
+        F.struct(F.col("ts"), F.col("v")).alias("__cv"),
+    ).select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        "__tag",
+        "__cv",
+    )
+    unioned = l.select("event_id", "user_id", "ts", "value", "__tag", "__cv").unionByName(r)
+    # click (tag 0) sorts before the purchase at equal ts → inclusive;
+    # struct order (ts, v) makes the max-value same-ts click the carried
+    # one, matching the pre-collapse + ORDER BY v DESC tie rule
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "__tag", "__cv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "__tag",
+        F.last("__cv", ignorenulls=True).over(w).alias("__last"),
+    ).where(F.col("__tag") == 1)
+    fresh = F.col("__last.ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_S} SECOND"
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(fresh, F.col("__last.v")).alias("click_value_10m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped LOCF gap fill onto a per-group daily spine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouped_locf_daily_fill",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   ROUND(avg(value), 6) AS day_avg
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        spine AS (
+            SELECT t.event_type, dd.d
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) dd
+        ),
+        filled AS (
+            SELECT s.event_type, s.d, o.day_avg,
+                   last_value(o.day_avg IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_avg,
+                   last_value(o.d IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS src_d
+            FROM spine s LEFT JOIN obs o
+              ON o.event_type = s.event_type AND o.d = s.d
+        )
+        SELECT event_type, d, filled_avg,
+               CAST(date_diff('day', src_d, d) AS BIGINT) AS gap_days
+        FROM filled WHERE filled_avg IS NOT NULL
+    """,
+    tags=("timeseries", "gap-fill", "locf", "grouped", "extension"),
+)
+def q_grouped_locf_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group LOCF (last observation carried forward) onto a daily
+    spine: every (event_type, day) cell of the observed calendar gets
+    the group's latest daily average at-or-before that day, plus how
+    stale it is (gap_days) — the forward-fill every per-symbol price
+    or sensor table needs before resampling. Scale shape: the fact
+    table collapses to the (group × day) grain FIRST, so the spine is
+    |groups| × |calendar| — bounded by the calendar, independent of
+    fact rows — and the LOCF window partitions per group over that
+    spine (a few thousand rows per group even at decades of days).
+    Leading days before a group's first observation are dropped (no
+    value to carry), exactly as the oracle's IS NOT NULL does."""
+    ev = _events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    types = ev.select("event_type").distinct()
+    days = ev.select(F.col("ts").cast("date").alias("d")).distinct()
+    spine = types.crossJoin(days)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        spine.join(obs, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.last("day_avg", ignorenulls=True).over(w).alias("filled_avg"),
+            F.last(F.when(F.col("day_avg").isNotNull(), F.col("d")), ignorenulls=True)
+            .over(w)
+            .alias("src_d"),
+        )
+    )
+    return filled.where(F.col("filled_avg").isNotNull()).select(
+        "event_type",
+        "d",
+        "filled_avg",
+        F.datediff("d", "src_d").cast("long").alias("gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MACD over daily revenue
+# ---------------------------------------------------------------------------
+
+
+def _duck_trunc_ema(value: str, alpha: float, src: str = "daily") -> str:
+    """Truncated-window EMA fragment (DuckDB): weights (1-a)^age over a
+    MACD_HORIZON-day lookback, adaptively normalized (same early-window
+    behavior as pandas ewm(adjust=True))."""
+    return f"""
+        SELECT a.d,
+               SUM(b.{value} * POWER({1.0 - alpha}, date_diff('day', b.d, a.d)))
+                   / SUM(POWER({1.0 - alpha}, date_diff('day', b.d, a.d))) AS ema
+        FROM {src} a JOIN {src} b
+          ON b.d <= a.d AND b.d >= a.d - INTERVAL {MACD_HORIZON - 1} DAY
+        GROUP BY a.d
+    """
+
+
+@register(
+    "macd_daily_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS rev
+            FROM orders GROUP BY 1
+        ),
+        fast AS ({_duck_trunc_ema("rev", MACD_FAST)}),
+        slow AS ({_duck_trunc_ema("rev", MACD_SLOW)}),
+        macd AS (
+            SELECT f.d,
+                   floor((f.ema - s.ema) * 10000 + 0.5) / 10000 AS macd
+            FROM fast f JOIN slow s ON f.d = s.d
+        ),
+        sig AS (
+            SELECT a.d,
+                   floor(
+                       SUM(b.macd * POWER({1.0 - MACD_SIGNAL}, date_diff('day', b.d, a.d)))
+                       / SUM(POWER({1.0 - MACD_SIGNAL}, date_diff('day', b.d, a.d)))
+                       * 10000 + 0.5) / 10000 AS signal
+            FROM macd a JOIN macd b
+              ON b.d <= a.d AND b.d >= a.d - INTERVAL {MACD_HORIZON - 1} DAY
+            GROUP BY a.d
+        )
+        SELECT m.d, m.macd, g.signal,
+               floor((m.macd - g.signal) * 10000 + 0.5) / 10000 AS histogram
+        FROM macd m JOIN sig g ON m.d = g.d
+    """,
+    tags=("timeseries", "finance", "macd", "extension"),
+)
+def q_macd_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (12/26/9) over daily order revenue: fast EMA minus slow
+    EMA, a 9-span signal EMA over the MACD line, and their histogram —
+    the standard momentum triple. EMAs are evaluated in truncated-
+    window form (60-day horizon, adaptive normalization; residual tail
+    weight < 0.5%) because the exact recursive form is not relational;
+    both engines state the identical formula, and a plain-Python
+    brute-force recompute pins it independently of the mirrored
+    oracle (tests/test_round8_parity.py).
+
+    Scale shape: revenue collapses to the day grain FIRST, so every
+    join here runs on the calendar-bounded day spine (≈2.4k rows
+    regardless of fact volume) with the lookback side broadcast; the
+    MACD line is rounded to 4dp in both engines BEFORE the signal
+    smoothing so the second pass consumes identical doubles, leaving
+    only the documented half-ulp-at-a-boundary hazard per rounding."""
+    daily = _orders(spark, sf_dir).groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("rev")
+    )
+
+    def trunc_ema(src: DataFrame, value: str, alpha: float, out: str) -> DataFrame:
+        a, b = src.alias("a"), src.alias("b")
+        age = F.datediff(F.col("a.d"), F.col("b.d"))
+        w = F.pow(F.lit(1.0 - alpha), age)
+        return (
+            a.join(
+                F.broadcast(b),
+                (F.col("b.d") <= F.col("a.d"))
+                & (F.col("b.d") >= F.date_sub(F.col("a.d"), MACD_HORIZON - 1)),
+            )
+            .groupBy(F.col("a.d").alias("d"))
+            .agg((F.sum(F.col(f"b.{value}") * w) / F.sum(w)).alias(out))
+        )
+
+    fast = trunc_ema(daily, "rev", MACD_FAST, "ema_f")
+    slow = trunc_ema(daily, "rev", MACD_SLOW, "ema_s")
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    macd = fast.join(slow, "d").select(
+        "d", r4(F.col("ema_f") - F.col("ema_s")).alias("macd")
+    )
+    sig = trunc_ema(macd, "macd", MACD_SIGNAL, "sig_raw").select(
+        "d", r4(F.col("sig_raw")).alias("signal")
+    )
+    return macd.join(sig, "d").select(
+        "d",
+        "macd",
+        "signal",
+        r4(F.col("macd") - F.col("signal")).alias("histogram"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall rank correlation (tau-b) over the day domain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CASE WHEN (a.rev_c - b.rev_c) * (a.n_orders - b.n_orders) > 0
+                        THEN 1 ELSE 0 END AS conc,
+                   CASE WHEN (a.rev_c - b.rev_c) * (a.n_orders - b.n_orders) < 0
+                        THEN 1 ELSE 0 END AS disc,
+                   CASE WHEN a.rev_c = b.rev_c AND a.n_orders <> b.n_orders
+                        THEN 1 ELSE 0 END AS tie_x,
+                   CASE WHEN a.rev_c <> b.rev_c AND a.n_orders = b.n_orders
+                        THEN 1 ELSE 0 END AS tie_y
+            FROM daily a JOIN daily b ON a.d < b.d
+        )
+        SELECT CAST(sum(conc) AS BIGINT) AS n_concordant,
+               CAST(sum(disc) AS BIGINT) AS n_discordant,
+               ROUND(
+                   (sum(conc) - sum(disc))
+                   / sqrt((sum(conc) + sum(disc) + sum(tie_x))
+                          * (sum(conc) + sum(disc) + sum(tie_y))),
+                   6) AS tau_b
+        FROM pairs
+    """,
+    tags=("stats", "rank-correlation", "kendall", "extension"),
+)
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily revenue and daily order count:
+    concordant minus discordant day pairs over the tie-corrected
+    geometric mean (the rank correlation robust to the heavy ties a
+    count column has). All comparisons run on INTEGER cents and
+    counts, so concordance is exact — no float membership predicate.
+
+    Scale shape: like spearman_rank_corr, the statistic is computed
+    over the DAY domain, not the fact rows — the self-join is
+    calendar-bounded (≈2.4k days → ~3M pairs at any SF) with one side
+    broadcast, after a single grouped aggregate over the fact table.
+    A plain-Python brute-force recompute pins the formula
+    independently of the mirrored oracle."""
+    daily = _orders(spark, sf_dir).groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"),
+        F.count("*").alias("n_orders"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    dx = F.col("a.rev_c") - F.col("b.rev_c")
+    dy = F.col("a.n_orders") - F.col("b.n_orders")
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+        F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("tie_x"),
+        F.when((dx != 0) & (dy == 0), 1).otherwise(0).alias("tie_y"),
+    )
+    agg = pairs.agg(
+        F.sum("conc").alias("C"),
+        F.sum("disc").alias("D"),
+        F.sum("tie_x").alias("TX"),
+        F.sum("tie_y").alias("TY"),
+    )
+    return agg.select(
+        F.col("C").cast("long").alias("n_concordant"),
+        F.col("D").cast("long").alias("n_discordant"),
+        F.round(
+            (F.col("C") - F.col("D"))
+            / F.sqrt(
+                (F.col("C") + F.col("D") + F.col("TX"))
+                * (F.col("C") + F.col("D") + F.col("TY"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
