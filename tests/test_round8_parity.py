@@ -224,6 +224,269 @@ def test_decontam_span_merge_brute_force(spark):
     assert expected, "corpus must contain at least one contaminated doc"
 
 
+# ---------------------------------------------------------------------------
+# dedup2: independent recomputes and conservation invariants
+# ---------------------------------------------------------------------------
+
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _bucket(key, seed: str, n: int = 100) -> int:
+    return _md5_60(f"{seed}|{key}") % n
+
+
+def test_epoch_sampling_brute_force(spark):
+    """Recompute every epoch membership in plain-Python MD5 — all seven
+    overlap counters and both quota plans must match exactly (the hash
+    formula is mirrored in the oracle, so parity alone can't catch a
+    shared seeding mistake)."""
+    from velox_hadoop_spark.operators.dedup2 import (
+        EPOCH_PCT,
+        EPOCH_SEEDS,
+        QUOTA_PER_SOURCE,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    members = [
+        {d for d, _ in docs if _bucket(d, s) < EPOCH_PCT} for s in EPOCH_SEEDS
+    ]
+    row = registry.specs()["epoch_sample_overlap"].fn(spark, SF_SMALL).collect()[0]
+    assert (row.n_epoch0, row.n_epoch1, row.n_epoch2) == tuple(
+        len(m) for m in members
+    )
+    assert row.n_overlap_01 == len(members[0] & members[1])
+    assert row.n_overlap_12 == len(members[1] & members[2])
+    assert row.n_overlap_02 == len(members[0] & members[2])
+    assert row.n_never_sampled == len(
+        {d for d, _ in docs} - members[0] - members[1] - members[2]
+    )
+
+    # exact quotas: the K smallest re-seeded hashes per source, per epoch
+    expected = {}
+    sources = {}
+    for d, src in docs:
+        sources.setdefault(src, []).append(d)
+    for e, seed in enumerate(EPOCH_SEEDS[:2]):
+        for src, ids in sources.items():
+            pick = sorted(ids, key=lambda d: (_md5_60(f"{seed}|{d}"), d))[
+                :QUOTA_PER_SOURCE
+            ]
+            expected[(e, src)] = (len(pick), sum(pick))
+    got = {
+        (r.epoch, r.source): (r.n_sampled, r.id_checksum)
+        for r in registry.specs()["epoch_quota_exact_per_source"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_tablesample_nesting_and_fractions(spark):
+    """The three samples are nested by construction and their counts
+    match a plain-Python bucket recompute."""
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    ]
+    buckets = {d: _bucket(d, "split42") for d in ids}
+    got = {
+        r.pct: r
+        for r in registry.specs()["tablesample_parity_report"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    prev = set()
+    for pct in (10, 20, 50):
+        sample = {d for d in ids if buckets[d] < pct}
+        assert got[pct].n_docs == len(sample)
+        assert prev <= sample  # nesting
+        assert got[pct].observed_frac == pytest.approx(
+            round(len(sample) / len(ids), 6)
+        )
+        prev = sample
+
+
+def test_cross_snapshot_decay_keeper_invariants(spark):
+    """Conservation + keeper optimality, independent of the mirrored
+    keeper SQL: Σ n_docs = corpus size, Σ n_kept = number of clusters,
+    and for every cluster the keeper chosen by the Spark pipeline has
+    the maximum decayed weight (tie → lowest id) among its members."""
+    from velox_hadoop_spark.operators.dedup2 import (
+        DECAY_MILLE,
+        N_SNAPSHOTS,
+        SNAP_SEED,
+        _cluster_labels,
+    )
+
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in _cluster_labels(spark, SF_SMALL).collect()
+    }
+    chars = dict(
+        duckdb.sql(
+            f"SELECT doc_id, n_chars FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    )
+    clusters = {}
+    for d, c in labels.items():
+        clusters.setdefault(c, []).append(d)
+    keepers = {}
+    for c, ids in clusters.items():
+        keepers[c] = max(
+            ids,
+            key=lambda d: (
+                chars[d] * DECAY_MILLE[_bucket(d, SNAP_SEED, N_SNAPSHOTS)],
+                -d,
+            ),
+        )
+    per_snap_kept = {}
+    per_snap_docs = {}
+    per_snap_chars = {}
+    for d in labels:
+        s = _bucket(d, SNAP_SEED, N_SNAPSHOTS)
+        per_snap_docs[s] = per_snap_docs.get(s, 0) + 1
+        if d == keepers[labels[d]]:
+            per_snap_kept[s] = per_snap_kept.get(s, 0) + 1
+            per_snap_chars[s] = per_snap_chars.get(s, 0) + chars[d]
+    got = {
+        r.snapshot: r
+        for r in registry.specs()["cross_snapshot_dedup_decay"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert sum(r.n_docs for r in got.values()) == len(labels)
+    assert sum(r.n_kept for r in got.values()) == len(clusters)
+    for s, r in got.items():
+        assert r.n_docs == per_snap_docs.get(s, 0)
+        assert r.n_kept == per_snap_kept.get(s, 0)
+        assert r.n_dropped == r.n_docs - r.n_kept
+        assert r.kept_chars == per_snap_chars.get(s, 0)
+
+
+def test_intra_cluster_jaccard_brute_force(spark):
+    """Exact 5-gram Jaccard recompute in plain-Python sets over the
+    pipeline's own cluster assignment (cluster derivation is already
+    cross-checked by dedup_clusters' recursive-CTE oracle); pins the
+    shingle cap, the member cap, and the zero-overlap pairs the
+    shared-shingle join must not drop."""
+    from velox_hadoop_spark.operators.dedup import MAX_KEY_DOC_FREQ, SHINGLE_K
+    from velox_hadoop_spark.operators.dedup2 import (
+        CLUSTER_AUDIT_CAP,
+        _cluster_labels,
+    )
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    )
+    shingles = {}
+    for d, t in texts.items():
+        w = t.split()
+        shingles[d] = {
+            " ".join(w[i : i + SHINGLE_K]) for i in range(len(w) - SHINGLE_K + 1)
+        }
+    freq = {}
+    for s in shingles.values():
+        for g in s:
+            freq[g] = freq.get(g, 0) + 1
+    hot = {g for g, c in freq.items() if c > MAX_KEY_DOC_FREQ}
+    capped = {d: s - hot for d, s in shingles.items()}
+
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in _cluster_labels(spark, SF_SMALL).collect()
+    }
+    clusters = {}
+    for d, c in labels.items():
+        clusters.setdefault(c, []).append(d)
+
+    expected = {}
+    for c, ids in clusters.items():
+        if len(ids) < 2:
+            continue
+        members = sorted(ids)[:CLUSTER_AUDIT_CAP]
+        js = []
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = capped[members[i]], capped[members[j]]
+                inter = len(a & b)
+                js.append(inter / (len(a) + len(b) - inter))
+        expected[c] = (
+            len(ids),
+            len(js),
+            round(sum(js) / len(js), 6),
+            round(min(js), 6),
+        )
+
+    got = {
+        r.cluster_id: (r.n_members, r.n_pairs, r.avg_jaccard, r.min_jaccard)
+        for r in registry.specs()["intra_cluster_jaccard_audit"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for c in expected:
+        assert got[c][:2] == expected[c][:2], c
+        assert got[c][2] == pytest.approx(expected[c][2], abs=2e-6), c
+        assert got[c][3] == pytest.approx(expected[c][3], abs=2e-6), c
+    assert expected, "corpus must contain at least one multi-member cluster"
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star CC: cross-implementation equivalence + depth
+# ---------------------------------------------------------------------------
+
+
+def test_lss_equals_union_find_on_lsh_graph(spark):
+    """connected_components_lss and dedup.connected_components (driver
+    union-find / label propagation) must assign IDENTICAL labels on the
+    real LSH candidate-pair graph — two independent algorithms, one
+    truth. This is the cross-implementation check the recursive-CTE
+    oracle can't give (it mirrors only one edge derivation)."""
+    from velox_hadoop_spark.operators.dedup import (
+        connected_components,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature_inline,
+    )
+    from velox_hadoop_spark.operators.graph import connected_components_lss
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sig = minhash_signature_inline(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id").persist()
+    try:
+        a = {r.node: r.lbl for r in connected_components(pairs).collect()}
+        b = {r.node: r.lbl for r in connected_components_lss(pairs).collect()}
+    finally:
+        pairs.unpersist()
+    assert a == b
+    assert a, "LSH graph must be non-empty at this SF"
+
+
+def test_lss_collapses_long_chain(spark):
+    """A 200-node chain — the adversarial topology for per-pass label
+    propagation — must collapse to one component rooted at the min id
+    within the default pass budget (LSS's O(log n) round bound is the
+    100 TB story; this pins it on depth the real corpus never has)."""
+    from velox_hadoop_spark.operators.graph import connected_components_lss
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    labels = {r.node: r.lbl for r in connected_components_lss(chain).collect()}
+    assert labels == {i: 1 for i in range(1, n + 1)}
+
+
 def test_asof_tolerance_synthetic_semantics(spark):
     """A click exactly AT the bound is fresh (inclusive); one second
     past is NULL; a later purchase reuses the same carried click while

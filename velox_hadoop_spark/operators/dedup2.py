@@ -43,12 +43,6 @@ EPOCH_SEEDS = ("ep0", "ep1", "ep2")
 QUOTA_PER_SOURCE = 10
 CLUSTER_AUDIT_CAP = 16  # members audited per cluster (smallest doc_ids)
 
-_NORM_DIGEST_SPARK = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
-_NORM_DIGEST_DUCK = (
-    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
-)
-
-
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -72,144 +66,18 @@ def _decay_col(age: F.Column) -> F.Column:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "cross_snapshot_dedup_decay",
-    oracle=f"""
-        WITH norm AS (
-            SELECT doc_id, n_chars,
-                   {H.duck_bucket("doc_id", SNAP_SEED, N_SNAPSHOTS)} AS snapshot,
-                   {_NORM_DIGEST_DUCK} AS digest
-            FROM documents
-        ),
-        weighted AS (
-            SELECT *, n_chars * {_decay_case_duck("snapshot")} AS weight
-            FROM norm
-        ),
-        keepers AS (
-            SELECT digest, doc_id AS keep_id FROM (
-                SELECT digest, doc_id, row_number() OVER (
-                    PARTITION BY digest ORDER BY weight DESC, doc_id
-                ) AS rn FROM weighted
-            ) WHERE rn = 1
-        )
-        SELECT w.snapshot,
-               count(*) AS n_docs,
-               CAST(count(*) FILTER (WHERE w.doc_id = k.keep_id) AS BIGINT)
-                   AS n_kept,
-               CAST(count(*) FILTER (WHERE w.doc_id <> k.keep_id) AS BIGINT)
-                   AS n_dropped,
-               CAST(coalesce(sum(w.n_chars) FILTER (WHERE w.doc_id = k.keep_id), 0)
-                    AS BIGINT) AS kept_chars
-        FROM weighted w JOIN keepers k USING (digest)
-        GROUP BY w.snapshot
-    """,
-    tags=("dedup", "cross-snapshot", "keeper-policy", "extension"),
-)
-def q_cross_snapshot_dedup_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-snapshot dedup with a time-decayed keeper: documents carry
-    a crawl-snapshot age (hash-derived here, 0 = freshest), duplicate
-    groups form on the normalized digest ACROSS snapshots, and each
-    group's keeper maximizes length × 0.85^age — prefer the longer
-    copy, but discount stale crawls (tie → lowest doc_id). The decay
-    is exact integer per-mille arithmetic in both engines, so keeper
-    membership never rides a float. Output is the per-snapshot
-    retention report. One digest shuffle; keeper selection is a
-    max_by inside the group aggregate, joined back as a broadcast-able
-    (group-count-bounded) keeper table — the same single-shuffle shape
-    as dedup_keep_policy_matrix (llmops3.py), extended with the
-    snapshot dimension a recurring crawl adds."""
-    snap = F.expr(H.spark_bucket("doc_id", SNAP_SEED, N_SNAPSHOTS))
-    weighted = _docs(spark, sf_dir).select(
-        "doc_id",
-        "n_chars",
-        snap.alias("snapshot"),
-        _NORM_DIGEST_SPARK.alias("digest"),
-    ).withColumn("weight", F.col("n_chars") * _decay_col(F.col("snapshot")))
-    keepers = weighted.groupBy("digest").agg(
-        F.max_by(
-            "doc_id", F.struct(F.col("weight"), (-F.col("doc_id")).alias("nid"))
-        ).alias("keep_id")
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) over ALL documents: the dedup_clusters
+    LSH→CC assignment, singletons labeled by themselves."""
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signature_inline(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    labels = connected_components(pairs)
+    return docs.select("doc_id").join(
+        labels.select(F.col("node").alias("doc_id"), "lbl"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("lbl"), F.col("doc_id")).alias("cluster_id")
     )
-    kept = F.col("doc_id") == F.col("keep_id")
-    return (
-        weighted.join(keepers, "digest")
-        .groupBy("snapshot")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
-            F.count(F.when(~kept, 1)).cast("long").alias("n_dropped"),
-            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
-            .cast("long")
-            .alias("kept_chars"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Field-wise survivorship (golden records)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_survivorship_golden",
-    oracle=f"""
-        WITH norm AS (
-            SELECT doc_id, n_chars, source, lang,
-                   {_NORM_DIGEST_DUCK} AS digest
-            FROM documents
-        )
-        SELECT digest,
-               count(*) AS n_merged,
-               CAST(min(doc_id) AS BIGINT) AS first_seen_id,
-               CAST(arg_max(doc_id, ROW(n_chars, -doc_id)) AS BIGINT)
-                   AS golden_doc_id,
-               min(source) AS golden_source,
-               min(lang) AS golden_lang,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars,
-               CAST(max(n_chars) AS BIGINT) AS golden_chars
-        FROM norm GROUP BY digest HAVING count(*) >= 2
-    """,
-    tags=("dedup", "survivorship", "golden-record", "extension"),
-)
-def q_dedup_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Field-wise survivorship over duplicate groups: instead of
-    keeping ONE row, each group of normalized-exact duplicates merges
-    into a golden record — content from the longest copy (tie →
-    lowest id), provenance fields by deterministic min, plus the
-    merge-lineage counters (n_merged, first_seen_id, total payload).
-    This is master-data-style entity consolidation applied to corpus
-    dedup. One digest shuffle; every survivorship rule is a min/max/
-    max_by inside a single aggregate — no window, no self-join, no
-    per-group row fetch."""
-    norm = _docs(spark, sf_dir).select(
-        "doc_id",
-        "n_chars",
-        "source",
-        "lang",
-        _NORM_DIGEST_SPARK.alias("digest"),
-    )
-    return (
-        norm.groupBy("digest")
-        .agg(
-            F.count("*").alias("n_merged"),
-            F.min("doc_id").cast("long").alias("first_seen_id"),
-            F.max_by(
-                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
-            )
-            .cast("long")
-            .alias("golden_doc_id"),
-            F.min("source").alias("golden_source"),
-            F.min("lang").alias("golden_lang"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-            F.max("n_chars").cast("long").alias("golden_chars"),
-        )
-        .where(F.col("n_merged") >= 2)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Intra-cluster Jaccard QA audit for the LSH→CC dedup clusters
-# ---------------------------------------------------------------------------
 
 
 def _duck_cluster_cte() -> str:
@@ -247,6 +115,168 @@ def _duck_cluster_cte() -> str:
         comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
     """
     )
+
+
+# all-document cluster labels (singletons label themselves) on top of comp
+_DUCK_ALL_LABELS = """,
+        all_labels AS (
+            SELECT d.doc_id, d.n_chars,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        )
+    """
+
+
+@register(
+    "cross_snapshot_dedup_decay",
+    oracle=_duck_cluster_cte()
+    + _DUCK_ALL_LABELS
+    + f""",
+        weighted AS (
+            SELECT doc_id, n_chars, cluster_id,
+                   {H.duck_bucket("doc_id", SNAP_SEED, N_SNAPSHOTS)} AS snapshot
+            FROM all_labels
+        ),
+        w2 AS (
+            SELECT *, n_chars * {_decay_case_duck("snapshot")} AS weight
+            FROM weighted
+        ),
+        keepers AS (
+            SELECT cluster_id, doc_id AS keep_id FROM (
+                SELECT cluster_id, doc_id, row_number() OVER (
+                    PARTITION BY cluster_id ORDER BY weight DESC, doc_id
+                ) AS rn FROM w2
+            ) WHERE rn = 1
+        )
+        SELECT w.snapshot,
+               count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE w.doc_id = k.keep_id) AS BIGINT)
+                   AS n_kept,
+               CAST(count(*) FILTER (WHERE w.doc_id <> k.keep_id) AS BIGINT)
+                   AS n_dropped,
+               CAST(coalesce(sum(w.n_chars) FILTER (WHERE w.doc_id = k.keep_id), 0)
+                    AS BIGINT) AS kept_chars
+        FROM w2 w JOIN keepers k USING (cluster_id)
+        GROUP BY w.snapshot
+    """,
+    tags=("dedup", "cross-snapshot", "keeper-policy", "extension"),
+)
+def q_cross_snapshot_dedup_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup with a time-decayed keeper: documents carry
+    a crawl-snapshot age (hash-derived here, 0 = freshest), duplicate
+    groups are the LSH→CC near-dup clusters (the groups a recurring
+    crawl actually dedups across — exact-digest groups are the
+    degenerate subset), and each group's keeper maximizes
+    length × 0.85^age — prefer the longer copy, but discount stale
+    crawls (tie → lowest doc_id). The decay is exact integer per-mille
+    arithmetic in both engines, so keeper membership never rides a
+    float. Output is the per-snapshot retention report. Keeper
+    selection is a max_by inside one cluster-keyed aggregate, joined
+    back as a group-count-bounded keeper table — the single-shuffle
+    keeper shape of dedup_keep_policy_matrix (llmops3.py), extended
+    with the snapshot dimension and the near-dup group base."""
+    snap = F.expr(H.spark_bucket("doc_id", SNAP_SEED, N_SNAPSHOTS))
+    weighted = (
+        _cluster_labels(spark, sf_dir)
+        .join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "n_chars", "cluster_id", snap.alias("snapshot"))
+        .withColumn("weight", F.col("n_chars") * _decay_col(F.col("snapshot")))
+    )
+    keepers = weighted.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("weight"), (-F.col("doc_id")).alias("nid"))
+        ).alias("keep_id")
+    )
+    kept = F.col("doc_id") == F.col("keep_id")
+    return (
+        weighted.join(keepers, "cluster_id")
+        .groupBy("snapshot")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+            F.count(F.when(~kept, 1)).cast("long").alias("n_dropped"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Field-wise survivorship (golden records)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_survivorship_golden",
+    oracle=_duck_cluster_cte()
+    + _DUCK_ALL_LABELS
+    + """,
+        norm AS (
+            SELECT a.cluster_id, a.doc_id, d.n_chars, d.source, d.lang
+            FROM all_labels a JOIN documents d ON a.doc_id = d.doc_id
+        ),
+        golden AS (
+            SELECT cluster_id, doc_id AS golden_doc_id FROM (
+                SELECT cluster_id, doc_id, row_number() OVER (
+                    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+                ) AS rn FROM norm
+            ) WHERE rn = 1
+        ),
+        grp AS (
+            SELECT cluster_id,
+                   count(*) AS n_merged,
+                   CAST(min(doc_id) AS BIGINT) AS first_seen_id,
+                   min(source) AS golden_source,
+                   min(lang) AS golden_lang,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(max(n_chars) AS BIGINT) AS golden_chars
+            FROM norm GROUP BY cluster_id HAVING count(*) >= 2
+        )
+        SELECT grp.cluster_id, n_merged, first_seen_id,
+               CAST(golden_doc_id AS BIGINT) AS golden_doc_id,
+               golden_source, golden_lang, total_chars, golden_chars
+        FROM grp JOIN golden USING (cluster_id)
+    """,
+    tags=("dedup", "survivorship", "golden-record", "extension"),
+)
+def q_dedup_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-wise survivorship over the LSH→CC near-dup clusters:
+    instead of keeping ONE row, each multi-member cluster merges into
+    a golden record — content from the longest copy (tie → lowest
+    id), provenance fields by deterministic min, plus the
+    merge-lineage counters (n_merged, first_seen_id, total payload).
+    This is master-data-style entity consolidation applied to corpus
+    dedup. One cluster-keyed shuffle after the shared LSH→CC
+    assignment; every survivorship rule is a min/max/max_by inside a
+    single aggregate — no window, no self-join, no per-group row
+    fetch."""
+    norm = _cluster_labels(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "n_chars", "source", "lang"),
+        "doc_id",
+    )
+    return (
+        norm.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_merged"),
+            F.min("doc_id").cast("long").alias("first_seen_id"),
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+            )
+            .cast("long")
+            .alias("golden_doc_id"),
+            F.min("source").alias("golden_source"),
+            F.min("lang").alias("golden_lang"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_chars").cast("long").alias("golden_chars"),
+        )
+        .where(F.col("n_merged") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-cluster Jaccard QA audit for the LSH→CC dedup clusters
+# ---------------------------------------------------------------------------
 
 
 @register(

@@ -871,3 +871,164 @@ def q_bom_rollup_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("subtree_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components via large-star / small-star alternation
+# ---------------------------------------------------------------------------
+
+
+def _canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Distinct undirected edges as (u, v) with u < v, self-loops dropped."""
+    return (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star pass: every node u connects its LARGER neighbors
+    to m = min(N(u) ∪ {u}). Emitted edges are canonical by
+    construction (m ≤ u < v)."""
+    sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("v"))
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star pass: every node u connects its SMALLER neighbors
+    and itself to m = min of those neighbors."""
+    sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    smaller = sym.where(F.col("v") < F.col("u"))
+    mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        smaller.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("m").alias("u"), F.col("v"))
+    )
+    self_link = mins.select(F.col("m").alias("u"), F.col("u").alias("v"))
+    return (
+        rewired.union(self_link)
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def connected_components_lss(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation — the
+    100 TB-canonical CC (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): each pair-pass is two grouped
+    mins + two joins (NO per-node neighbor lists materialize, unlike
+    collect_list adjacency), converging in O(log² n) passes on any
+    topology — including long chains, where plain min-label
+    propagation needs diameter passes. Sits beside
+    ``dedup.connected_components`` (driver union-find / label
+    propagation) as the scale path; a cross-implementation test pins
+    the two equal on the LSH pair graph.
+
+    Termination is exact, not heuristic: a cheap (count, Σu, Σv)
+    signature prefilters, and the loop only stops when a full
+    large+small pass provably leaves the edge set unchanged (the
+    paper's fixed point — components collapsed to stars rooted at
+    their min id). Per-pass frames are localCheckpoint()ed and
+    released, the repo's standard iterative-loop discipline (constant
+    plan depth, bounded executor memory). Returns (node, lbl) like
+    ``connected_components``."""
+    e = _canonical_edges(pairs, id_a, id_b).localCheckpoint()
+    prev_sig = None
+    converged = False
+    for _ in range(max_iters):
+        new = _small_star(_large_star(e)).localCheckpoint()
+        sig = tuple(
+            new.agg(
+                F.count("*"), F.sum("u"), F.sum("v")
+            ).first()
+        )
+        if sig == prev_sig and _edge_sets_equal(new, e):
+            release(new)
+            converged = True
+            break
+        release(e)
+        e = new
+        prev_sig = sig
+    if not converged:
+        release(e)
+        raise RuntimeError(
+            f"connected_components_lss: no fixed point after {max_iters} "
+            "large/small-star pass pairs; raise max_iters"
+        )
+    leaves = e.select(F.col("v").alias("node"), F.col("u").alias("lbl"))
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("lbl")).distinct()
+    out = leaves.union(roots).distinct()
+    return out
+
+
+@register(
+    "connected_components_lss",
+    oracle="""
+        WITH RECURSIVE chain AS (
+            SELECT p_partkey,
+                   lag(p_partkey) OVER (
+                       PARTITION BY p_brand, p_size ORDER BY p_partkey
+                   ) AS prev
+            FROM part
+        ),
+        pairs AS (
+            SELECT prev AS id_a, p_partkey AS id_b FROM chain
+            WHERE prev IS NOT NULL
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        SELECT cluster_id, count(*) AS n_nodes FROM comp GROUP BY cluster_id
+    """,
+    tags=("graph", "connected-components", "large-star-small-star", "extension"),
+)
+def q_connected_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a CHAIN-topology edge list (each
+    (brand, size) group's parts linked consecutively) computed with
+    large-star/small-star — the adversarial case for per-pass label
+    propagation (a k-member chain needs k passes there; LSS collapses
+    it in O(log k) pair-passes). The components are provably the same
+    multi-part groups as ``connected_components_edges`` derives from
+    its star edges, but the recursive-CTE oracle walks the chain — so
+    the oracle checks the ALGORITHM on depth, not just the grouping."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    prev = F.lag("p_partkey").over(
+        Window.partitionBy("p_brand", "p_size").orderBy("p_partkey")
+    )
+    pairs = (
+        part.select("p_partkey", prev.alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("p_partkey").alias("id_b"))
+    )
+    labels = connected_components_lss(pairs)
+    return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count("*").alias("n_nodes")
+    )
