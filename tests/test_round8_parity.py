@@ -487,6 +487,124 @@ def test_lss_collapses_long_chain(spark):
     assert labels == {i: 1 for i in range(1, n + 1)}
 
 
+# ---------------------------------------------------------------------------
+# stats3: brute-force recomputes (no scipy — plain arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _priority_cents(sf=SF_SMALL):
+    return duckdb.sql(
+        f"""SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT)
+            FROM '{sf}/orders.parquet'"""
+    ).fetchall()
+
+
+def test_kruskal_wallis_brute_force(spark):
+    rows = _priority_cents()
+    vals = sorted(v for _, v in rows)
+    # midranks per value
+    rank_of = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank_of[vals[i]] = (i + 1 + j) / 2.0  # avg of ranks i+1..j
+        i = j
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(rank_of[v])
+    n = len(rows)
+    s = sum(sum(rs) ** 2 / len(rs) for rs in groups.values())
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    from collections import Counter
+
+    tie3 = sum(t**3 - t for t in Counter(vals).values())
+    hc = h / (1 - tie3 / (n**3 - n))
+
+    row = registry.specs()["kruskal_wallis_priority"].fn(spark, SF_SMALL).collect()[0]
+    assert row.n == n and row.k == len(groups)
+    assert row.h == pytest.approx(round(h, 6), abs=2e-6)
+    assert row.h_tie_corrected == pytest.approx(round(hc, 6), abs=2e-6)
+
+
+def test_jarque_bera_brute_force(spark):
+    rows = _priority_cents()
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    got = {
+        r.g: r
+        for r in registry.specs()["jarque_bera_order_values"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(groups)
+    for g, vs in groups.items():
+        n = len(vs)
+        m = sum(vs) / n
+        m2 = sum((x - m) ** 2 for x in vs) / n
+        m3 = sum((x - m) ** 3 for x in vs) / n
+        m4 = sum((x - m) ** 4 for x in vs) / n
+        S, K = m3 / m2**1.5, m4 / m2**2
+        jb = n / 6.0 * (S**2 + (K - 3) ** 2 / 4.0)
+        assert got[g].skewness == pytest.approx(S, abs=2e-6)
+        assert got[g].kurtosis == pytest.approx(K, abs=2e-6)
+        assert got[g].jb == pytest.approx(jb, rel=1e-5)
+
+
+def test_brown_forsythe_brute_force(spark):
+    rows = _priority_cents()
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+
+    def median(vs):
+        vs = sorted(vs)
+        n = len(vs)
+        return (
+            vs[n // 2] if n % 2 else (vs[n // 2 - 1] + vs[n // 2]) / 2.0
+        )
+
+    z = {g: [abs(x - median(vs)) for x in vs] for g, vs in groups.items()}
+    n = sum(len(v) for v in z.values())
+    k = len(z)
+    zbar = sum(sum(v) for v in z.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - zbar) ** 2 for v in z.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in z.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = registry.specs()["brown_forsythe_priority"].fn(spark, SF_SMALL).collect()[0]
+    assert (row.n, row.k) == (n, k)
+    assert row.f_stat == pytest.approx(round(f, 6), abs=2e-6)
+
+
+def test_cramers_v_brute_force(spark):
+    rows = duckdb.sql(
+        f"SELECT o_orderstatus, o_orderpriority FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    obs = Counter(rows)
+    rt = Counter(r for r, _ in rows)
+    ct = Counter(c for _, c in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for r in rt:
+        for c in ct:
+            e = rt[r] * ct[c] / n
+            chi2 += (obs.get((r, c), 0) - e) ** 2 / e
+    v = (chi2 / (n * (min(len(rt), len(ct)) - 1))) ** 0.5
+    row = (
+        registry.specs()["cramers_v_status_priority"].fn(spark, SF_SMALL).collect()[0]
+    )
+    assert (row.n, row.n_rows, row.n_cols) == (n, len(rt), len(ct))
+    assert row.chi2 == pytest.approx(chi2, rel=1e-6)
+    assert row.cramers_v == pytest.approx(round(v, 6), abs=2e-6)
+    assert 0.0 <= row.cramers_v <= 1.0
+
+
 def test_asof_tolerance_synthetic_semantics(spark):
     """A click exactly AT the bound is fresh (inclusive); one second
     past is NULL; a later purchase reuses the same carried click while

@@ -170,6 +170,7 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.timeseries4  # noqa: F401
     import velox_hadoop_spark.operators.contamination2  # noqa: F401
     import velox_hadoop_spark.operators.dedup2  # noqa: F401
+    import velox_hadoop_spark.operators.stats3  # noqa: F401
 
 
 def specs() -> dict[str, QuerySpec]:
