@@ -605,6 +605,356 @@ def test_cramers_v_brute_force(spark):
     assert 0.0 <= row.cramers_v <= 1.0
 
 
+# ---------------------------------------------------------------------------
+# llmops5: brute-force recomputes
+# ---------------------------------------------------------------------------
+
+
+def _doc_rows(sf=SF_SMALL):
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang, source FROM '{sf}/documents.parquet'"
+    ).fetchall()
+
+
+def test_gopher_rules_brute_force(spark):
+    from collections import Counter
+
+    from velox_hadoop_spark.operators.llmops5 import (
+        LANG_MARKERS,
+        R_MAX_MWL,
+        R_MAX_TOP_WORD_FRAC,
+        R_MAX_WORDS,
+        R_MIN_DISTINCT_RATIO,
+        R_MIN_MWL,
+        R_MIN_STOP_HITS,
+        R_MIN_WORDS,
+    )
+
+    en = set(LANG_MARKERS["en"])
+    per_source = {}
+    for _, text, _, source in _doc_rows():
+        w = text.split()
+        if not w:
+            continue
+        nw = len(w)
+        mwl = sum(len(x) for x in w) / nw
+        dr = len(set(w)) / nw
+        top = max(Counter(w).values()) / nw
+        stop = sum(1 for x in w if x in en)
+        flags = (
+            R_MIN_WORDS <= nw <= R_MAX_WORDS,
+            R_MIN_MWL <= mwl <= R_MAX_MWL,
+            dr >= R_MIN_DISTINCT_RATIO,
+            top <= R_MAX_TOP_WORD_FRAC,
+            stop >= R_MIN_STOP_HITS,
+        )
+        acc = per_source.setdefault(source, [0] * 7)
+        acc[0] += 1
+        for i, f in enumerate(flags):
+            acc[1 + i] += f
+        acc[6] += all(flags)
+    got = {
+        r.source: (
+            r.n_docs,
+            r.pass_word_count,
+            r.pass_mean_word_len,
+            r.pass_distinct_ratio,
+            r.pass_top_word,
+            r.pass_stopwords,
+            r.pass_all,
+        )
+        for r in registry.specs()["gopher_rule_report"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == {s: tuple(v) for s, v in per_source.items()}
+
+
+def test_cohens_kappa_brute_force(spark):
+    from velox_hadoop_spark.operators.llmops5 import LANG_MARKERS, R_MIN_STOP_HITS
+
+    en = set(LANG_MARKERS["en"])
+    n11 = n10 = n01 = n00 = 0
+    for _, text, lang, _ in _doc_rows():
+        a = 1 if lang == "en" else 0
+        b = 1 if sum(1 for x in text.split() if x in en) >= R_MIN_STOP_HITS else 0
+        if a and b:
+            n11 += 1
+        elif a:
+            n10 += 1
+        elif b:
+            n01 += 1
+        else:
+            n00 += 1
+    n = n11 + n10 + n01 + n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    row = (
+        registry.specs()["cohens_kappa_lang_signals"].fn(spark, SF_SMALL).collect()[0]
+    )
+    assert row.n == n
+    assert row.po == pytest.approx(round(po, 6), abs=2e-6)
+    assert row.pe == pytest.approx(round(pe, 6), abs=2e-6)
+    assert row.kappa == pytest.approx(round(kappa, 6), abs=2e-6)
+    assert -1.0 <= row.kappa <= 1.0
+
+
+def test_bigram_logprob_brute_force(spark):
+    import math as _math
+    from collections import Counter
+
+    docs = {d: t.split() for d, t, _, _ in _doc_rows()}
+    bgc = Counter()
+    vocab = set()
+    for w in docs.values():
+        vocab.update(w)
+        bgc.update(zip(w, w[1:]))
+    ugc = Counter()
+    for (w1, _), c in bgc.items():
+        ugc[w1] += c
+    V = len(vocab)
+    got = {
+        r.doc_id: r
+        for r in registry.specs()["bigram_logprob_score"].fn(spark, SF_SMALL).collect()
+    }
+    expected_docs = {d for d, w in docs.items() if len(w) >= 2}
+    assert set(got) == expected_docs
+    for d in expected_docs:
+        w = docs[d]
+        lps = [
+            _math.log2((bgc[(a, b)] + 1.0) / (ugc[a] + V))
+            for a, b in zip(w, w[1:])
+        ]
+        assert got[d].n_bigrams == len(lps)
+        assert got[d].avg_log2_prob == pytest.approx(
+            round(sum(lps) / len(lps), 6), abs=2e-6
+        ), d
+
+
+# ---------------------------------------------------------------------------
+# sqlbreadth3: recomputes and cross-query invariants
+# ---------------------------------------------------------------------------
+
+
+def test_regexp_count_positions_brute_force(spark):
+    import re
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0, 0.0])
+    for _, text, _, source in _doc_rows():
+        a = acc[source]
+        a[0] += len(re.findall(r"[aeiou][aeiou]+", text))
+        p = text.find("table") + 1
+        if p > 0:
+            a[1] += 1
+            a[2] += p
+    got = {
+        r.source: r
+        for r in registry.specs()["regexp_count_positions"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(acc)
+    for s, (runs, nd, psum) in acc.items():
+        assert got[s].total_vowel_runs == runs
+        assert got[s].docs_with_table == nd
+        if nd:
+            assert got[s].avg_first_table_pos == pytest.approx(
+                round(psum / nd, 6), abs=2e-6
+            )
+        else:
+            assert got[s].avg_first_table_pos is None
+
+
+def test_attribution_credit_conserves_to_converters(spark):
+    """Every converting user with >=1 touch hands out exactly 1.0 of
+    credit, so total credit across types equals that user count — the
+    conservation the mirrored CASE ladder can't prove about itself.
+    Also recomputes the per-type splits outright."""
+    ev = duckdb.sql(
+        f"""SELECT user_id, event_type, ts, event_id
+            FROM '{SF_SMALL}/events.parquet' ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    converters = {u for u, t, _, _ in ev if t == "purchase"}
+    touches = {}
+    for u, t, _, _ in ev:
+        if t in ("view", "click") and u in converters:
+            touches.setdefault(u, []).append(t)
+    expected = {}
+    for u, ts in touches.items():
+        k = len(ts)
+        for i, t in enumerate(ts):
+            if k == 1:
+                c = 1.0
+            elif k == 2:
+                c = 0.5
+            elif i == 0:
+                c = 0.4
+            elif i == k - 1:
+                c = 0.4
+            else:
+                c = 0.2 / (k - 2)
+            e = expected.setdefault(t, [0, 0.0])
+            e[0] += 1
+            e[1] += c
+    got = {
+        r.event_type: r
+        for r in registry.specs()["attribution_position_based"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for t, (n, credit) in expected.items():
+        assert got[t].n_touches == n
+        assert got[t].total_credit == pytest.approx(round(credit, 6), abs=2e-6)
+    assert sum(r.total_credit for r in got.values()) == pytest.approx(
+        len(touches), abs=1e-3
+    )
+
+
+def test_event_path_3grams_conservation(spark):
+    counts = duckdb.sql(
+        f"SELECT user_id, count(*) FROM '{SF_SMALL}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    expected_total = sum(max(c - 2, 0) for _, c in counts)
+    rows = registry.specs()["event_path_3grams"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n_occurrences for r in rows) == expected_total
+    assert all(r.path.count(">") == 2 for r in rows)
+
+
+def test_weighted_quartiles_cross_query_and_order(spark):
+    q = {
+        r.l_returnflag: r
+        for r in registry.specs()["weighted_quartiles_quantity"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    med = {
+        r.l_returnflag: r.weighted_median
+        for r in registry.specs()["weighted_median_quantity"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(q) == set(med)
+    for flag, r in q.items():
+        assert r.p50 == med[flag]  # the quartile kernel generalizes it
+        assert r.p25 <= r.p50 <= r.p75
+
+
+def test_yoy_quarter_growth_brute_force(spark):
+    daily = duckdb.sql(
+        f"""SELECT year(o_orderdate), quarter(o_orderdate),
+                   CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+            FROM '{SF_SMALL}/orders.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    got = {
+        (r.yr, r.qtr): r
+        for r in registry.specs()["yoy_quarter_growth"].fn(spark, SF_SMALL).collect()
+    }
+    assert len(got) == len(daily)
+    for i, (y, qt, rc) in enumerate(daily):
+        r = got[(y, qt)]
+        assert r.revenue == pytest.approx(rc / 100.0)
+        if i >= 4:
+            prev = daily[i - 4][2]
+            assert r.yoy_growth == pytest.approx(
+                round((rc - prev) / prev, 6), abs=2e-6
+            )
+        else:
+            assert r.yoy_growth is None
+
+
+def test_brown_double_smoothing_brute_force(spark):
+    from velox_hadoop_spark.operators.timeseries4 import (
+        BROWN_ALPHA,
+        BROWN_K,
+        MACD_HORIZON,
+    )
+
+    daily = _daily_rev()
+    days = [r[0] for r in daily]
+    rev = {r[0]: r[1] / 100.0 for r in daily}
+
+    def ema(series):
+        out = {}
+        for d in days:
+            num = den = 0.0
+            for b in days:
+                age = (d - b).days
+                if 0 <= age <= MACD_HORIZON - 1 and b in series:
+                    w = (1.0 - BROWN_ALPHA) ** age
+                    num += series[b] * w
+                    den += w
+            out[d] = num / den
+        return out
+
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    s1 = {d: r4(v) for d, v in ema(rev).items()}
+    s2 = {d: r4(v) for d, v in ema(s1).items()}
+    got = {
+        r.d: r
+        for r in registry.specs()["brown_double_smoothing_daily"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(days)
+    for d in days:
+        level = 2 * s1[d] - s2[d]
+        trend = BROWN_K * (s1[d] - s2[d])
+        assert got[d].level == pytest.approx(r4(level), abs=2e-4), d
+        assert got[d].trend == pytest.approx(r4(trend), abs=2e-4), d
+        assert got[d].forecast_1d == pytest.approx(r4(level + trend), abs=2e-4), d
+
+
+def test_local_extrema_brute_force(spark):
+    daily = _daily_rev()
+    expected = {}
+    for i in range(1, len(daily) - 1):
+        d, rc, _ = daily[i]
+        if rc > daily[i - 1][1] and rc > daily[i + 1][1]:
+            expected[d] = "max"
+        elif rc < daily[i - 1][1] and rc < daily[i + 1][1]:
+            expected[d] = "min"
+    got = {
+        r.d: r.kind
+        for r in registry.specs()["local_extrema_daily"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_embedding_doclen_corr_brute_force(spark):
+    rows = duckdb.sql(
+        f"""SELECT d.lang, d.n_chars, e.embedding
+            FROM '{SF_SMALL}/documents.parquet' d
+            JOIN '{SF_SMALL}/embeddings.parquet' e ON d.doc_id = e.vec_id"""
+    ).fetchall()
+    groups = {}
+    for lang, nc, emb in rows:
+        # sequential fold like both engines (not np pairwise)
+        acc = 0.0
+        for x in emb:
+            acc += float(x) * float(x)
+        groups.setdefault(lang, []).append((nc, math.sqrt(acc)))
+    got = {
+        r.lang: r
+        for r in registry.specs()["embedding_doclen_correlation"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    for lang, pts in groups.items():
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] ** 2 for p in pts)
+        syy = sum(p[1] ** 2 for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if n < 2 or vx <= 0 or vy <= 0:
+            assert lang not in got
+            continue
+        corr = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+        assert got[lang].n == n
+        assert got[lang].len_norm_corr == pytest.approx(round(corr, 6), abs=2e-6)
+        assert -1.0 <= got[lang].len_norm_corr <= 1.0
+
+
 def test_asof_tolerance_synthetic_semantics(spark):
     """A click exactly AT the bound is fresh (inclusive); one second
     past is NULL; a later purchase reuses the same carried click while

@@ -286,15 +286,65 @@ def q_grouped_locf_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_trunc_ema(value: str, alpha: float, src: str = "daily") -> str:
     """Truncated-window EMA fragment (DuckDB): weights (1-a)^age over a
     MACD_HORIZON-day lookback, adaptively normalized (same early-window
-    behavior as pandas ewm(adjust=True))."""
+    behavior as pandas ewm(adjust=True)).
+
+    Evaluated as an ORDERED SEQUENTIAL FOLD — list(… ORDER BY d) over
+    the range frame, then list_sum(list_transform(…)) — never a plain
+    SUM over join rows: double addition is non-associative, and a
+    free-order SUM left each engine within one ulp of the other, which
+    flipped a 4dp floor-rounding exactly on a .00005 boundary (caught
+    at sf0.01 in the Brown smoother's second pass). The Spark twin
+    folds the same frame in the same ascending-day order (collect_list
+    + aggregate), so both engines execute the IDENTICAL float-op
+    sequence — bit-equal results, no rounding luck. The decay constant
+    is interpolated from one Python double (a textual ``1 - 0.3``
+    would parse as DECIMAL arithmetic here)."""
+    decay = 1.0 - alpha
+    wexpr = f"power({decay!r}, date_diff('day', r.bd, d))"
     return f"""
-        SELECT a.d,
-               SUM(b.{value} * POWER({1.0 - alpha}, date_diff('day', b.d, a.d)))
-                   / SUM(POWER({1.0 - alpha}, date_diff('day', b.d, a.d))) AS ema
-        FROM {src} a JOIN {src} b
-          ON b.d <= a.d AND b.d >= a.d - INTERVAL {MACD_HORIZON - 1} DAY
-        GROUP BY a.d
+        SELECT d,
+               list_sum(list_transform(lst, r -> r.x * {wexpr}))
+                   / list_sum(list_transform(lst, r -> {wexpr})) AS ema
+        FROM (
+            SELECT d,
+                   list({{'bd': d, 'x': {value}}}) OVER (
+                       ORDER BY d
+                       RANGE BETWEEN INTERVAL {MACD_HORIZON - 1} DAY PRECEDING
+                       AND CURRENT ROW
+                   ) AS lst
+            FROM {src}
+        )
     """
+
+
+def trunc_ema_ordered(src: DataFrame, value: str, alpha: float, out: str) -> DataFrame:
+    """Spark twin of ``_duck_trunc_ema``: the same truncated EMA as an
+    ordered fold over a range-frame window. collect_list over the
+    ordered frame accumulates in ascending-day order; F.aggregate folds
+    sequentially — the float-op sequence matches DuckDB's list_sum
+    exactly (see the DuckDB fragment's docstring for why a free-order
+    SUM cannot be used). The window is global over the DAY SPINE —
+    calendar-bounded rows, the same single-partition class as the
+    other spine windows (yoy, extrema), never fact-row-sized."""
+    decay = 1.0 - alpha
+    od = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(od).rangeBetween(-(MACD_HORIZON - 1), 0)
+    frame = src.select(
+        "d",
+        F.collect_list(
+            F.struct(F.col("d").alias("bd"), F.col(value).alias("x"))
+        )
+        .over(w)
+        .alias("lst"),
+    )
+    wexp = lambda r: F.pow(  # noqa: E731
+        F.lit(decay), F.datediff(F.col("d"), r["bd"])
+    )
+    num = F.aggregate(
+        F.col("lst"), F.lit(0.0), lambda acc, r: acc + r["x"] * wexp(r)
+    )
+    den = F.aggregate(F.col("lst"), F.lit(0.0), lambda acc, r: acc + wexp(r))
+    return frame.select("d", (num / den).alias(out))
 
 
 @register(
@@ -314,14 +364,8 @@ def _duck_trunc_ema(value: str, alpha: float, src: str = "daily") -> str:
             FROM fast f JOIN slow s ON f.d = s.d
         ),
         sig AS (
-            SELECT a.d,
-                   floor(
-                       SUM(b.macd * POWER({1.0 - MACD_SIGNAL}, date_diff('day', b.d, a.d)))
-                       / SUM(POWER({1.0 - MACD_SIGNAL}, date_diff('day', b.d, a.d)))
-                       * 10000 + 0.5) / 10000 AS signal
-            FROM macd a JOIN macd b
-              ON b.d <= a.d AND b.d >= a.d - INTERVAL {MACD_HORIZON - 1} DAY
-            GROUP BY a.d
+            SELECT d, floor(ema * 10000 + 0.5) / 10000 AS signal
+            FROM ({_duck_trunc_ema("macd", MACD_SIGNAL, src="macd")})
         )
         SELECT m.d, m.macd, g.signal,
                floor((m.macd - g.signal) * 10000 + 0.5) / 10000 AS histogram
@@ -340,38 +384,23 @@ def q_macd_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (tests/test_round8_parity.py).
 
     Scale shape: revenue collapses to the day grain FIRST, so every
-    join here runs on the calendar-bounded day spine (≈2.4k rows
-    regardless of fact volume) with the lookback side broadcast; the
-    MACD line is rounded to 4dp in both engines BEFORE the signal
-    smoothing so the second pass consumes identical doubles, leaving
-    only the documented half-ulp-at-a-boundary hazard per rounding."""
+    window here runs on the calendar-bounded day spine (≈2.4k rows
+    regardless of fact volume). Both engines evaluate every EMA as the
+    SAME ordered sequential fold (see trunc_ema_ordered /
+    _duck_trunc_ema) — bit-identical doubles end to end, so the 4dp
+    rounding is pure display, not a parity crutch."""
     daily = _orders(spark, sf_dir).groupBy(
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(
         (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("rev")
     )
-
-    def trunc_ema(src: DataFrame, value: str, alpha: float, out: str) -> DataFrame:
-        a, b = src.alias("a"), src.alias("b")
-        age = F.datediff(F.col("a.d"), F.col("b.d"))
-        w = F.pow(F.lit(1.0 - alpha), age)
-        return (
-            a.join(
-                F.broadcast(b),
-                (F.col("b.d") <= F.col("a.d"))
-                & (F.col("b.d") >= F.date_sub(F.col("a.d"), MACD_HORIZON - 1)),
-            )
-            .groupBy(F.col("a.d").alias("d"))
-            .agg((F.sum(F.col(f"b.{value}") * w) / F.sum(w)).alias(out))
-        )
-
-    fast = trunc_ema(daily, "rev", MACD_FAST, "ema_f")
-    slow = trunc_ema(daily, "rev", MACD_SLOW, "ema_s")
+    fast = trunc_ema_ordered(daily, "rev", MACD_FAST, "ema_f")
+    slow = trunc_ema_ordered(daily, "rev", MACD_SLOW, "ema_s")
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     macd = fast.join(slow, "d").select(
         "d", r4(F.col("ema_f") - F.col("ema_s")).alias("macd")
     )
-    sig = trunc_ema(macd, "macd", MACD_SIGNAL, "sig_raw").select(
+    sig = trunc_ema_ordered(macd, "macd", MACD_SIGNAL, "sig_raw").select(
         "d", r4(F.col("sig_raw")).alias("signal")
     )
     return macd.join(sig, "d").select(
@@ -463,4 +492,136 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown double exponential smoothing (level + trend)
+# ---------------------------------------------------------------------------
+
+BROWN_ALPHA = 0.3  # smoothing factor for both EMA passes
+# the trend gain is computed ONCE in Python and interpolated verbatim
+# into BOTH engines: a textual "0.3 / 0.7" parses as DECIMAL division
+# in DuckDB (0.428571...) vs the Python double in Spark — enough to
+# flip the 4dp floor rounding exactly on a boundary
+BROWN_K = BROWN_ALPHA / (1.0 - BROWN_ALPHA)
+
+
+@register(
+    "brown_double_smoothing_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS rev
+            FROM orders GROUP BY 1
+        ),
+        s1 AS ({_duck_trunc_ema("rev", BROWN_ALPHA)}),
+        s1r AS (SELECT d, floor(ema * 10000 + 0.5) / 10000 AS s1 FROM s1),
+        s2 AS ({_duck_trunc_ema("s1", BROWN_ALPHA, src="s1r")}),
+        s2r AS (SELECT d, floor(ema * 10000 + 0.5) / 10000 AS s2 FROM s2)
+        SELECT s1r.d,
+               floor((2 * s1 - s2) * 10000 + 0.5) / 10000 AS level,
+               floor({BROWN_K!r} * (s1 - s2)
+                     * 10000 + 0.5) / 10000 AS trend,
+               floor((2 * s1 - s2
+                      + {BROWN_K!r} * (s1 - s2))
+                     * 10000 + 0.5) / 10000 AS forecast_1d
+        FROM s1r JOIN s2r ON s1r.d = s2r.d
+    """,
+    tags=("timeseries", "smoothing", "brown", "extension"),
+)
+def q_brown_double_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown double exponential smoothing of daily revenue: two
+    stacked truncated-window EMAs give level = 2·S1 − S2, trend =
+    α/(1−α)·(S1 − S2), and the one-day-ahead forecast — the
+    trend-aware smoother a demand-forecast pipeline runs after plain
+    EWMA (the exact recursive Holt form is not relational; Brown's
+    double-EMA variant is, under the same 60-day truncation as MACD).
+    Both EMA passes run through the shared ordered-fold kernel
+    (trunc_ema_ordered — bit-identical to the oracle's list fold; a
+    free-order SUM flipped this query's second pass on a 4dp rounding
+    boundary at sf0.01, which is why the kernel exists). Brute-force
+    recompute in tests/test_round8_parity.py."""
+    daily = _orders(spark, sf_dir).groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("rev")
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    s1 = trunc_ema_ordered(daily, "rev", BROWN_ALPHA, "e1").select(
+        "d", r4(F.col("e1")).alias("s1")
+    )
+    s2 = trunc_ema_ordered(s1, "s1", BROWN_ALPHA, "e2").select(
+        "d", r4(F.col("e2")).alias("s2")
+    )
+    k = BROWN_K
+    return s1.join(s2, "d").select(
+        "d",
+        r4(2 * F.col("s1") - F.col("s2")).alias("level"),
+        r4(F.lit(k) * (F.col("s1") - F.col("s2"))).alias("trend"),
+        r4(
+            2 * F.col("s1")
+            - F.col("s2")
+            + F.lit(k) * (F.col("s1") - F.col("s2"))
+        ).alias("forecast_1d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local extrema (turning points) of daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "local_extrema_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_c
+            FROM orders GROUP BY 1
+        ),
+        ctx AS (
+            SELECT d, rev_c,
+                   lag(rev_c) OVER (ORDER BY d) AS prv,
+                   lead(rev_c) OVER (ORDER BY d) AS nxt
+            FROM daily
+        )
+        SELECT d, rev_c / 100.0 AS revenue,
+               CASE WHEN rev_c > prv AND rev_c > nxt THEN 'max'
+                    ELSE 'min' END AS kind
+        FROM ctx
+        WHERE (rev_c > prv AND rev_c > nxt)
+           OR (rev_c < prv AND rev_c < nxt)
+    """,
+    tags=("timeseries", "turning-points", "extension"),
+)
+def q_local_extrema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning points of the daily revenue series: days STRICTLY above
+    (local max) or below (local min) both calendar neighbors — the
+    peak/trough detector behind drawdown and changepoint reports.
+    Comparisons run on integer cents (exact; a one-cent plateau is a
+    tie and correctly NOT an extremum); boundary days with a NULL
+    neighbor never qualify in either engine (NULL comparisons are
+    not-true). One calendar-bounded ordered window over the day
+    spine."""
+    daily = _orders(spark, sf_dir).groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    w = Window.orderBy("d")
+    ctx = daily.select(
+        "d",
+        "rev_c",
+        F.lag("rev_c").over(w).alias("prv"),
+        F.lead("rev_c").over(w).alias("nxt"),
+    )
+    is_max = (F.col("rev_c") > F.col("prv")) & (F.col("rev_c") > F.col("nxt"))
+    is_min = (F.col("rev_c") < F.col("prv")) & (F.col("rev_c") < F.col("nxt"))
+    return ctx.where(is_max | is_min).select(
+        "d",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        F.when(is_max, "max").otherwise("min").alias("kind"),
     )

@@ -171,6 +171,8 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.contamination2  # noqa: F401
     import velox_hadoop_spark.operators.dedup2  # noqa: F401
     import velox_hadoop_spark.operators.stats3  # noqa: F401
+    import velox_hadoop_spark.operators.llmops5  # noqa: F401
+    import velox_hadoop_spark.operators.sqlbreadth3  # noqa: F401
 
 
 def specs() -> dict[str, QuerySpec]:
