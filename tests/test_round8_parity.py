@@ -955,6 +955,105 @@ def test_embedding_doclen_corr_brute_force(spark):
         assert -1.0 <= got[lang].len_norm_corr <= 1.0
 
 
+def test_time_to_convert_brute_force(spark):
+    ev = duckdb.sql(
+        f"SELECT user_id, event_type, ts FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    fv = {}
+    for u, t, ts in ev:
+        if t == "view" and (u not in fv or ts < fv[u]):
+            fv[u] = ts
+    gaps = {}
+    for u, t, ts in ev:
+        if t == "purchase" and u in fv and ts >= fv[u]:
+            g = int((ts - fv[u]).total_seconds())
+            if u not in gaps or g < gaps[u]:
+                gaps[u] = g
+    gs = sorted(gaps.values())
+    n = len(gs)
+
+    def pick(q_num, q_den):
+        cum = 0
+        from collections import Counter
+
+        for g, c in sorted(Counter(gs).items()):
+            cum += c
+            if cum * q_den >= n * q_num:
+                return g
+
+    row = (
+        registry.specs()["time_to_convert_percentiles"].fn(spark, SF_SMALL).collect()[0]
+    )
+    assert row.n_converters == n
+    assert (row.p25_s, row.p50_s, row.p75_s) == (
+        pick(1, 4),
+        pick(1, 2),
+        pick(3, 4),
+    )
+
+
+def test_cluster_source_span_consistency(spark):
+    """Span rows agree with the audit's membership counts and the raw
+    provenance columns (recomputed via the pipeline's own labels)."""
+    from velox_hadoop_spark.operators.dedup2 import _cluster_labels
+
+    labels = {
+        r.doc_id: r.cluster_id for r in _cluster_labels(spark, SF_SMALL).collect()
+    }
+    prov = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"SELECT doc_id, source, lang FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    }
+    clusters = {}
+    for d, c in labels.items():
+        clusters.setdefault(c, []).append(d)
+    expected = {
+        c: (
+            len(ids),
+            len({prov[d][0] for d in ids}),
+            len({prov[d][1] for d in ids}),
+        )
+        for c, ids in clusters.items()
+        if len(ids) >= 2
+    }
+    got = {
+        r.cluster_id: (r.n_members, r.n_sources, r.n_langs, r.is_cross_source)
+        for r in registry.specs()["dedup_cluster_source_span"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert {c: v[:3] for c, v in got.items()} == expected
+    for c, v in got.items():
+        assert v[3] == (v[1] > 1)
+
+
+def test_ngram_novelty_conservation(spark):
+    """Σ n_first_seen across buckets equals the corpus's distinct
+    trigram count; Σ instances equals the distinct (doc, trigram)
+    count; every bucket is in 1..10 — the conservation that caught the
+    1-based-id bug in vocab_growth_curve."""
+    docs = {d: t.split() for d, t, _, _ in _doc_rows()}
+    per_doc = {
+        d: {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        for d, w in docs.items()
+        if len(w) >= 3
+    }
+    all_grams = set().union(*per_doc.values())
+    rows = registry.specs()["ngram_novelty_curve"].fn(spark, SF_SMALL).collect()
+    assert all(1 <= r.bucket <= 10 for r in rows)
+    assert sum(r.n_first_seen for r in rows) == len(all_grams)
+    assert sum(r.n_gram_instances for r in rows) == sum(
+        len(s) for s in per_doc.values()
+    )
+    # rates are valid fractions and the curve is anchored: the bucket
+    # containing the very first doc cannot be all-repeat
+    assert all(0.0 <= r.novelty_rate <= 1.0 for r in rows)
+    first = min(rows, key=lambda r: r.bucket)
+    assert first.n_first_seen > 0
+
+
 def test_asof_tolerance_synthetic_semantics(spark):
     """A click exactly AT the bound is fresh (inclusive); one second
     past is NULL; a later purchase reuses the same carried click while

@@ -585,10 +585,13 @@ def q_tablesample_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = agg.select(
         F.expr(
+            # try_divide: an EMPTY corpus has total = 0 — DuckDB's x/0
+            # yields NULL where ANSI Spark raises (the empty-sweep bug
+            # class); try_divide restores the NULL parity
             "stack(3, "
-            "10, n10, c10, round(n10 / cast(total AS DOUBLE), 6), "
-            "20, n20, c20, round(n20 / cast(total AS DOUBLE), 6), "
-            "50, n50, c50, round(n50 / cast(total AS DOUBLE), 6)"
+            "10, n10, c10, round(try_divide(n10, cast(total AS DOUBLE)), 6), "
+            "20, n20, c20, round(try_divide(n20, cast(total AS DOUBLE)), 6), "
+            "50, n50, c50, round(try_divide(n50, cast(total AS DOUBLE)), 6)"
             ") AS (pct, n_docs, sum_chars, observed_frac)"
         )
     )
@@ -597,4 +600,52 @@ def q_tablesample_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("sum_chars").cast("long").alias("sum_chars"),
         "observed_frac",
+    )
+
+
+@register(
+    "dedup_cluster_source_span",
+    oracle=_duck_cluster_cte()
+    + """,
+        members AS (
+            SELECT c.cluster_id, c.node AS doc_id, d.source, d.lang
+            FROM comp c JOIN documents d ON c.node = d.doc_id
+        ),
+        sized AS (
+            SELECT cluster_id,
+                   count(*) AS n_members,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM members GROUP BY cluster_id HAVING count(*) >= 2
+        )
+        SELECT cluster_id, n_members, n_sources, n_langs,
+               (n_sources > 1) AS is_cross_source
+        FROM sized
+    """,
+    tags=("dedup", "cluster-qa", "provenance", "extension"),
+)
+def q_dedup_cluster_source_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance span of each near-dup cluster: how many distinct
+    sources and languages its members straddle. Cross-SOURCE clusters
+    are the policy-relevant ones — a within-source dup is a crawler
+    artifact you just drop, a cross-source dup changes licensing /
+    attribution / keeper decisions (and cross-source rates feed the
+    mirror-site detection a crawl pipeline runs). One aggregate over
+    the shared LSH→CC labels joined to the provenance columns."""
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signature_inline(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    members = labels.join(docs.select("doc_id", "source", "lang"), "doc_id")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .where(F.col("n_members") >= 2)
+        .withColumn("is_cross_source", F.col("n_sources") > 1)
     )

@@ -362,3 +362,82 @@ def q_embedding_doclen_correlation(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("len_norm_corr"),
     )
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+            FROM w CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM sh),
+        first_seen AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+        tagged AS (
+            SELECT ((sh.doc_id - b.lo) * 10) // (b.hi - b.lo + 1) + 1
+                       AS bucket,
+                   CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+            FROM sh JOIN first_seen f ON sh.g = f.g
+            CROSS JOIN bounds b
+        )
+        SELECT bucket,
+               count(*) AS n_gram_instances,
+               CAST(sum(novel) AS BIGINT) AS n_first_seen,
+               ROUND(sum(novel) / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+        FROM tagged GROUP BY bucket
+    """,
+    tags=("quality", "novelty", "dedup-aware", "extension"),
+)
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty curve over corpus ingestion order: per
+    doc-id decile, how many distinct-per-doc trigram instances are the
+    FIRST corpus occurrence of that trigram — the n-gram counterpart
+    of vocab_growth_curve, and the curve a dedup-aware curriculum
+    reads (a flattening tail means later shards mostly repeat earlier
+    text). Buckets use the (doc−min)·10/(max−min+1)+1 anchoring — the
+    exact formula the round-7 conservation test fixed (0-based ids put
+    everything one bucket off when assumed 1-based). One distinct
+    (doc, gram) frame, a gram-keyed min, and one join back; the gram
+    table is vocabulary³-bounded. Conservation: Σ n_first_seen across
+    buckets equals the distinct trigram count — pinned in
+    tests/test_round8_parity.py."""
+    w = _docs(spark, sf_dir).select("doc_id", F.split("text", r"\s+").alias("w"))
+    sh = (
+        w.where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> array_join(slice(w, i, 3), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    bounds = sh.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    tagged = (
+        sh.join(first_seen, "g")
+        .crossJoin(bounds)
+        .select(
+            (
+                (F.col("doc_id") - F.col("lo")) * 10 / (F.col("hi") - F.col("lo") + 1)
+            )
+            .cast("long")
+            .alias("bucket"),
+            F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0).alias("novel"),
+        )
+        .select((F.col("bucket") + 1).alias("bucket"), "novel")
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count("*").alias("n_gram_instances"),
+        F.sum("novel").cast("long").alias("n_first_seen"),
+        F.round(F.sum("novel") / F.count("*").cast("double"), 6).alias("novelty_rate"),
+    )

@@ -625,3 +625,90 @@ def q_local_extrema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_c") / 100.0).alias("revenue"),
         F.when(is_max, "max").otherwise("min").alias("kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert percentiles (first view → first purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_to_convert_percentiles",
+    oracle="""
+        WITH fv AS (
+            SELECT user_id, min(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fp AS (
+            SELECT f.user_id,
+                   (epoch_us(min(p.ts)) - epoch_us(f.v_ts)) // 1000000 AS gap_s
+            FROM fv f JOIN events p
+              ON p.user_id = f.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts >= f.v_ts
+            GROUP BY f.user_id, f.v_ts
+        ),
+        gaps AS (SELECT CAST(gap_s AS BIGINT) AS g, count(*) AS c FROM fp GROUP BY 1),
+        cum AS (
+            SELECT g,
+                   SUM(c) OVER (ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                   SUM(c) OVER () AS tw
+            FROM gaps
+        )
+        SELECT CAST(any_value(tw) AS BIGINT) AS n_converters,
+               CAST(min(g) FILTER (WHERE cw * 4 >= tw) AS BIGINT) AS p25_s,
+               CAST(min(g) FILTER (WHERE cw * 2 >= tw) AS BIGINT) AS p50_s,
+               CAST(min(g) FILTER (WHERE cw * 4 >= tw * 3) AS BIGINT) AS p75_s
+        FROM cum
+    """,
+    tags=("timeseries", "funnel", "percentiles", "extension"),
+)
+def q_time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency quartiles: seconds from each user's FIRST
+    view to their first purchase at-or-after it, summarized as
+    p25/p50/p75 — the funnel-health number the per-stage counts
+    (funnel_view_click_purchase) don't give. Percentile picks use the
+    integer cumulative-count rule over the distinct-gap frame (the
+    weighted_median membership discipline: cw·4 ≥ tw never rides a
+    float, and both engines agree exactly — unlike interpolated
+    quantiles whose midpoints differ per engine). Two grouped
+    aggregates and one gap-domain window; no correlated per-user
+    lookup (the first-purchase-after-view is a groupBy over the
+    range-joined pairs, which AQE keeps a broadcast of the small
+    first-view side)."""
+    ev = _events(spark, sf_dir)
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    fp = (
+        fv.join(p, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(
+            (
+                F.unix_micros(F.min("ts").cast("timestamp"))
+                - F.unix_micros(F.col("v_ts").cast("timestamp"))
+            ).alias("gap_us")
+        )
+        # integer floor division in BOTH engines: a double divide +
+        # cast would TRUNCATE here but ROUND in DuckDB's BIGINT cast
+        .select(F.expr("gap_us DIV 1000000").alias("g"))
+    )
+    gaps = fp.groupBy("g").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = gaps.select(
+        "g",
+        F.sum("c").over(wcum).alias("cw"),
+        F.sum("c").over(Window.partitionBy()).alias("tw"),
+    )
+    pick = lambda cond, name: F.min(F.when(cond, F.col("g"))).cast("long").alias(name)  # noqa: E731
+    return cum.agg(
+        F.any_value("tw").cast("long").alias("n_converters"),
+        pick(F.col("cw") * 4 >= F.col("tw"), "p25_s"),
+        pick(F.col("cw") * 2 >= F.col("tw"), "p50_s"),
+        pick(F.col("cw") * 4 >= F.col("tw") * 3, "p75_s"),
+    )
