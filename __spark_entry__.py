@@ -65,8 +65,9 @@ _REVERIFY = ()
 # per-round verification budget. Round 8: empty — registration order
 # already queues the 4 spilled llmops4 names ahead of this round's new
 # registrations. Budget arithmetic (the r7 pattern, repeated): 4
-# backlog + ~40 new + 0 reverify + 2 rows-only ≈ 46 candidates vs ~50
-# driver slots — everything should be sampled this round.
+# backlog + 33 new + 0 reverify + 2 rows-only = 39 candidates vs ~50
+# driver slots — every query should carry a current driver row after
+# this round's sample, with ~11 slots left for the green tail.
 _DEFER = ()
 
 
