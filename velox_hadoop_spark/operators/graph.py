@@ -176,15 +176,21 @@ def pagerank(
             # frames the per-pair cost climbs 1.9s → 2.0s → 4.3s — cached
             # EXECUTION is flat but Catalyst/AQE re-analyze the whole
             # accumulated join tree per action, and that driver-side
-            # planning grows superlinearly in depth. The eager checkpoint
+            # planning grows superlinearly in depth. The checkpoint
             # replaces the persist as the pair's single materialization
             # (blocks land in the executor BlockManager either way; the
             # delta scalar, the possible result, and the next pair all
             # scan those blocks), so each action plans over a constant
-            # three-node tree. Durability class is unchanged from the
-            # every-checkpoint_every cadence this replaces — see
+            # three-node tree. LAZY (eager=False) since round 8: the
+            # delta aggregate right below is the pair's first action and
+            # materializes the checkpoint as a side effect — one fewer
+            # job dispatch per pair than an eager checkpoint + agg
+            # (measured: steady-state 6.2s → 4.9-5.2s at sf0.1; fresh-
+            # session min-of-3 ~5.4s, the gap being per-run JIT).
+            # Durability class is unchanged from the every-
+            # checkpoint_every cadence this replaces — see
             # functions/lineage.py on the executor-loss trade-off.
-            frame = frame.localCheckpoint(eager=True)
+            frame = frame.localCheckpoint(eager=False)
             if pair == 2:
                 row = frame.agg(
                     F.sum(F.abs(F.col("prev_rank") - F.col("prev2"))).alias("d1"),
