@@ -169,6 +169,11 @@ def main() -> None:
         import subprocess
 
         spark.stop()  # free the JVM before the fresh-process retimes
+        # settle: retimes launched the instant a 350-query sweep ends
+        # read 1.5-3x high (measured round 8: ann_ivf_recall 6.5 vs
+        # 2.1 isolated minutes later) — let page cache / GC / JVM
+        # teardown drain before measuring
+        time.sleep(30)
         print(f"sweep outliers vs warm record (>1.5x, >1s): {outliers}", file=sys.stderr)
         for n in outliers:
             r = subprocess.run(

@@ -1054,6 +1054,79 @@ def test_ngram_novelty_conservation(spark):
     assert first.n_first_seen > 0
 
 
+def test_dedup_threshold_sweep_nesting(spark):
+    """Thresholds are nested by construction: pair and doc counts must
+    be nonincreasing in the threshold, and each row's doc count is
+    bounded by 2x its pair count (every pair touches ≤2 new docs)."""
+    rows = sorted(
+        registry.specs()["dedup_threshold_sweep"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r.threshold,
+    )
+    from velox_hadoop_spark.operators.dedup2 import SWEEP_THRESHOLDS
+
+    assert [r.threshold for r in rows] == sorted(SWEEP_THRESHOLDS)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_affected >= b.n_docs_affected
+    for r in rows:
+        assert r.n_docs_affected <= 2 * r.n_pairs
+        assert (r.n_pairs == 0) == (r.n_docs_affected == 0)
+    assert rows[0].n_pairs > 0, "lowest cut must keep some pairs at this SF"
+
+
+def test_rolling_ols_slope_brute_force(spark):
+    from velox_hadoop_spark.operators.timeseries4 import OLS_WINDOW_D
+
+    daily = _daily_rev()
+    pts = [((d - __import__("datetime").date(1970, 1, 1)).days, rc) for d, rc, _ in daily]
+    got = {
+        r.d: r
+        for r in registry.specs()["rolling_ols_slope_30d"].fn(spark, SF_SMALL).collect()
+    }
+    import datetime as dt
+
+    for i, (x0, _) in enumerate(pts):
+        win = [(x, y) for x, y in pts if x0 - (OLS_WINDOW_D - 1) <= x <= x0]
+        n = len(win)
+        d = dt.date(1970, 1, 1) + dt.timedelta(days=x0)
+        if n < 2:
+            assert d not in got
+            continue
+        sx = sum(x for x, _ in win)
+        sy = sum(y for _, y in win)
+        sxy = sum(x * y for x, y in win)
+        sxx = sum(x * x for x, _ in win)
+        denom = n * sxx - sx * sx
+        if denom <= 0:
+            assert d not in got
+            continue
+        slope = (n * sxy - sx * sy) / denom / 100.0
+        assert got[d].n_days == n, d
+        assert got[d].slope_per_day == pytest.approx(round(slope, 6), abs=2e-6), d
+    assert len(got) <= len(pts)
+
+
+def test_revenue_share_two_level_consistency(spark):
+    """Shares sum to 1 within each level and the two-level product
+    reproduces the total share — the multiplicative consistency the
+    mirrored window SQL can't prove about itself."""
+    rows = registry.specs()["revenue_share_two_level"].fn(spark, SF_SMALL).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    total_share = 0.0
+    for region, rs in by_region.items():
+        assert sum(x.share_in_region for x in rs) == pytest.approx(1.0, abs=1e-4)
+        assert len({x.region_share for x in rs}) == 1
+        total_share += rs[0].region_share
+        for x in rs:
+            assert x.share_of_total == pytest.approx(
+                x.share_in_region * x.region_share, abs=5e-6
+            )
+    assert total_share == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.share_of_total for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+
 def test_asof_tolerance_synthetic_semantics(spark):
     """A click exactly AT the bound is fresh (inclusive); one second
     past is NULL; a later purchase reuses the same carried click while

@@ -359,7 +359,11 @@ def q_intra_cluster_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     b = members.select(F.col("cluster_id"), F.col("doc_id").alias("id_b"))
     mpairs = a.join(b, "cluster_id").where(F.col("id_a") < F.col("id_b"))
 
-    sh0 = shingle_set(docs, "doc_id", "text", SHINGLE_K)
+    # persist: the corpus shingle explode feeds BOTH the frequency cap
+    # and the capped member-shingle frame — unpersisted it would run
+    # the full-corpus explode twice (verify_candidate_jaccard's
+    # documented shape, same reason)
+    sh0 = shingle_set(docs, "doc_id", "text", SHINGLE_K).persist()
     cool = (
         sh0.groupBy("shingle")
         .agg(F.count("*").alias("__c"))
@@ -649,3 +653,136 @@ def q_dedup_cluster_source_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_members") >= 2)
         .withColumn("is_cross_source", F.col("n_sources") > 1)
     )
+
+
+SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=None,  # attached below — built from dedup's shared CTE chain
+    tags=("dedup", "threshold-tuning", "extension"),
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning table: from ONE two-stage verified
+    frame (LSH candidates → exact capped-shingle Jaccard), the pair
+    count and distinct-doc count you would act on at each candidate
+    threshold — the table an operator reads before picking the dedup
+    cut, replacing four separate pipeline runs with one scan. All
+    counts are threshold-nested by construction (higher cuts count
+    subsets). Shape: the verified frame is PERSISTED and read exactly
+    twice — one conditional aggregate for all four pair counters, one
+    exploded-doc aggregate whose four countDistincts Spark expands
+    over the (tiny, LSH-bounded) pair frame — never once per
+    threshold (the same-frame-in-multiple-branches anti-pattern the
+    round-7 triangle rewrite hunted: an unpersisted expensive frame
+    referenced per branch re-executes the whole LSH+verify chain per
+    threshold)."""
+    from velox_hadoop_spark.operators.dedup import verify_candidate_jaccard
+
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signature_inline(docs, "doc_id", "text")
+    cand = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    verified = verify_candidate_jaccard(
+        cand, shingle_set(docs, "doc_id", "text", SHINGLE_K), "doc_id"
+    ).persist()
+    pairs_agg = verified.agg(
+        *[
+            F.count(F.when(F.col("jaccard") >= t, 1))
+            .cast("long")
+            .alias(f"p_{i}")
+            for i, t in enumerate(SWEEP_THRESHOLDS)
+        ]
+    )
+    docs_agg = (
+        verified.select(
+            F.explode(F.array("id_a", "id_b")).alias("doc"), "jaccard"
+        )
+        .agg(
+            *[
+                F.countDistinct(F.when(F.col("jaccard") >= t, F.col("doc")))
+                .cast("long")
+                .alias(f"d_{i}")
+                for i, t in enumerate(SWEEP_THRESHOLDS)
+            ]
+        )
+    )
+    arms = ", ".join(
+        f"CAST({t} AS DOUBLE), p_{i}, d_{i}" for i, t in enumerate(SWEEP_THRESHOLDS)
+    )
+    return (
+        pairs_agg.crossJoin(docs_agg)
+        .select(
+            F.expr(
+                f"stack({len(SWEEP_THRESHOLDS)}, {arms})"
+                " AS (threshold, n_pairs, n_docs_affected)"
+            )
+        )
+    )
+
+
+def _threshold_sweep_oracle() -> str:
+    from velox_hadoop_spark.operators.dedup import (
+        MAX_KEY_DOC_FREQ as CAP,
+    )
+    from velox_hadoop_spark.operators.dedup import _BAND_KEYS, _duck_minhash_cte
+
+    arms_pairs = " UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS threshold, "
+        f"CAST(count(*) FILTER (WHERE jaccard >= {t}) AS BIGINT) AS n_pairs "
+        "FROM scored"
+        for t in SWEEP_THRESHOLDS
+    )
+    arms_docs = " UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_affected "
+        f"FROM (SELECT id_a AS doc FROM scored WHERE jaccard >= {t} "
+        f"      UNION ALL SELECT id_b FROM scored WHERE jaccard >= {t})"
+        for t in SWEEP_THRESHOLDS
+    )
+    return (
+        _duck_minhash_cte()
+        + f""",
+        bands AS ({_BAND_KEYS}),
+        cool AS (
+            SELECT band_id, band_key FROM bands
+            GROUP BY band_id, band_key HAVING count(*) <= {CAP}
+        ),
+        capped AS (
+            SELECT bands.* FROM bands JOIN cool USING (band_id, band_key)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a JOIN capped b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        cool_sh AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {CAP}
+        ),
+        shc AS (SELECT sh.* FROM sh JOIN cool_sh USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_shared
+            FROM cand c
+            JOIN shc a ON a.doc_id = c.id_a
+            JOIN shc b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
+        ),
+        scored AS (
+            SELECT i.id_a, i.id_b,
+                   ROUND(i.n_shared / (sa.n + sb.n - i.n_shared), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON i.id_a = sa.doc_id
+            JOIN sizes sb ON i.id_b = sb.doc_id
+        ),
+        p AS ({arms_pairs}),
+        dd AS ({arms_docs})
+        SELECT p.threshold, p.n_pairs, dd.n_docs_affected
+        FROM p JOIN dd USING (threshold)
+    """
+    )
+
+
+from velox_hadoop_spark.plans.registry import attach_oracle  # noqa: E402
+
+attach_oracle("dedup_threshold_sweep", _threshold_sweep_oracle())

@@ -899,7 +899,11 @@ def _canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star pass: every node u connects its LARGER neighbors
     to m = min(N(u) ∪ {u}). Emitted edges are canonical by
-    construction (m ≤ u < v)."""
+    construction (m ≤ u < v). Deliberately NO distinct here: duplicate
+    edges cannot change the small-star pass that always consumes this
+    output (its mins are duplicate-insensitive and its own final
+    distinct dedups the emission), so the extra exchange per pass
+    would buy nothing."""
     sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
@@ -907,7 +911,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("m").alias("u"), F.col("v"))
         .where(F.col("u") < F.col("v"))
-        .distinct()
     )
 
 
@@ -963,7 +966,10 @@ def connected_components_lss(
     prev_sig = None
     converged = False
     for _ in range(max_iters):
-        new = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the signature aggregate right below is the
+        # pass's first action and materializes it — one fewer job per
+        # pass than eager + agg (the pagerank tol-loop measurement)
+        new = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = tuple(
             new.agg(
                 F.count("*"), F.sum("u"), F.sum("v")

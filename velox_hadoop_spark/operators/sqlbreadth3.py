@@ -282,3 +282,71 @@ def q_weighted_quartiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame
         pick(F.col("cw") * 2 >= F.col("tw"), "p50"),
         pick(F.col("cw") * 4 >= F.col("tw") * 3, "p75"),
     )
+
+
+@register(
+    "revenue_share_two_level",
+    oracle="""
+        WITH rn AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT region, nation,
+               cents / 100.0 AS revenue,
+               ROUND(cents / CAST(sum(cents) OVER (PARTITION BY region) AS DOUBLE),
+                     6) AS share_in_region,
+               ROUND(sum(cents) OVER (PARTITION BY region)
+                     / CAST(sum(cents) OVER () AS DOUBLE), 6) AS region_share,
+               ROUND(cents / CAST(sum(cents) OVER () AS DOUBLE), 6)
+                   AS share_of_total
+        FROM rn
+    """,
+    tags=("sql-breadth", "ratio-to-report", "two-level", "extension"),
+)
+def q_revenue_share_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level ratio-to-report: each nation's revenue share WITHIN
+    its region, the region's share of the total, and the nation's
+    share of the total — the nested percent-of-parent layout every BI
+    drilldown renders (the single-level nation_revenue_share only
+    gives the last column). The fact table folds to integer cents at
+    the (region, nation) grain FIRST, so both window sums run over the
+    125-row dimension grid; each ratio is one double division of
+    identical exact integers. Multiplicative consistency
+    (share_in_region × region_share ≈ share_of_total) is pinned by a
+    brute-force test."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rn = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rn.select(
+        "region",
+        "nation",
+        (F.col("cents") / 100.0).alias("revenue"),
+        F.round(
+            F.col("cents") / F.sum("cents").over(w_reg).cast("double"), 6
+        ).alias("share_in_region"),
+        F.round(
+            F.sum("cents").over(w_reg) / F.sum("cents").over(w_all).cast("double"),
+            6,
+        ).alias("region_share"),
+        F.round(
+            F.col("cents") / F.sum("cents").over(w_all).cast("double"), 6
+        ).alias("share_of_total"),
+    )

@@ -712,3 +712,90 @@ def q_time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         pick(F.col("cw") * 2 >= F.col("tw"), "p50_s"),
         pick(F.col("cw") * 4 >= F.col("tw") * 3, "p75_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 30-day OLS slope of daily revenue
+# ---------------------------------------------------------------------------
+
+OLS_WINDOW_D = 30
+
+
+@register(
+    "rolling_ols_slope_30d",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                       AS x,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS y
+            FROM orders GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT d,
+                   count(*) OVER w AS n,
+                   sum(x) OVER w AS sx,
+                   sum(y) OVER w AS sy,
+                   sum(x * y) OVER w AS sxy,
+                   sum(x * x) OVER w AS sxx
+            FROM daily
+            WINDOW w AS (ORDER BY d
+                RANGE BETWEEN INTERVAL {OLS_WINDOW_D - 1} DAY PRECEDING
+                AND CURRENT ROW)
+        )
+        SELECT d, CAST(n AS BIGINT) AS n_days,
+               ROUND((n * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     / 100.0, 6) AS slope_per_day
+        FROM win
+        WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+    tags=("timeseries", "regression", "rolling", "extension"),
+)
+def q_rolling_ols_slope_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day OLS trend slope of daily revenue (dollars/day):
+    the windowed least-squares fit a monitoring dashboard draws under
+    the revenue line. The five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) are EXACT integer window sums (x = days since epoch, y =
+    integer cents), so both engines feed the closed-form slope
+    identical integers — the only doubles are two single divisions,
+    not order-dependent accumulations (the ordered-fold concern the
+    EMA kernel handles does not arise). One calendar-bounded range
+    window over the day spine; single-day windows emit nothing (zero
+    x-variance guard, both engines)."""
+    daily = _orders(spark, sf_dir).groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    ).withColumn(
+        "x", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+    )
+    w = (
+        Window.orderBy("x")
+        .rangeBetween(-(OLS_WINDOW_D - 1), 0)
+    )
+    win = daily.select(
+        "d",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    return win.where(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+    ).select(
+        "d",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / denom
+            / 100.0,
+            6,
+        ).alias("slope_per_day"),
+    )
