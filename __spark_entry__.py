@@ -54,9 +54,17 @@ _BOOST = ()
 # Driver-green rows whose underlying code or oracle changed AFTER the
 # green row was recorded. They re-enter the verification queue right
 # behind the never-verified boost group so the driver refreshes their
-# evidence. Round 8: empty — every r7 re-queue came back green and no
-# green kernel has been rewritten since its latest row.
-_REVERIFY = ()
+# evidence. Round 8: three green kernels were rewritten this round —
+# the pagerank tolerance loop's pair checkpoint went lazy, the shared
+# as-of kernel (join.asof_join) was generalized to composite keys
+# (asof_join_events rides it), and containment_walk grew the
+# require_drained raise path (bom_rollup_levels rides it). All three
+# re-gated green at sf0.01 this round; the driver refreshes their rows.
+_REVERIFY = (
+    "pagerank_converged",
+    "asof_join_events",
+    "bom_rollup_levels",
+)
 
 
 # Queries added in the current round: they go to the BACK of the
@@ -65,9 +73,9 @@ _REVERIFY = ()
 # per-round verification budget. Round 8: empty — registration order
 # already queues the 4 spilled llmops4 names ahead of this round's new
 # registrations. Budget arithmetic (the r7 pattern, repeated): 4
-# backlog + 33 new + 0 reverify + 2 rows-only = 39 candidates vs ~50
+# backlog + 36 new + 3 reverify + 2 rows-only = 45 candidates vs ~50
 # driver slots — every query should carry a current driver row after
-# this round's sample, with ~11 slots left for the green tail.
+# this round's sample, with a few slots left for the green tail.
 _DEFER = ()
 
 

@@ -927,11 +927,13 @@ def test_embedding_doclen_corr_brute_force(spark):
     ).fetchall()
     groups = {}
     for lang, nc, emb in rows:
-        # sequential fold like both engines (not np pairwise)
+        # sequential fold like both engines (not np pairwise), then the
+        # kernel's exact micro-unit quantization of the norm
         acc = 0.0
         for x in emb:
             acc += float(x) * float(x)
-        groups.setdefault(lang, []).append((nc, math.sqrt(acc)))
+        nrm_u = math.floor(math.sqrt(acc) * 1_000_000 + 0.5)
+        groups.setdefault(lang, []).append((nc, nrm_u))
     got = {
         r.lang: r
         for r in registry.specs()["embedding_doclen_correlation"]

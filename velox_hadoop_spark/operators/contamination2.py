@@ -31,7 +31,6 @@ def positioned_shingles(docs: DataFrame, k: int = DECONTAM13_K) -> DataFrame:
     w = docs.select(
         "doc_id",
         "source",
-        "n_chars",
         F.split(F.col("text"), r"\s+").alias("w"),
     ).withColumn("n_tokens", F.size("w"))
     return (
@@ -60,7 +59,7 @@ def positioned_shingles(docs: DataFrame, k: int = DECONTAM13_K) -> DataFrame:
 def _duck_positioned_shingles(k: int = DECONTAM13_K) -> str:
     return f"""
         w AS (
-            SELECT doc_id, source, n_chars,
+            SELECT doc_id, source,
                    string_split_regex(text, '\\s+') AS w
             FROM documents
         ),

@@ -755,7 +755,16 @@ def containment_walk(
     regardless of SF, so the loop is constant-depth at 100 TB while
     each pass stays a linear shuffle join. Frames persist across
     passes with the same release discipline as ``pagerank``.
+
+    With ``require_drained`` (the default), the loop must OBSERVE a
+    zero-movement pass within the budget, so resolving a height-h
+    forest needs ``max_iters >= h + 1`` (the last pass confirms the
+    fixed point) — a forest still moving at the cap raises rather than
+    silently returning partially-resolved roots that would
+    hash-mismatch the fully-resolving recursive-CTE oracle.
     """
+    if max_iters < 1:
+        raise ValueError("containment_walk: max_iters must be >= 1")
     edges = edges.select("child", "parent").persist(StorageLevel.MEMORY_AND_DISK)
     cur = nodes.select(
         F.col("node"),
@@ -792,12 +801,13 @@ def containment_walk(
             break
     else:
         # mirror bfs_levels' require_drained: pointers still moving at
-        # the iteration cap means a deeper-than-max_iters forest (or a
-        # cycle) — a silent return would hand back partially-resolved
-        # roots that hash-mismatch the fully-resolving recursive-CTE
-        # oracle with no loud signal. require_drained=False keeps the
-        # bounded-orbit termination guard for malformed (cyclic) edge
-        # lists where the caller wants the capped frame back.
+        # the iteration cap means a forest deeper than max_iters - 1
+        # (or a cycle) — a silent return would hand back partially-
+        # resolved roots that hash-mismatch the fully-resolving
+        # recursive-CTE oracle with no loud signal.
+        # require_drained=False keeps the bounded-orbit termination
+        # guard for malformed (cyclic) edge lists where the caller
+        # wants the capped frame back.
         if require_drained:
             raise RuntimeError(
                 f"containment_walk: {n_moved} pointers still moving after "
@@ -970,9 +980,15 @@ def connected_components_lss(
         # pass's first action and materializes it — one fewer job per
         # pass than eager + agg (the pagerank tol-loop measurement)
         new = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # double sums: node ids are BIGINT and Σ id over a 1e9+-edge
+        # set overflows int64 (ANSI aborts); the signature is only a
+        # PREFILTER — exactness comes from _edge_sets_equal below, so
+        # lossy doubles cost nothing but a rare extra exact check
         sig = tuple(
             new.agg(
-                F.count("*"), F.sum("u"), F.sum("v")
+                F.count("*"),
+                F.sum(F.col("u").cast("double")),
+                F.sum(F.col("v").cast("double")),
             ).first()
         )
         if sig == prev_sig and _edge_sets_equal(new, e):

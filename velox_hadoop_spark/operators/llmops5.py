@@ -294,26 +294,29 @@ def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH j AS (
             SELECT d.lang, d.n_chars,
-                   sqrt(list_sum(list_transform(
-                       CAST(e.embedding AS DOUBLE[]), x -> x * x))) AS nrm
+                   CAST(floor(sqrt(list_sum(list_transform(
+                       CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                       * 1000000 + 0.5) AS BIGINT) AS nrm_u
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         ),
         s AS (
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n,
-                   sum(n_chars) AS sx, sum(nrm) AS sy,
-                   sum(CAST(n_chars AS DOUBLE) * n_chars) AS sxx,
-                   sum(nrm * nrm) AS syy,
-                   sum(n_chars * nrm) AS sxy
+                   CAST(sum(n_chars) AS HUGEINT) AS sx,
+                   CAST(sum(nrm_u) AS HUGEINT) AS sy,
+                   sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx,
+                   sum(CAST(nrm_u AS HUGEINT) * nrm_u) AS syy,
+                   sum(CAST(n_chars AS HUGEINT) * nrm_u) AS sxy
             FROM j GROUP BY lang
         )
         SELECT lang, n,
-               ROUND((n * sxy - sx * sy)
-                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-                   AS len_norm_corr
+               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS len_norm_corr
         FROM s
         WHERE n >= 2
-          AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+          AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     """,
     tags=("embeddings", "multimodal-join", "correlation", "extension"),
 )
@@ -324,42 +327,55 @@ def q_embedding_doclen_correlation(spark: SparkSession, sf_dir: str) -> DataFram
     on unit vectors) or leaking length (strong positive). Joins the
     text table to the vector table on the shared id; the norm is a
     single JVM-side sequential fold over the array (F.aggregate —
-    matching DuckDB's sequential list_sum, the np-pairwise-vs-
-    sequential summation class the round-4 notes pinned), and the
-    correlation is the moment form with zero-variance guards mirrored
-    in both engines (stats2.safe_corr convention)."""
+    matching DuckDB's sequential list_sum), then QUANTIZED to exact
+    integer micro-units before the moment sums: free-order double
+    accumulation of irrational norms leaves the engines ulps apart
+    (the Brown-smoother rounding-flip class), while integer moments
+    in decimal(38)/HUGEINT are exact at any corpus size — the final
+    correlation is a fixed expression tree over identical integers.
+    Zero-variance groups emit nothing (stats2.safe_corr convention)."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("doc_id"),
-        F.sqrt(
-            F.aggregate(
-                F.col("embedding"),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        F.floor(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
             )
-        ).alias("nrm"),
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nrm_u"),
     )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = (
         docs.join(emb, "doc_id")
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum("n_chars").alias("sx"),
-            F.sum("nrm").alias("sy"),
-            F.sum(F.col("n_chars").cast("double") * F.col("n_chars")).alias("sxx"),
-            F.sum(F.col("nrm") * F.col("nrm")).alias("syy"),
-            F.sum(F.col("n_chars") * F.col("nrm")).alias("sxy"),
+            F.sum(dec(F.col("n_chars"))).alias("sx"),
+            F.sum(dec(F.col("nrm_u"))).alias("sy"),
+            F.sum(dec(F.col("n_chars") * F.col("n_chars"))).alias("sxx"),
+            F.sum(dec(F.col("nrm_u")) * F.col("nrm_u")).alias("syy"),
+            F.sum(dec(F.col("n_chars") * F.col("nrm_u"))).alias("sxy"),
         )
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return s.where((F.col("n") >= 2) & (vx > 0) & (vy > 0)).select(
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = F.col("n") * d("sxx") - d("sx") * d("sx")
+    vy = F.col("n") * d("syy") - d("sy") * d("sy")
+    return s.where(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
         "lang",
         "n",
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(vx * vy),
-            6,
+            (F.col("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(vx * vy), 6
         ).alias("len_norm_corr"),
     )
 

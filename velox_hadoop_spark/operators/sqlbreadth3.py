@@ -124,21 +124,37 @@ def q_event_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         converters AS (
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         ),
-        credited AS (
-            SELECT t.event_type,
-                   CASE
-                       WHEN t.k = 1 THEN 1.0
-                       WHEN t.k = 2 THEN 0.5
-                       WHEN t.pos = 1 THEN {ATTR_FIRST_W}
-                       WHEN t.pos = t.k THEN {ATTR_LAST_W}
-                       ELSE {1.0 - ATTR_FIRST_W - ATTR_LAST_W} / (t.k - 2)
-                   END AS credit
+        ct AS (
+            SELECT t.event_type, t.pos, t.k
             FROM touches t JOIN converters c ON t.user_id = c.user_id
+        ),
+        base AS (
+            SELECT event_type,
+                   count(*) AS n_touches,
+                   count(*) FILTER (WHERE k = 1) AS n_k1,
+                   count(*) FILTER (WHERE k = 2) AS n_k2,
+                   count(*) FILTER (WHERE k >= 3 AND (pos = 1 OR pos = k))
+                       AS n_ends
+            FROM ct GROUP BY event_type
+        ),
+        mids AS (
+            SELECT event_type, k, count(*) AS m
+            FROM ct WHERE k >= 3 AND pos > 1 AND pos < k
+            GROUP BY event_type, k
+        ),
+        midfold AS (
+            SELECT event_type,
+                   list_sum(list_transform(
+                       list({{'k': k, 'm': m}} ORDER BY k),
+                       r -> r.m * {1.0 - ATTR_FIRST_W - ATTR_LAST_W} / (r.k - 2)
+                   )) AS mid_credit
+            FROM mids GROUP BY event_type
         )
-        SELECT event_type,
-               CAST(count(*) AS BIGINT) AS n_touches,
-               ROUND(sum(credit), 6) AS total_credit
-        FROM credited GROUP BY event_type
+        SELECT b.event_type,
+               CAST(b.n_touches AS BIGINT) AS n_touches,
+               ROUND(b.n_k1 + 0.5 * b.n_k2 + {ATTR_FIRST_W} * b.n_ends
+                     + coalesce(f.mid_credit, 0.0), 6) AS total_credit
+        FROM base b LEFT JOIN midfold f ON b.event_type = f.event_type
     """,
     tags=("sql-breadth", "attribution", "position-based", "extension"),
 )
@@ -148,9 +164,16 @@ def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     40% last / 20% split across the middle (k=1 → 1.0, k=2 → .5/.5) —
     beside the existing last-touch model, this is the other standard
     the marketing-analytics surface needs. Total credit conserves to
-    the converter count (pinned by a brute-force recompute). One
-    user-keyed window for positions, a semi-join-shaped converters
-    filter, one aggregate per touch type."""
+    the converter count (pinned by a brute-force recompute).
+
+    Numeric shape: total_credit is NEVER a free-order SUM of per-row
+    double credits (the accumulation-order class that flipped the
+    Brown smoother's 4dp rounding) — the aggregate collapses to EXACT
+    integer counters (k=1, k=2, first/last) plus a per-(type, k)
+    middle count, and the only non-trivial double sum is an ORDERED
+    fold over the tiny k-ascending (k, m) list, so both engines
+    execute the identical float-op sequence. One user-keyed window
+    for positions, a converters semi-join, domain-bounded aggregates."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     touches = ev.where(F.col("event_type").isin("view", "click")).select(
@@ -162,22 +185,44 @@ def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     converters = (
         ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
     )
-    mid_w = (1.0 - ATTR_FIRST_W - ATTR_LAST_W) / (F.col("k") - 2)
-    credit = (
-        F.when(F.col("k") == 1, 1.0)
-        .when(F.col("k") == 2, 0.5)
-        .when(F.col("pos") == 1, ATTR_FIRST_W)
-        .when(F.col("pos") == F.col("k"), ATTR_LAST_W)
-        .otherwise(mid_w)
+    ct = touches.join(converters, "user_id").select("event_type", "pos", "k")
+    base = ct.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.count(F.when(F.col("k") == 1, 1)).alias("n_k1"),
+        F.count(F.when(F.col("k") == 2, 1)).alias("n_k2"),
+        F.count(
+            F.when(
+                (F.col("k") >= 3)
+                & ((F.col("pos") == 1) | (F.col("pos") == F.col("k"))),
+                1,
+            )
+        ).alias("n_ends"),
     )
-    return (
-        touches.join(converters, "user_id")
-        .select("event_type", credit.alias("credit"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n_touches"),
-            F.round(F.sum("credit"), 6).alias("total_credit"),
-        )
+    mids = (
+        ct.where((F.col("k") >= 3) & (F.col("pos") > 1) & (F.col("pos") < F.col("k")))
+        .groupBy("event_type", "k")
+        .agg(F.count("*").alias("m"))
+    )
+    mid_w = 1.0 - ATTR_FIRST_W - ATTR_LAST_W
+    midfold = mids.groupBy("event_type").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("k"), F.col("m")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["m"] * F.lit(mid_w) / (r["k"] - 2),
+        ).alias("mid_credit")
+    )
+    return base.join(midfold, "event_type", "left").select(
+        "event_type",
+        "n_touches",
+        F.round(
+            F.col("n_k1")
+            + 0.5 * F.col("n_k2")
+            + ATTR_FIRST_W * F.col("n_ends")
+            + F.coalesce(F.col("mid_credit"), F.lit(0.0)),
+            6,
+        ).alias("total_credit"),
     )
 
 

@@ -426,9 +426,11 @@ def q_macd_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders GROUP BY 1
         ),
         pairs AS (
-            SELECT CASE WHEN (a.rev_c - b.rev_c) * (a.n_orders - b.n_orders) > 0
+            SELECT CASE WHEN sign(a.rev_c - b.rev_c) = sign(a.n_orders - b.n_orders)
+                         AND a.rev_c <> b.rev_c AND a.n_orders <> b.n_orders
                         THEN 1 ELSE 0 END AS conc,
-                   CASE WHEN (a.rev_c - b.rev_c) * (a.n_orders - b.n_orders) < 0
+                   CASE WHEN sign(a.rev_c - b.rev_c) = -sign(a.n_orders - b.n_orders)
+                         AND a.rev_c <> b.rev_c AND a.n_orders <> b.n_orders
                         THEN 1 ELSE 0 END AS disc,
                    CASE WHEN a.rev_c = b.rev_c AND a.n_orders <> b.n_orders
                         THEN 1 ELSE 0 END AS tie_x,
@@ -469,9 +471,14 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = daily.alias("a"), daily.alias("b")
     dx = F.col("a.rev_c") - F.col("b.rev_c")
     dy = F.col("a.n_orders") - F.col("b.n_orders")
+    # concordance via SIGN comparison, never dx*dy: the product of two
+    # BIGINT deltas overflows int64 once daily revenue reaches ~1e13
+    # cents (ANSI aborts; non-ANSI silently flips the sign) — the same
+    # overflow class the Jarque-Bera kernel designs out
+    both = (dx != 0) & (dy != 0)
     pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
-        F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
-        F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+        F.when(both & (F.signum(dx) == F.signum(dy)), 1).otherwise(0).alias("conc"),
+        F.when(both & (F.signum(dx) == -F.signum(dy)), 1).otherwise(0).alias("disc"),
         F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("tie_x"),
         F.when((dx != 0) & (dy == 0), 1).otherwise(0).alias("tie_y"),
     )
@@ -719,6 +726,10 @@ def q_time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 OLS_WINDOW_D = 30
+# x anchor near the TPC-H date midpoint: keeps |x| ~1e3 so x*x and
+# n*sxx-sx*sx stay deep inside int64 at any SF (x*y still rides
+# decimal/HUGEINT — y alone is SF-proportional)
+OLS_X_ANCHOR = "1995-06-01"
 
 
 @register(
@@ -726,7 +737,7 @@ OLS_WINDOW_D = 30
     oracle=f"""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS d,
-                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   date_diff('day', DATE '{OLS_X_ANCHOR}', CAST(o_orderdate AS DATE))
                        AS x,
                    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                        AS y
@@ -736,8 +747,8 @@ OLS_WINDOW_D = 30
             SELECT d,
                    count(*) OVER w AS n,
                    sum(x) OVER w AS sx,
-                   sum(y) OVER w AS sy,
-                   sum(x * y) OVER w AS sxy,
+                   sum(CAST(y AS HUGEINT)) OVER w AS sy,
+                   sum(CAST(x AS HUGEINT) * y) OVER w AS sxy,
                    sum(x * x) OVER w AS sxx
             FROM daily
             WINDOW w AS (ORDER BY d
@@ -745,7 +756,7 @@ OLS_WINDOW_D = 30
                 AND CURRENT ROW)
         )
         SELECT d, CAST(n AS BIGINT) AS n_days,
-               ROUND((n * sxy - CAST(sx AS DOUBLE) * sy)
+               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
                      / 100.0, 6) AS slope_per_day
         FROM win
@@ -769,18 +780,23 @@ def q_rolling_ols_slope_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
     ).withColumn(
-        "x", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+        "x", F.datediff(F.col("d"), F.lit(OLS_X_ANCHOR).cast("date")).cast("long")
     )
     w = (
         Window.orderBy("x")
         .rangeBetween(-(OLS_WINDOW_D - 1), 0)
     )
+    # Σxy and Σy ride decimal(38,0): x is anchored near the data's
+    # midpoint (|x| stays ~1e3), but y is SF-proportional cents, so
+    # the raw x*y window sum overflows int64 around 10 TB; decimal
+    # sums stay exact (DuckDB twin: HUGEINT) and both engines feed
+    # the closed-form slope identical integers
     win = daily.select(
         "d",
         F.count("*").over(w).alias("n"),
         F.sum("x").over(w).alias("sx"),
-        F.sum("y").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).over(w).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
     )
     denom = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
@@ -793,7 +809,10 @@ def q_rolling_ols_slope_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.col("n").cast("long").alias("n_days"),
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
             / denom
             / 100.0,
             6,
