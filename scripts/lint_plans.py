@@ -50,6 +50,7 @@ GLOBAL_BOUNDED = {"nation", "region"}
 WHITELIST = {
     ("operators/agg.py", "bounds"): (1, "percentile bounds: one scalar row"),
     ("operators/contamination2.py", "bench"): (1, "benchmark 13-gram set: fixed eval suite, not SF-scaled"),
+    ("operators/sqlbreadth3.py", "tot"): (1, "one scalar total row"),
     ("operators/timeseries4.py", "b"): (1, "daily (rev, count) spine: calendar-bounded (one row per date)"),
     ("operators/clustering.py", "cents"): (1, "k centroid rows (k is a parameter)"),
     ("operators/contamination.py", "n_docs"): (1, "one scalar count row"),

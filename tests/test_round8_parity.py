@@ -1129,6 +1129,55 @@ def test_revenue_share_two_level_consistency(spark):
     assert sum(r.share_of_total for r in rows) == pytest.approx(1.0, abs=1e-4)
 
 
+def test_snapshot_novelty_conservation(spark):
+    """Σ n_in_new_clusters over snapshots counts every doc belonging
+    to a cluster whose oldest member sits in that doc's snapshot; the
+    cluster-level view must see each cluster first-seen EXACTLY once,
+    and Σ n_docs = corpus size. Recomputed via the pipeline's own
+    labels + plain-Python MD5 snapshots."""
+    from velox_hadoop_spark.operators.dedup2 import (
+        N_SNAPSHOTS,
+        SNAP_SEED,
+        _cluster_labels,
+    )
+
+    labels = {
+        r.doc_id: r.cluster_id for r in _cluster_labels(spark, SF_SMALL).collect()
+    }
+    snaps = {d: _bucket(d, SNAP_SEED, N_SNAPSHOTS) for d in labels}
+    first = {}
+    for d, c in labels.items():
+        first[c] = max(first.get(c, -1), snaps[d])
+    expected_docs = {}
+    expected_new = {}
+    for d, c in labels.items():
+        s = snaps[d]
+        expected_docs[s] = expected_docs.get(s, 0) + 1
+        if first[c] == s:
+            expected_new[s] = expected_new.get(s, 0) + 1
+    got = {
+        r.snapshot: r
+        for r in registry.specs()["snapshot_novelty_rate"].fn(spark, SF_SMALL).collect()
+    }
+    assert {s: r.n_docs for s, r in got.items()} == expected_docs
+    assert {s: r.n_in_new_clusters for s, r in got.items()} == expected_new
+    assert sum(r.n_docs for r in got.values()) == len(labels)
+
+
+def test_conversion_paths_share_conserves(spark):
+    rows = registry.specs()["conversion_paths_top"].fn(spark, SF_SMALL).collect()
+    assert rows
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert all(r.prefix.count(">") == 1 for r in rows)
+    # cross-query consistency: conversions counted here equal the
+    # 3-gram table's purchase-terminated paths
+    tri = registry.specs()["event_path_3grams"].fn(spark, SF_SMALL).collect()
+    tri_purchases = sum(
+        r.n_occurrences for r in tri if r.path.endswith(">purchase")
+    )
+    assert sum(r.n_conversions for r in rows) == tri_purchases
+
+
 def test_asof_tolerance_synthetic_semantics(spark):
     """A click exactly AT the bound is fresh (inclusive); one second
     past is NULL; a later purchase reuses the same carried click while

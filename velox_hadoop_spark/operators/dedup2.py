@@ -786,3 +786,58 @@ def _threshold_sweep_oracle() -> str:
 from velox_hadoop_spark.plans.registry import attach_oracle  # noqa: E402
 
 attach_oracle("dedup_threshold_sweep", _threshold_sweep_oracle())
+
+
+@register(
+    "snapshot_novelty_rate",
+    oracle=_duck_cluster_cte()
+    + _DUCK_ALL_LABELS
+    + f""",
+        snapped AS (
+            SELECT doc_id, cluster_id,
+                   {H.duck_bucket("doc_id", SNAP_SEED, N_SNAPSHOTS)} AS snapshot
+            FROM all_labels
+        ),
+        first_seen AS (
+            SELECT cluster_id, max(snapshot) AS first_snap
+            FROM snapped GROUP BY cluster_id
+        )
+        SELECT s.snapshot,
+               count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE f.first_snap = s.snapshot) AS BIGINT)
+                   AS n_in_new_clusters,
+               ROUND(count(*) FILTER (WHERE f.first_snap = s.snapshot)
+                     / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+        FROM snapped s JOIN first_seen f USING (cluster_id)
+        GROUP BY s.snapshot
+    """,
+    tags=("dedup", "cross-snapshot", "novelty", "extension"),
+)
+def q_snapshot_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl novelty: per crawl snapshot (hash-derived age,
+    index {N_SNAPSHOTS - 1} = oldest), the fraction of its documents
+    whose near-dup cluster FIRST appeared in that snapshot — i.e.
+    content the crawl genuinely added vs re-crawls of something an
+    older snapshot already had. The number that decides whether the
+    next crawl of a source is worth its cost. One aggregate over the
+    shared LSH→CC labels plus a cluster-keyed min ("first seen" = the
+    oldest snapshot holding a member), joined back group-bounded."""
+    snap = F.expr(H.spark_bucket("doc_id", SNAP_SEED, N_SNAPSHOTS))
+    snapped = _cluster_labels(spark, sf_dir).select(
+        "doc_id", "cluster_id", snap.alias("snapshot")
+    )
+    first_seen = snapped.groupBy("cluster_id").agg(
+        F.max("snapshot").alias("first_snap")
+    )
+    new_c = F.col("first_snap") == F.col("snapshot")
+    return (
+        snapped.join(first_seen, "cluster_id")
+        .groupBy("snapshot")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(new_c, 1)).cast("long").alias("n_in_new_clusters"),
+            F.round(
+                F.count(F.when(new_c, 1)) / F.count("*").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+    )

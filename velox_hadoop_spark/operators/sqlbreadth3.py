@@ -395,3 +395,57 @@ def q_revenue_share_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents") / F.sum("cents").over(w_all).cast("double"), 6
         ).alias("share_of_total"),
     )
+
+
+@register(
+    "conversion_paths_top",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        conv AS (
+            SELECT event_type || '>' || t2 AS prefix
+            FROM seq WHERE t3 = 'purchase'
+        ),
+        tot AS (SELECT count(*) AS n FROM conv)
+        SELECT prefix, count(*) AS n_conversions,
+               ROUND(count(*) / CAST((SELECT n FROM tot) AS DOUBLE), 6)
+                   AS share
+        FROM conv GROUP BY prefix
+    """,
+    tags=("sql-breadth", "funnel", "path-analysis", "extension"),
+)
+def q_conversion_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-path mining: the two events immediately PRECEDING
+    each purchase in a user's journey, counted and shared — which
+    approach paths actually convert (the directed complement of
+    event_path_3grams, which counts all paths). Same (ts, event_id)-
+    pinned user window; the share denominator is a broadcast scalar.
+    Share conservation (Σ shares = 1) is pinned in tests."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    conv = seq.where(F.col("t3") == "purchase").select(
+        F.concat_ws(">", "event_type", "t2").alias("prefix")
+    )
+    tot = conv.agg(F.count("*").alias("n"))
+    return (
+        conv.groupBy("prefix")
+        .agg(F.count("*").alias("n_conversions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prefix",
+            "n_conversions",
+            F.round(F.col("n_conversions") / F.col("n").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )
