@@ -1178,6 +1178,64 @@ def test_conversion_paths_share_conserves(spark):
     assert sum(r.n_conversions for r in rows) == tri_purchases
 
 
+def test_trunc_ema_collect_list_frame_order(spark):
+    """The ordered-fold EMA kernel's cross-engine determinism rests on
+    collect_list accumulating in the window frame's ascending order.
+    Pin that assumption DIRECTLY (inspect the collected lists) on a
+    deliberately shuffled multi-partition input: if a Spark upgrade
+    ever breaks frame-order accumulation, this fails loudly instead of
+    the EMA silently reverting to rounding-lucky parity. (The fold
+    VALUES are compared against Python only approximately — Java's
+    Math.pow and CPython's ** differ in the last ulp, which %.9g
+    canonicalization absorbs in the real gate.)"""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from velox_hadoop_spark.operators.timeseries4 import (
+        MACD_HORIZON,
+        trunc_ema_ordered,
+    )
+
+    days = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i), float(i * i % 97))
+        for i in range(120)
+    ]
+    rng = random.Random(7)
+    rng.shuffle(days)
+    src = spark.createDataFrame(days, "d date, rev double").repartition(8)
+
+    # 1) the frame-order assumption itself: every collected list is
+    #    strictly ascending by day
+    od = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = W.orderBy(od).rangeBetween(-(MACD_HORIZON - 1), 0)
+    lists = src.select(
+        "d",
+        F.collect_list(F.struct(F.col("d").alias("bd"), F.col("rev").alias("x")))
+        .over(w)
+        .alias("lst"),
+    ).collect()
+    for row in lists:
+        bds = [e["bd"] for e in row.lst]
+        assert bds == sorted(bds), row.d
+        assert bds[-1] == row.d  # current row closes its own frame
+
+    # 2) the fold values against a same-order Python recompute
+    out = {r.d: r.ema for r in trunc_ema_ordered(src, "rev", 0.3, "ema").collect()}
+    ordered = sorted(days)
+    for i, (d, _) in enumerate(ordered):
+        num = den = 0.0
+        for b, y in ordered[: i + 1]:
+            age = (d - b).days
+            if age <= MACD_HORIZON - 1:
+                wt = 0.7**age
+                num += y * wt
+                den += wt
+        assert out[d] == pytest.approx(num / den, rel=1e-12), d
+
+
 def test_asof_tolerance_synthetic_semantics(spark):
     """A click exactly AT the bound is fresh (inclusive); one second
     past is NULL; a later purchase reuses the same carried click while
