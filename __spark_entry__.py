@@ -64,6 +64,10 @@ _REVERIFY = (
     "pagerank_converged",
     "asof_join_events",
     "bom_rollup_levels",
+    # late round-8: the EWMA moved onto the ordered-fold kernel (its
+    # free-order 28-term dot product was the same latent rounding-flip
+    # shape the Brown smoother exposed)
+    "ewma_daily_revenue",
 )
 
 
@@ -73,7 +77,7 @@ _REVERIFY = (
 # per-round verification budget. Round 8: empty — registration order
 # already queues the 4 spilled llmops4 names ahead of this round's new
 # registrations. Budget arithmetic (the r7 pattern, repeated): 4
-# backlog + 36 new + 3 reverify + 2 rows-only = 45 candidates vs ~50
+# backlog + 38 new + 4 reverify + 2 rows-only = 48 candidates vs ~50
 # driver slots — every query should carry a current driver row after
 # this round's sample, with a few slots left for the green tail.
 _DEFER = ()

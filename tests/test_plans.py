@@ -335,13 +335,16 @@ def test_affinity_broadcasts_item_counts(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row order count
 
 
-def test_ewma_probe_side_is_broadcast(spark):
-    """The EWMA range self-join runs against a broadcast calendar-
-    bounded daily spine (never a shuffled non-equi join)."""
+def test_ewma_runs_through_ordered_window_fold(spark):
+    """The EWMA rides the ordered-fold kernel since round 8: ONE range
+    window over the calendar-bounded daily spine (no non-equi
+    self-join at all — the old BroadcastNestedLoopJoin shape is gone),
+    re-attached to the spine by a plain equi-join."""
     df = registry.queries()["ewma_daily_revenue"](spark, SF_DIR)
     plan = _formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_incremental_dedup_prunes_text_from_probe(spark):

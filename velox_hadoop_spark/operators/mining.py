@@ -210,66 +210,67 @@ _EWMA_WINDOW = 28  # truncation horizon: 0.8^28 ≈ 2e-3 residual weight
 
 @register(
     "ewma_daily_revenue",
-    oracle=f"""
-        WITH daily AS (
-            SELECT CAST(o_orderdate AS DATE) AS d,
-                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                       / 100.0 AS rev
-            FROM orders GROUP BY 1
-        )
-        SELECT a.d, a.rev,
-               floor(
-                   SUM(b.rev * POWER({_EWMA_DECAY}, date_diff('day', b.d, a.d)))
-                   / SUM(POWER({_EWMA_DECAY}, date_diff('day', b.d, a.d)))
-                   * 10000 + 0.5) / 10000 AS ewma
-        FROM daily a
-        JOIN daily b
-          ON b.d <= a.d AND b.d >= a.d - INTERVAL {_EWMA_WINDOW - 1} DAY
-        GROUP BY a.d, a.rev
-    """,
+    oracle=None,  # attached below — built from the shared ordered-fold
+    # EMA fragment (timeseries4), avoiding a circular import at module top
     tags=("mining", "timeseries", "ewma", "extension"),
 )
 def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily order revenue,
     truncated to a 28-day horizon (residual tail weight ≈ 0.2%%, which
-    also keeps the smoothing expressible as a bounded range join — the
+    also keeps the smoothing expressible as a bounded window — the
     exact recursive form is not a relational expression).
 
-    The fact table collapses to the daily grain FIRST, so the non-equi
-    self-join runs on a calendar-bounded spine (≈ 2.4k rows for the
-    full TPC-H date range regardless of fact volume) and the probe side
-    is broadcast — no shuffle grows with data size.
+    The fact table collapses to the daily grain FIRST, so the window
+    runs on a calendar-bounded spine (≈ 2.4k rows for the full TPC-H
+    date range regardless of fact volume).
 
-    Parity hardening: daily revenue is summed as integer cents
-    (o_totalprice is an exact 2-decimal value), so `rev` is the same
-    double in both engines at any SF — no ROUND(SUM(double)) ordering
-    tie. The EWMA ratio itself is a 28-term double dot product whose
-    summation order differs between engines; both sides use the
-    engine-identical floor(x*1e4+0.5)/1e4 mapping, leaving only a
-    half-ulp-at-a-boundary hazard (same accepted class as the
-    documented pagerank scale pin).
-    """
+    Parity hardening (round 8): the weighted ratio runs through the
+    shared ORDERED-FOLD kernel (timeseries4.trunc_ema_ordered) — the
+    previous free-order SUM over the 28-term dot product left the
+    engines one ulp apart on ~1e6-scale values, where the 4dp floor
+    grid makes a boundary flip a live per-sweep hazard (measured on
+    the Brown smoother, the identical shape); the fold makes both
+    engines execute the same float-op sequence, so the rounding is
+    display-only. Daily revenue itself is summed as integer cents, so
+    `rev` is the same double in both engines at any SF."""
+    from velox_hadoop_spark.operators.timeseries4 import trunc_ema_ordered
+
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("rev")
     )
-    a, b = daily.alias("a"), daily.alias("b")
-    age = F.datediff(F.col("a.d"), F.col("b.d"))
-    w = F.pow(F.lit(_EWMA_DECAY), age)
-    return (
-        a.join(
-            F.broadcast(b),
-            (F.col("b.d") <= F.col("a.d"))
-            & (F.col("b.d") >= F.date_sub(F.col("a.d"), _EWMA_WINDOW - 1)),
-        )
-        .groupBy(F.col("a.d").alias("d"), F.col("a.rev").alias("rev"))
-        .agg(
-            (
-                F.floor(F.sum(F.col("b.rev") * w) / F.sum(w) * 10000 + F.lit(0.5))
-                / 10000
-            ).alias("ewma")
-        )
+    ema = trunc_ema_ordered(
+        daily, "rev", alpha=1.0 - _EWMA_DECAY, out="ema",
+        horizon=_EWMA_WINDOW, decay=_EWMA_DECAY,
     )
+    return daily.join(ema, "d").select(
+        "d",
+        "rev",
+        (F.floor(F.col("ema") * 10000 + F.lit(0.5)) / 10000).alias("ewma"),
+    )
+
+
+def _ewma_oracle() -> str:
+    from velox_hadoop_spark.operators.timeseries4 import _duck_trunc_ema
+
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS rev
+            FROM orders GROUP BY 1
+        ),
+        ema AS ({_duck_trunc_ema("rev", alpha=1.0 - _EWMA_DECAY,
+                                 horizon=_EWMA_WINDOW, decay=_EWMA_DECAY)})
+        SELECT daily.d, daily.rev,
+               floor(ema.ema * 10000 + 0.5) / 10000 AS ewma
+        FROM daily JOIN ema ON daily.d = ema.d
+    """
+
+
+from velox_hadoop_spark.plans.registry import attach_oracle as _attach  # noqa: E402
+
+_attach("ewma_daily_revenue", _ewma_oracle())
 
 
 # ---------------------------------------------------------------------------

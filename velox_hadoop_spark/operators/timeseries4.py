@@ -283,7 +283,13 @@ def q_grouped_locf_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _duck_trunc_ema(value: str, alpha: float, src: str = "daily") -> str:
+def _duck_trunc_ema(
+    value: str,
+    alpha: float,
+    src: str = "daily",
+    horizon: int = MACD_HORIZON,
+    decay: float | None = None,
+) -> str:
     """Truncated-window EMA fragment (DuckDB): weights (1-a)^age over a
     MACD_HORIZON-day lookback, adaptively normalized (same early-window
     behavior as pandas ewm(adjust=True)).
@@ -299,7 +305,7 @@ def _duck_trunc_ema(value: str, alpha: float, src: str = "daily") -> str:
     sequence — bit-equal results, no rounding luck. The decay constant
     is interpolated from one Python double (a textual ``1 - 0.3``
     would parse as DECIMAL arithmetic here)."""
-    decay = 1.0 - alpha
+    decay = (1.0 - alpha) if decay is None else decay
     wexpr = f"power({decay!r}, date_diff('day', r.bd, d))"
     return f"""
         SELECT d,
@@ -309,7 +315,7 @@ def _duck_trunc_ema(value: str, alpha: float, src: str = "daily") -> str:
             SELECT d,
                    list({{'bd': d, 'x': {value}}}) OVER (
                        ORDER BY d
-                       RANGE BETWEEN INTERVAL {MACD_HORIZON - 1} DAY PRECEDING
+                       RANGE BETWEEN INTERVAL {horizon - 1} DAY PRECEDING
                        AND CURRENT ROW
                    ) AS lst
             FROM {src}
@@ -317,7 +323,14 @@ def _duck_trunc_ema(value: str, alpha: float, src: str = "daily") -> str:
     """
 
 
-def trunc_ema_ordered(src: DataFrame, value: str, alpha: float, out: str) -> DataFrame:
+def trunc_ema_ordered(
+    src: DataFrame,
+    value: str,
+    alpha: float,
+    out: str,
+    horizon: int = MACD_HORIZON,
+    decay: float | None = None,
+) -> DataFrame:
     """Spark twin of ``_duck_trunc_ema``: the same truncated EMA as an
     ordered fold over a range-frame window. collect_list over the
     ordered frame accumulates in ascending-day order; F.aggregate folds
@@ -326,9 +339,9 @@ def trunc_ema_ordered(src: DataFrame, value: str, alpha: float, out: str) -> Dat
     SUM cannot be used). The window is global over the DAY SPINE —
     calendar-bounded rows, the same single-partition class as the
     other spine windows (yoy, extrema), never fact-row-sized."""
-    decay = 1.0 - alpha
+    decay = (1.0 - alpha) if decay is None else decay
     od = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
-    w = Window.orderBy(od).rangeBetween(-(MACD_HORIZON - 1), 0)
+    w = Window.orderBy(od).rangeBetween(-(horizon - 1), 0)
     frame = src.select(
         "d",
         F.collect_list(
