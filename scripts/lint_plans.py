@@ -62,7 +62,6 @@ WHITELIST = {
     ("operators/join.py", "dim"): (1, "API contract: caller declares the frame a broadcast dimension"),
     ("operators/join2.py", "mins"): (1, "per-nationkey min: bounded by the 25-row nation domain"),
     ("operators/llmops2.py", "tot"): (1, "one scalar total row"),
-    ("operators/mining.py", "b"): (1, "daily revenue: calendar-bounded (one row per date)"),
     ("operators/mining.py", "season"): (1, "per-day-of-week stats: 7 rows"),
     ("operators/mining.py", "anchor"): (1, "one scalar max-date row"),
     ("operators/mining.py", "mau"): (1, "per-month distinct count: calendar-bounded"),
