@@ -1236,6 +1236,58 @@ def test_trunc_ema_collect_list_frame_order(spark):
         assert out[d] == pytest.approx(num / den, rel=1e-12), d
 
 
+def test_survivorship_golden_brute_force(spark):
+    """Recompute every survivorship rule in plain Python over the
+    pipeline's own cluster labels: golden = longest copy (tie → lowest
+    id), provenance mins, lineage counters — and conservation: each
+    multi-member cluster emits exactly one golden row and singletons
+    emit nothing."""
+    from velox_hadoop_spark.operators.dedup2 import _cluster_labels
+
+    labels = {
+        r.doc_id: r.cluster_id for r in _cluster_labels(spark, SF_SMALL).collect()
+    }
+    meta = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.sql(
+            f"SELECT doc_id, n_chars, source, lang FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    }
+    clusters = {}
+    for d, c in labels.items():
+        clusters.setdefault(c, []).append(d)
+    expected = {}
+    for c, ids in clusters.items():
+        if len(ids) < 2:
+            continue
+        golden = max(ids, key=lambda d: (meta[d][0], -d))
+        expected[c] = (
+            len(ids),
+            min(ids),
+            golden,
+            min(meta[d][1] for d in ids),
+            min(meta[d][2] for d in ids),
+            sum(meta[d][0] for d in ids),
+            max(meta[d][0] for d in ids),
+        )
+    got = {
+        r.cluster_id: (
+            r.n_merged,
+            r.first_seen_id,
+            r.golden_doc_id,
+            r.golden_source,
+            r.golden_lang,
+            r.total_chars,
+            r.golden_chars,
+        )
+        for r in registry.specs()["dedup_survivorship_golden"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == expected
+    assert expected, "corpus must contain at least one multi-member cluster"
+
+
 def test_asof_tolerance_synthetic_semantics(spark):
     """A click exactly AT the bound is fresh (inclusive); one second
     past is NULL; a later purchase reuses the same carried click while
