@@ -54,20 +54,19 @@ _BOOST = ()
 # Driver-green rows whose underlying code or oracle changed AFTER the
 # green row was recorded. They re-enter the verification queue right
 # behind the never-verified boost group so the driver refreshes their
-# evidence. Round 8: three green kernels were rewritten this round —
-# the pagerank tolerance loop's pair checkpoint went lazy, the shared
-# as-of kernel (join.asof_join) was generalized to composite keys
-# (asof_join_events rides it), and containment_walk grew the
-# require_drained raise path (bom_rollup_levels rides it). All three
-# re-gated green at sf0.01 this round; the driver refreshes their rows.
+# evidence. Round 9: the r8 tuple's 4 names re-greened in
+# CORRECTNESS_r08 and were dropped; repopulated with this round's
+# ADVICE fixes — cramers_v (double-cast margins, oracle + plan),
+# attribution_position_based (double-context oracle fold), and the
+# three contamination2 queries riding contamination_hits (the forced
+# benchmark broadcast hint was dropped; plan-only, results identical,
+# re-queued per the shared-kernel policy).
 _REVERIFY = (
-    "pagerank_converged",
-    "asof_join_events",
-    "bom_rollup_levels",
-    # late round-8: the EWMA moved onto the ordered-fold kernel (its
-    # free-order 28-term dot product was the same latent rounding-flip
-    # shape the Brown smoother exposed)
-    "ewma_daily_revenue",
+    "cramers_v_status_priority",
+    "attribution_position_based",
+    "decontam_13gram_hit_spans",
+    "decontam_span_coverage",
+    "decontam_removal_by_source",
 )
 
 

@@ -49,14 +49,13 @@ GLOBAL_BOUNDED = {"nation", "region"}
 # cardinality-bounded — NOT SF-proportional — at 100 TB).
 WHITELIST = {
     ("operators/agg.py", "bounds"): (1, "percentile bounds: one scalar row"),
-    ("operators/contamination2.py", "bench"): (1, "benchmark 13-gram set: fixed eval suite, not SF-scaled"),
     ("operators/sqlbreadth3.py", "tot"): (1, "one scalar total row"),
     ("operators/timeseries4.py", "b"): (1, "daily (rev, count) spine: calendar-bounded (one row per date)"),
     ("operators/clustering.py", "cents"): (1, "k centroid rows (k is a parameter)"),
     ("operators/contamination.py", "n_docs"): (1, "one scalar count row"),
     ("operators/contamination.py", "sa"): (1, "per-language shingle stats; lang domain is enum-bounded"),
     ("operators/contamination.py", "sb"): (1, "per-language shingle stats; lang domain is enum-bounded"),
-    ("operators/contamination.py", "bench_sh"): (1, "benchmark shingle set: fixed benchmark suite, not SF-scaled"),
+    ("operators/contamination.py", "bench_sh"): (1, "API contract: contamination_scan's `benchmark` arg is a fixed eval suite by contract (the registered query's src0 STAND-IN scales with SF; production eval sets do not)"),
     ("operators/dedup.py", "slens"): (1, "distinct sub-block doc lengths, < shingle width (40) rows"),
     ("operators/graph.py", "df"): (1, "probe-guarded: broadcast only when n_rows <= BFS_BROADCAST_NODES"),
     ("operators/join.py", "dim"): (1, "API contract: caller declares the frame a broadcast dimension"),

@@ -90,9 +90,14 @@ def contamination_hits(docs: DataFrame, k: int = DECONTAM13_K) -> DataFrame:
     bench = (
         sh.where(F.col("source") == BENCH_SOURCE).select("g").distinct()
     )
+    # UNHINTED join: production eval sets are fixed-size and AQE
+    # broadcasts the gram set while it fits, but the stand-in benchmark
+    # source (src0) scales with SF here, so a forced F.broadcast would
+    # be an SF-proportional broadcast in this corpus — the class the
+    # round-6 de-broadcast pass removed. Let runtime stats decide.
     return (
         sh.where(F.col("source") != BENCH_SOURCE)
-        .join(F.broadcast(bench), "g")
+        .join(bench, "g")
         .select("doc_id", "n_tokens", "pos", "g")
     )
 

@@ -146,13 +146,15 @@ def q_event_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    list_sum(list_transform(
                        list({{'k': k, 'm': m}} ORDER BY k),
-                       r -> r.m * {1.0 - ATTR_FIRST_W - ATTR_LAST_W} / (r.k - 2)
+                       r -> r.m * CAST({(1.0 - ATTR_FIRST_W - ATTR_LAST_W)!r} AS DOUBLE)
+                            / (r.k - 2)
                    )) AS mid_credit
             FROM mids GROUP BY event_type
         )
         SELECT b.event_type,
                CAST(b.n_touches AS BIGINT) AS n_touches,
-               ROUND(b.n_k1 + 0.5 * b.n_k2 + {ATTR_FIRST_W} * b.n_ends
+               ROUND(b.n_k1 + 0.5 * b.n_k2
+                     + CAST({ATTR_FIRST_W!r} AS DOUBLE) * b.n_ends
                      + coalesce(f.mid_credit, 0.0), 6) AS total_credit
         FROM base b LEFT JOIN midfold f ON b.event_type = f.event_type
     """,

@@ -325,8 +325,8 @@ def q_brown_forsythe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c
         ),
         chi AS (
-            SELECT sum(POWER(o - rtot * ctot / CAST(n.n AS DOUBLE), 2)
-                       / (rtot * ctot / CAST(n.n AS DOUBLE))) AS chi2,
+            SELECT sum(POWER(o - CAST(rtot AS DOUBLE) * ctot / n.n, 2)
+                       / (CAST(rtot AS DOUBLE) * ctot / n.n)) AS chi2,
                    CAST(any_value(n.n) AS BIGINT) AS n,
                    CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
                    CAST(count(DISTINCT c) AS BIGINT) AS n_cols
@@ -361,7 +361,13 @@ def q_cramers_v_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(obs, ["r", "c"], "left")
         .select("r", "c", "rtot", "ctot", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
     )
-    exp = F.col("rtot") * F.col("ctot") / F.col("n").cast("double")
+    # one margin in DOUBLE before the product: rtot*ctot as BIGINT×BIGINT
+    # overflows int64 once orders reach ~1e10 rows (several-TB SF) and
+    # ANSI Spark would abort — the same overflow class the Kendall /
+    # Jarque-Bera / rolling-OLS kernels design out. Expected counts only
+    # feed the double chi², so no exactness is lost; the oracle mirrors
+    # CAST(rtot AS DOUBLE) so both engines run the identical op sequence.
+    exp = F.col("rtot").cast("double") * F.col("ctot") / F.col("n")
     chi = grid.crossJoin(n).agg(
         F.sum(F.pow(F.col("o") - exp, 2) / exp).alias("chi2"),
         F.any_value("n").cast("long").alias("n"),
