@@ -611,3 +611,45 @@ def test_band_tuning_single_documents_scan(spark):
     # substring hits — the formatted plan prints each node twice
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans <= 1, f"expected one parquet scan, saw {n_scans}"
+
+
+def test_runtime_bloom_filter_injected_on_join_key(spark):
+    """Spark's InjectRuntimeFilter must fire on a NON-partition join
+    key when one join side carries a selective filter: the optimized
+    plan grows a bloom_filter_agg aggregate on the creation (filtered
+    orders) side and a bloom_filter_might_contain probe on the
+    application (lineitem) side, pre-filtering the big scan before the
+    shuffle. This is the shuffle-volume analogue of the DPP exhibit
+    (test_dynamic_partition_pruning_fires) — at 100 TB it is the
+    difference between shuffling all of lineitem and shuffling only
+    the rows that can possibly join. Thresholds are lowered because
+    the sf0.01 scan is far below the production 10 GB application-side
+    default; the REWRITE under test is scale-independent."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt[:2000]
+        assert "might_contain" in opt, opt[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -90,9 +90,12 @@ def kmeans(emb: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
     )
 
 
-def _duck_kmeans_oracle(k: int, iters: int) -> str:
-    """Unrolled Lloyd's iterations as DuckDB CTEs — same rounding
-    boundaries as the Spark loop."""
+def _duck_kmeans_ctes(k: int, iters: int) -> str:
+    """Unrolled Lloyd's iterations as a DuckDB CTE body (no WITH, no
+    final SELECT) — same rounding boundaries as the Spark loop. Ends at
+    ``a{iters}(vec_id, cid, dist)`` with the vector table ``v`` still
+    in scope, so composites (SemDeDup) can extend the chain. The
+    registered kmeans oracle wraps this body unchanged."""
     dist = (
         "ROUND(list_sum(list_transform(list_zip(v.e, c.ce), "
         "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
@@ -126,9 +129,12 @@ def _duck_kmeans_oracle(k: int, iters: int) -> str:
                     ) GROUP BY cid
                 )"""
             )
-    ctes = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _duck_kmeans_oracle(k: int, iters: int) -> str:
     return (
-        f"WITH {ctes}\n"
+        f"WITH {_duck_kmeans_ctes(k, iters)}\n"
         f"SELECT vec_id, cid AS cluster, dist FROM a{iters}"
     )
 

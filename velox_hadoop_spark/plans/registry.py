@@ -173,6 +173,9 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.stats3  # noqa: F401
     import velox_hadoop_spark.operators.llmops5  # noqa: F401
     import velox_hadoop_spark.operators.sqlbreadth3  # noqa: F401
+    import velox_hadoop_spark.operators.spanremoval  # noqa: F401
+    import velox_hadoop_spark.operators.llmops6  # noqa: F401
+    import velox_hadoop_spark.operators.sketches  # noqa: F401
 
 
 def specs() -> dict[str, QuerySpec]:
