@@ -42,12 +42,10 @@ def _verified_names() -> set[str]:
 
 
 # Front-of-queue rows within the never-verified group (entries already
-# driver-green are skipped automatically). Round 8: empty — all 10 r7
-# _REVERIFY names re-greened in CORRECTNESS_r07, so the 4 llmops4
-# registrations that spilled from r7's 55-candidates-vs-50-slots budget
-# (context_window_budget, curation_pack_report, source_lang_mix_entropy,
-# vocab_growth_curve — all judge-gated green at sf0.01) head the queue
-# automatically via registration order.
+# driver-green are skipped automatically). Round 9: empty — r8 left no
+# backlog (every registry query carries a current green row), so the
+# never-verified group is exactly this round's registrations plus the
+# two perpetual rows-only approx_* rows.
 _BOOST = ()
 
 
@@ -73,12 +71,13 @@ _REVERIFY = (
 # Queries added in the current round: they go to the BACK of the
 # never-verified group so each new registration extends the burn-down
 # queue instead of displacing older queries out of the driver's
-# per-round verification budget. Round 8: empty — registration order
-# already queues the 4 spilled llmops4 names ahead of this round's new
-# registrations. Budget arithmetic (the r7 pattern, repeated): 4
-# backlog + 38 new + 4 reverify + 2 rows-only = 48 candidates vs ~50
-# driver slots — every query should carry a current driver row after
-# this round's sample, with a few slots left for the green tail.
+# per-round verification budget. Round 9: empty — no backlog exists,
+# so registration order already queues this round's new modules
+# (spanremoval, llmops6, sketches, timeseries5, stats4, retrieval2,
+# graph2, sqlbreadth4) behind nothing. Budget arithmetic: 23 new
+# (22 oracled + hll rows-only) + 5 reverify (advice-fix riders) + 2
+# perpetual rows-only = 30 candidates vs ~50 driver slots — every
+# query keeps a current driver row with ~20 slots of green tail.
 _DEFER = ()
 
 

@@ -314,3 +314,355 @@ def test_hll_weekly_rollup_tolerance_and_merge(spark):
         for r in registry.queries()["hll_weekly_merge_rollup"](spark, SF_SMALL).collect()
     }
     assert again == merged
+
+
+# ---------------------------------------------------------------------------
+# timeseries5: brute-force recomputes + conservation
+# ---------------------------------------------------------------------------
+
+
+def _daily_cents(sf=SF_SMALL):
+    return duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM '{sf}/orders.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+
+
+def test_changepoint_python_recompute(spark):
+    xs = [c for _, c in _daily_cents()]
+    days = [d for d, _ in _daily_cents()]
+    n = len(xs)
+    best = None
+    pre_s = [0]
+    pre_q = [0]
+    for x in xs:
+        pre_s.append(pre_s[-1] + x)
+        pre_q.append(pre_q[-1] + x * x)
+    for j in range(1, n):
+        sl, ql = pre_s[j], pre_q[j]
+        sr, qr = pre_s[n] - sl, pre_q[n] - ql
+        cost = (float(ql) - float(sl) * float(sl) / j) + (
+            float(qr) - float(sr) * float(sr) / (n - j)
+        )
+        if best is None or cost < best[0]:
+            best = (cost, days[j - 1], j)
+    row = registry.queries()["changepoint_sse_split_daily"](spark, SF_SMALL).collect()[0]
+    assert row["split_day"] == best[1]
+    assert row["n_left"] == best[2] and row["n_right"] == n - best[2]
+
+
+def test_rolling_zscore_python_recompute(spark):
+    daily = _daily_cents()
+    flagged = {}
+    for i, (d, x) in enumerate(daily):
+        win = [c for dd, c in daily if 1 <= (d - dd).days <= 30]
+        m = len(win)
+        if m < 10:
+            continue
+        mu = sum(win) / m
+        ss = sum(v * v for v in win) - sum(win) ** 2 / m
+        if ss <= 0:
+            continue
+        sd = math.sqrt(ss / (m - 1))
+        z = (x - mu) / sd
+        if math.floor(abs(z) * 10000 + 0.5) / 10000 > 2.5:
+            flagged[d] = (m, round(z, 4))
+    got = {
+        r["d"]: (r["n_days"], r["z"])
+        for r in registry.queries()["rolling_zscore_anomaly_days"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == flagged
+
+
+def test_backlog_conservation(spark):
+    rows = registry.queries()["open_order_backlog_daily"](spark, SF_SMALL).collect()
+    rows.sort(key=lambda r: r["d"])
+    n_with_lines = duckdb.sql(
+        f"""
+        SELECT count(*) FROM '{SF_SMALL}/orders.parquet' o
+        WHERE EXISTS (SELECT 1 FROM '{SF_SMALL}/lineitem.parquet' l
+                      WHERE l.l_orderkey = o.o_orderkey)
+        """
+    ).fetchone()[0]
+    assert sum(r["n_opened"] for r in rows) == n_with_lines
+    assert sum(r["n_closed"] for r in rows) == n_with_lines
+    running = 0
+    for r in rows:
+        running += r["n_opened"] - r["n_closed"]
+        assert r["open_backlog"] == running
+        assert running >= 0
+    assert rows[-1]["open_backlog"] == 0
+
+
+def test_vwap_python_recompute(spark):
+    raw = duckdb.sql(
+        f"""
+        SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS w,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_quantity AS q
+        FROM '{SF_SMALL}/lineitem.parquet'
+        """
+    ).fetchall()
+    agg = {}
+    for w, cents, q in raw:
+        s = agg.setdefault(w, [0, 0.0, 0])
+        s[0] += cents
+        s[1] += q
+        s[2] += 1
+    got = {
+        r["week_start"]: r
+        for r in registry.queries()["vwap_weekly_lineitem"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(agg)
+    for w, (cents, qty, nl) in agg.items():
+        assert got[w]["n_lines"] == nl
+        assert got[w]["total_qty"] == int(qty)
+        assert abs(got[w]["vwap"] - cents / qty / 100.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# stats4: plain-Python recomputes
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_gof_python_recompute(spark):
+    counts = dict(
+        duckdb.sql(
+            f"SELECT dayname(o_orderdate), count(*) FROM '{SF_SMALL}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    n = sum(counts.values())
+    e = n / 7.0
+    chi2 = sum((o - e) ** 2 / e for o in counts.values())
+    row = registry.queries()["chi2_gof_weekday_uniform"](spark, SF_SMALL).collect()[0]
+    assert row["n"] == n
+    assert abs(row["chi2"] - chi2) < 1e-5
+
+
+def test_runs_test_python_recompute(spark):
+    xs = [c for _, c in _daily_cents()]
+    med = sorted(xs)
+    m = (med[len(med) // 2] + med[(len(med) - 1) // 2]) / 2
+    sgn = [1 if x > m else -1 for x in xs if x != m]
+    n1 = sgn.count(1)
+    n2 = sgn.count(-1)
+    r = 1 + sum(1 for a, b in zip(sgn, sgn[1:]) if a != b)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        (2 * n1 * n2)
+        * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    row = registry.queries()["runs_test_daily_revenue"](spark, SF_SMALL).collect()[0]
+    assert (row["n_up"], row["n_down"], row["n_runs"]) == (n1, n2, r)
+    assert abs(row["z"] - (r - mu) / math.sqrt(var)) < 1e-6
+
+
+def test_grubbs_python_recompute(spark):
+    daily = _daily_cents()
+    xs = [c for _, c in daily]
+    n = len(xs)
+    mu = sum(xs) / n
+    sd = math.sqrt((sum(x * x for x in xs) - sum(xs) ** 2 / n) / (n - 1))
+    peak = max(daily, key=lambda t: (abs(n * t[1] - sum(xs)), -t[0].toordinal()))
+    row = registry.queries()["grubbs_statistic_daily"](spark, SF_SMALL).collect()[0]
+    assert row["peak_day"] == peak[0]
+    assert abs(row["g"] - abs(peak[1] - mu) / sd) < 1e-6
+
+
+def test_permutation_entropy_python_recompute(spark):
+    xs = [c for _, c in _daily_cents()]
+    pats = {}
+    for x0, x1, x2 in zip(xs, xs[1:], xs[2:]):
+        p = 4 * (x0 <= x1) + 2 * (x0 <= x2) + (x1 <= x2)
+        pats[p] = pats.get(p, 0) + 1
+    n = sum(pats.values())
+    ent = -sum(c / n * math.log2(c / n) for c in pats.values())
+    row = registry.queries()["permutation_entropy_daily"](spark, SF_SMALL).collect()[0]
+    assert row["n_triples"] == n and row["n_patterns"] == len(pats)
+    assert abs(row["entropy"] - ent) < 1e-6
+
+
+def test_cohens_d_python_recompute(spark):
+    rows = duckdb.sql(
+        f"""
+        SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT)
+        FROM '{SF_SMALL}/lineitem.parquet' WHERE l_returnflag IN ('A','R')
+        """
+    ).fetchall()
+    a = [c for f, c in rows if f == "A"]
+    r = [c for f, c in rows if f == "R"]
+    ssa = sum(x * x for x in a) - sum(a) ** 2 / len(a)
+    ssr = sum(x * x for x in r) - sum(r) ** 2 / len(r)
+    sp = math.sqrt((ssa + ssr) / (len(a) + len(r) - 2))
+    d = (sum(a) / len(a) - sum(r) / len(r)) / sp / 100.0
+    row = registry.queries()["cohens_d_returnflag"](spark, SF_SMALL).collect()[0]
+    assert (row["n_a"], row["n_r"]) == (len(a), len(r))
+    assert abs(row["cohens_d"] - d) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# retrieval2 + graph2 + sqlbreadth4
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_numpy_recompute(spark):
+    import numpy as np
+
+    from velox_hadoop_spark.functions.vectors import round_half_away
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchall()
+    vec = {v: np.asarray(e, dtype=np.float64) for v, e, _ in rows}
+    lab = {v: l for v, _, l in rows}
+    got = {
+        r["query_id"]: r
+        for r in registry.queries()["knn_label_ndcg_at_10"](spark, SF_SMALL).collect()
+    }
+    for q in range(10):
+        scored = []
+        for v in vec:
+            if v == q:
+                continue
+            cs = float(
+                round_half_away(
+                    float(np.dot(vec[q], vec[v]))
+                    / (math.sqrt(float(np.dot(vec[q], vec[q])))
+                       * math.sqrt(float(np.dot(vec[v], vec[v])))),
+                    6,
+                )
+            )
+            scored.append((-cs, v))
+        scored.sort()
+        rel = [1 if lab[v] == lab[q] else 0 for _, v in scored]
+        r_total = sum(rel)
+        if r_total < 1:
+            assert q not in got
+            continue
+        dcg = sum(rl / math.log2(i + 2) for i, rl in enumerate(rel[:10]))
+        idcg = sum(1 / math.log2(i + 2) for i in range(min(r_total, 10)))
+        assert got[q]["n_rel_total"] == r_total
+        assert abs(got[q]["dcg"] - dcg) < 1e-5
+        assert abs(got[q]["ndcg"] - dcg / idcg) < 1e-5
+
+
+def test_containment_python_recompute(spark):
+    from velox_hadoop_spark.operators.dedup import SHINGLE_K
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    )
+    shs = {}
+    for d, t in texts.items():
+        w = re.split(r"\s+", t)
+        shs[d] = {" ".join(w[i : i + SHINGLE_K]) for i in range(len(w) - SHINGLE_K + 1)}
+    rows = registry.queries()["minhash_containment_pairs"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        inter = len(shs[r["id_a"]] & shs[r["id_b"]])
+        assert r["n_shared"] == inter, r
+        assert r["n_a"] == len(shs[r["id_a"]]) and r["n_b"] == len(shs[r["id_b"]])
+        assert max(r["contain_ab"], r["contain_ba"]) >= 0.5
+
+
+def test_cross_source_matrix_conserves_pairs(spark):
+    q = registry.queries()
+    matrix = q["cross_source_neardup_matrix"](spark, SF_SMALL).collect()
+    pairs = q["near_dup_verified_pairs"](spark, SF_SMALL).collect()
+    assert sum(r["n_pairs"] for r in matrix) == len(pairs)
+    for r in matrix:
+        assert r["source_1"] <= r["source_2"]
+
+
+def test_zipf_python_recompute(spark):
+    cnt = {}
+    for (t,) in duckdb.sql(
+        f"SELECT unnest(string_split_regex(text, '\\s+')) FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall():
+        cnt[t] = cnt.get(t, 0) + 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    pts = [
+        (round(math.log2(i + 1) * 1e6), round(math.log2(c) * 1e6))
+        for i, (_, c) in enumerate(top)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = registry.queries()["zipf_slope_top_tokens"](spark, SF_SMALL).collect()[0]
+    assert row["n_tokens"] == n
+    assert abs(row["zipf_slope"] - slope) < 1e-6
+    assert -2.0 < row["zipf_slope"] < 0.0  # a frequency-rank curve must fall
+
+
+def test_assortativity_python_recompute(spark):
+    from velox_hadoop_spark.operators.graph2 import co_supply_capped_edges
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    edges = [
+        (r["s1"], r["s2"])
+        for r in co_supply_capped_edges(
+            li.select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("s"))
+        ).collect()
+    ]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    n = len(xs)
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    rows = registry.queries()["degree_assortativity_suppliers"](
+        spark, SF_SMALL
+    ).collect()
+    if n * sxx == sx * sx:
+        assert rows == []  # complete-graph corpus: zero variance, no row
+        return
+    r = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    assert rows[0]["n_edges"] == len(edges)
+    assert abs(rows[0]["assortativity"] - r) < 1e-6
+
+
+def test_try_arithmetic_counts(spark):
+    exp = duckdb.sql(
+        f"""
+        WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+                          o_custkey % 100 AS den
+                   FROM '{SF_SMALL}/orders.parquet')
+        SELECT count(*),
+               count(*) FILTER (WHERE CAST(cents AS HUGEINT)*cents*4000 > 9223372036854775807),
+               count(*) FILTER (WHERE den = 0)
+        FROM c
+        """
+    ).fetchone()
+    row = registry.queries()["try_arithmetic_null_report"](spark, SF_SMALL).collect()[0]
+    assert row["n"] == exp[0]
+    assert row["n_overflow_null"] == exp[1]
+    assert row["n_divzero_null"] == exp[2]
+    assert row["n_status_numeric"] == 0
+
+
+def test_width_bucket_partitions_orders(spark):
+    rows = registry.queries()["width_bucket_price_histogram"](spark, SF_SMALL).collect()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_orders"] for r in rows) == n
+    for r in rows:
+        if 1 <= r["bucket"] <= 20:
+            assert (r["bucket"] - 1) * 25000 <= r["min_price"]
+            assert r["max_price"] < r["bucket"] * 25000

@@ -176,6 +176,11 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.spanremoval  # noqa: F401
     import velox_hadoop_spark.operators.llmops6  # noqa: F401
     import velox_hadoop_spark.operators.sketches  # noqa: F401
+    import velox_hadoop_spark.operators.timeseries5  # noqa: F401
+    import velox_hadoop_spark.operators.stats4  # noqa: F401
+    import velox_hadoop_spark.operators.retrieval2  # noqa: F401
+    import velox_hadoop_spark.operators.graph2  # noqa: F401
+    import velox_hadoop_spark.operators.sqlbreadth4  # noqa: F401
 
 
 def specs() -> dict[str, QuerySpec]:
