@@ -666,3 +666,109 @@ def test_width_bucket_partitions_orders(spark):
         if 1 <= r["bucket"] <= 20:
             assert (r["bucket"] - 1) * 25000 <= r["min_price"]
             assert r["max_price"] < r["bucket"] * 25000
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 2: savings curve, conditional entropy, estimator audit,
+# peak hourly rate
+# ---------------------------------------------------------------------------
+
+
+def test_savings_curve_python_recompute_and_monotone(spark):
+    from velox_hadoop_spark.operators.spanremoval import SPANREM_K
+
+    texts = dict(
+        duckdb.sql(f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'").fetchall()
+    )
+    rows = {
+        r["min_docs"]: r
+        for r in registry.queries()["repeated_span_savings_curve"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(rows) == {2, 3, 5}
+    prev = None
+    for t in (2, 3, 5):
+        exp = _py_span_removal(texts, SPANREM_K, min_docs=t)
+        removed = sum(
+            sum(e - s + 1 for s, e in spans) for _, spans, _ in exp.values()
+        )
+        assert rows[t]["n_docs_affected"] == len(exp)
+        assert rows[t]["removed_tokens"] == removed, (t, rows[t], removed)
+        if prev is not None:
+            assert rows[t]["removed_tokens"] <= prev
+        prev = rows[t]["removed_tokens"]
+    # threshold 2 must agree with the per-doc removal operator
+    per_doc = registry.queries()["repeated_span_removal"](spark, SF_SMALL).collect()
+    assert rows[2]["removed_tokens"] == sum(r["removed_tokens"] for r in per_doc)
+    assert rows[2]["n_docs_affected"] == len(per_doc)
+
+
+def test_bigram_conditional_entropy_python_recompute(spark):
+    bgc = {}
+    for d, t in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall():
+        w = re.split(r"\s+", t)
+        for a, b in zip(w, w[1:]):
+            bgc[(a, b)] = bgc.get((a, b), 0) + 1
+    c1 = {}
+    for (a, _), c in bgc.items():
+        c1[a] = c1.get(a, 0) + c
+    n = sum(bgc.values())
+    s = sum(c * round(math.log2(c / c1[a]) * 1e6) for (a, _), c in bgc.items())
+    ent = -s / 1e6 / n
+    row = registry.queries()["bigram_conditional_entropy"](spark, SF_SMALL).collect()[0]
+    assert row["n_bigrams"] == n
+    assert row["n_distinct_bigrams"] == len(bgc)
+    assert abs(row["cond_entropy"] - ent) < 1e-6
+    assert row["cond_entropy"] > 0
+
+
+def test_minhash_estimate_audit_python_recompute(spark):
+    from velox_hadoop_spark.operators.dedup import SHINGLE_K
+
+    q = registry.queries()
+    est = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in q["minhash_jaccard_estimate"](spark, SF_SMALL).collect()
+    }
+    texts = dict(
+        duckdb.sql(f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'").fetchall()
+    )
+    shs = {}
+    for d, t in texts.items():
+        w = re.split(r"\s+", t)
+        shs[d] = {" ".join(w[i : i + SHINGLE_K]) for i in range(len(w) - SHINGLE_K + 1)}
+    errs = []
+    for (a, b), e in est.items():
+        inter = len(shs[a] & shs[b])
+        jac = round(inter / (len(shs[a]) + len(shs[b]) - inter), 6) if inter else 0.0
+        errs.append(round(abs(e - jac) * 1e6))
+    row = q["minhash_estimate_error_audit"](spark, SF_SMALL).collect()[0]
+    assert row["n_pairs"] == len(errs)
+    assert abs(row["mean_abs_err"] - sum(errs) / 1e6 / len(errs)) < 1e-6
+    assert abs(row["max_abs_err"] - max(errs) / 1e6) < 1e-6
+    assert row["n_within_01"] == sum(1 for e in errs if e <= 100000)
+
+
+def test_peak_hourly_rate_python_recompute(spark):
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch(ts) FROM '{SF_SMALL}/events.parquet' ORDER BY 1, 2"
+    ).fetchall()
+    by_user = {}
+    for u, es in rows:
+        by_user.setdefault(u, []).append(es)
+    got = {
+        r["user_id"]: r
+        for r in registry.queries()["peak_hourly_rate_per_user"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(by_user)
+    for u, ts in by_user.items():
+        peak = max(
+            sum(1 for s in ts if t - 3599 <= s <= t) for t in ts
+        )
+        assert got[u]["n_events"] == len(ts)
+        assert got[u]["peak_1h"] == peak, (u, got[u], peak)

@@ -338,3 +338,48 @@ def q_open_order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open_backlog"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak trailing-1h event rate per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "peak_hourly_rate_per_user",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch(ts) AS es FROM events
+        ),
+        rates AS (
+            SELECT user_id,
+                   count(*) OVER (
+                       PARTITION BY user_id ORDER BY es
+                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+                   ) AS r
+            FROM e
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(r) AS BIGINT) AS peak_1h
+        FROM rates GROUP BY user_id
+    """,
+    tags=("timeseries", "events", "burst", "extension"),
+)
+def q_peak_hourly_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak trailing-one-hour event rate per user: for every event, the
+    count of that user's events in (t−3599s, t], maxed per user — the
+    burst-detection number a rate-limiter or bot filter keys on. The
+    range window is keyed per user (bounded by one user's activity) on
+    integer epoch seconds; counts are exact, so the whole row is
+    integer-deterministic. One shuffle on user_id."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-3599, 0)
+    rates = e.select("user_id", F.count("*").over(w).alias("r"))
+    return rates.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("r").cast("long").alias("peak_1h"),
+    )
