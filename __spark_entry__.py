@@ -65,6 +65,11 @@ _REVERIFY = (
     "decontam_13gram_hit_spans",
     "decontam_span_coverage",
     "decontam_removal_by_source",
+    # −0.0 normalization (+0.0 after ROUND in both engines; the
+    # degenerate-corpus sweep caught DuckDB preserving the sign of
+    # −0.0 where Spark normalizes it). Values at real SFs unchanged;
+    # re-queued per the rewritten-kernel policy.
+    "unigram_logprob_score",
 )
 
 
@@ -74,10 +79,12 @@ _REVERIFY = (
 # per-round verification budget. Round 9: empty — no backlog exists,
 # so registration order already queues this round's new modules
 # (spanremoval, llmops6, sketches, timeseries5, stats4, retrieval2,
-# graph2, sqlbreadth4) behind nothing. Budget arithmetic: 23 new
-# (22 oracled + hll rows-only) + 5 reverify (advice-fix riders) + 2
-# perpetual rows-only = 30 candidates vs ~50 driver slots — every
-# query keeps a current driver row with ~20 slots of green tail.
+# graph2, sqlbreadth4, llmops7, llmops8, layout, skew additions)
+# behind nothing. Budget arithmetic: 37 new (36 oracled + hll
+# rows-only) + 5 reverify (advice-fix riders) + 2 perpetual
+# rows-only = 44 candidates vs ~50 driver slots — every query keeps
+# a current driver row with ~6 slots of green tail; registration
+# stops here for round 9 to preserve that invariant.
 _DEFER = ()
 
 

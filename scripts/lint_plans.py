@@ -78,6 +78,18 @@ WHITELIST = {
     ("operators/quality.py", "cm"): (1, "per-quality-band rates: fixed band count"),
     ("operators/quality.py", "bounds"): (1, "quantile bounds: one scalar row"),
     ("operators/reshape2.py", "n_row"): (1, "one scalar count row"),
+    ("operators/llmops8.py", "leak"): (1, "one scalar leakage-audit row"),
+    ("operators/llmops8.py", "vocab"): (1, "top-V vocabulary: V fixed by the tokenizer (16 here), never SF-proportional"),
+    ("operators/llmops8.py", "n"): (1, "one scalar count row"),
+    ("operators/llmops8.py", "da"): (1, "per-dimension sums: d rows (64)"),
+    ("operators/llmops8.py", "db"): (1, "per-dimension sums: d rows (64)"),
+    ("operators/timeseries5.py", "b"): (1, "daily revenue spine: calendar-bounded (one row per date)"),
+    ("operators/timeseries5.py", "t"): (1, "one scalar totals row"),
+    ("operators/timeseries5.py", "ssb"): (1, "one scalar between-group-sum row"),
+    ("operators/skew.py", "tot"): (1, "one scalar totals row"),
+    ("operators/llmops8.py", "ml"): (1, "per-label margins: label domain is enum-bounded"),
+    ("operators/llmops8.py", "t"): (1, "one scalar count row"),
+    ("operators/llmops8.py", "chi"): (1, "one scalar chi-squared row"),
     ("operators/reshape2.py", "md"): (1, "per-o_orderstatus medians: 3-value enum key"),
     ("operators/retrieval.py", "stats"): (2, "collection stats: one scalar row (BM25 + TF-IDF)"),
     ("operators/retrieval.py", "idf"): (1, "one row per QUERY term (constant query bag), not per corpus term"),

@@ -772,3 +772,316 @@ def test_peak_hourly_rate_python_recompute(spark):
         )
         assert got[u]["n_events"] == len(ts)
         assert got[u]["peak_1h"] == peak, (u, got[u], peak)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 third wave (llmops8 + seasonal-naive): brute-force recomputes
+# ---------------------------------------------------------------------------
+
+
+def _duck_docs():
+    return duckdb.sql(
+        f"SELECT doc_id, text, source FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+
+
+def _md5_bucket(key: str, seed: str, n: int = 10) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
+    return int(h[:15], 16) % n
+
+
+def _oracle_rows(name: str, sf=None):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf or SF_SMALL}/{t}.parquet'"
+        )
+    return con.sql(registry.specs()[name].oracle).fetchall()
+
+
+def test_cluster_split_assign_recompute():
+    """Given the (independently tested) dedup_clusters fixed point,
+    recompute the split layer in plain Python: bucket every cluster id
+    with the cross-engine md5 formula, rebuild per-split doc/cluster/
+    near-dup counts, and require zero leaky clusters by recount."""
+    clusters = {r[0]: r[1] for r in _oracle_rows("dedup_clusters")}
+    csize: dict[int, int] = {}
+    for c in clusters.values():
+        csize[c] = csize.get(c, 0) + 1
+    split_of = {}
+    for d, c in clusters.items():
+        b = _md5_bucket(str(c), "split9")
+        split_of[d] = "train" if b < 8 else ("val" if b == 8 else "test")
+    expect: dict[str, list[int]] = {}
+    for d, c in clusters.items():
+        s = split_of[d]
+        row = expect.setdefault(s, [0, set(), 0])
+        row[0] += 1
+        row[1].add(c)
+        row[2] += 1 if csize[c] >= 2 else 0
+    # leakage recount: splits seen per cluster
+    seen: dict[int, set] = {}
+    for d, c in clusters.items():
+        seen.setdefault(c, set()).add(split_of[d])
+    leaky = sum(1 for v in seen.values() if len(v) > 1)
+    assert leaky == 0
+    got = {r[0]: r for r in _oracle_rows("cluster_split_assign")}
+    assert set(got) == set(expect)
+    for s, (n_docs, cl, nd) in expect.items():
+        assert got[s][1] == n_docs
+        assert got[s][2] == len(cl)
+        assert got[s][3] == nd
+        assert got[s][4] == 0  # leaky_clusters
+
+
+def test_prefix_boilerplate_recompute():
+    groups: dict[str, list] = {}
+    for doc_id, text, source in _duck_docs():
+        w = [t for t in re.split(r"\s+", text)]
+        if len(w) < 16:
+            continue
+        p = " ".join(w[:16])
+        g = groups.setdefault(p, [0, set(), None])
+        g[0] += 1
+        g[1].add(source)
+        g[2] = doc_id if g[2] is None else min(g[2], doc_id)
+    expect = {p: g for p, g in groups.items() if g[0] >= 2}
+    got = {r[0]: r for r in _oracle_rows("prefix_boilerplate_groups")}
+    assert set(got) == set(expect)
+    for p, (n, srcs, mn) in expect.items():
+        assert got[p][1:] == (n, len(srcs), mn)
+
+
+def test_oov_rate_recompute():
+    from collections import Counter
+
+    tok_counts: Counter = Counter()
+    per_source: dict[str, Counter] = {}
+    for _, text, source in _duck_docs():
+        toks = [t for t in re.split(r"\s+", text) if t != ""]
+        tok_counts.update(toks)
+        per_source.setdefault(source, Counter()).update(toks)
+    vocab = {
+        t for t, _ in sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+    }
+    got = {r[0]: r for r in _oracle_rows("oov_rate_by_source")}
+    assert set(got) == set(per_source)
+    for s, cnt in per_source.items():
+        total = sum(cnt.values())
+        oov = sum(c for t, c in cnt.items() if t not in vocab)
+        assert got[s][1] == total
+        assert got[s][2] == oov
+        assert abs(got[s][3] - round(oov / total, 6)) < 1e-12
+
+
+def test_embedding_covariance_recompute():
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    q = np.array(
+        [[math.floor(float(v) * 1e6 + 0.5) for v in emb] for _, emb in rows],
+        dtype=object,
+    )
+    n, d = q.shape
+    best = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            sij = int(sum(int(a) * int(b) for a, b in zip(q[:, i], q[:, j])))
+            si, sj = int(sum(q[:, i])), int(sum(q[:, j]))
+            num = n * sij - si * sj
+            best.append((abs(float(num)), i + 1, j + 1, num))
+    best.sort(key=lambda t: (-t[0], t[1], t[2]))
+    got = _oracle_rows("embedding_covariance_topk")
+    assert len(got) == 20
+    for (_, i, j, num), (gi, gj, gcov) in zip(best[:20], got):
+        assert (gi, gj) == (i, j)
+        cov = round(float(num) / (float(n) * float(n) * 1e12), 8)
+        assert abs(gcov - cov) < 1e-12
+
+
+def test_seasonal_naive_recompute():
+    daily = dict(
+        duckdb.sql(
+            f"""SELECT CAST(o_orderdate AS DATE) d,
+                       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                FROM '{SF_SMALL}/orders.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    import datetime
+
+    n = over = under = ape_sum = 0
+    for d, a in daily.items():
+        f = daily.get(d - datetime.timedelta(days=7))
+        if f is None or a <= 0:
+            continue
+        n += 1
+        over += 1 if f > a else 0
+        under += 1 if f < a else 0
+        ape_sum += math.floor(1e6 * abs(a - f) / a + 0.5)
+    (row,) = _oracle_rows("seasonal_naive_backtest")
+    assert row[0] == n and row[1] == over and row[2] == under
+    assert abs(row[3] - round(ape_sum / (n * 1e6), 6)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Round-9 fourth wave: brute-force recomputes
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_recompute():
+    """Rebuild the capped co-supply graph in plain Python (same caps:
+    part<=256 members, 64 smallest higher-id neighbors) and recompute
+    every node's triangle count and coefficient by set intersection."""
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_partkey, l_suppkey FROM '{SF_SMALL}/lineitem.parquet'"
+    ).fetchall()
+    members: dict[int, set[int]] = {}
+    for part, s in rows:
+        members.setdefault(part, set()).add(s)
+    edges: set[tuple[int, int]] = set()
+    for ss in members.values():
+        if len(ss) > 256:
+            continue
+        sl = sorted(ss)
+        for i, s1 in enumerate(sl):
+            for s2 in sl[i + 1 :]:
+                edges.add((s1, s2))
+    # adjacency cap: keep 64 smallest higher-id neighbors per s1
+    nbrs: dict[int, list[int]] = {}
+    for s1, s2 in sorted(edges):
+        nbrs.setdefault(s1, [])
+        if len(nbrs[s1]) < 64:
+            nbrs[s1].append(s2)
+    capped = {(a, b) for a, bs in nbrs.items() for b in bs}
+    deg: dict[int, int] = {}
+    adj: dict[int, set[int]] = {}
+    for a, b in capped:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        adj.setdefault(a, set()).add(b)
+    tri: dict[int, int] = {}
+    for a, bs in adj.items():
+        for b in bs:
+            common = bs & adj.get(b, set())
+            for c in common:
+                for v in (a, b, c):
+                    tri[v] = tri.get(v, 0) + 1
+    got = {r[0]: r for r in _oracle_rows("clustering_coefficient_suppliers")}
+    expect = {v: d for v, d in deg.items() if d >= 2}
+    assert set(got) == set(expect)
+    for v, d in expect.items():
+        t = tri.get(v, 0)
+        assert got[v][1] == d
+        assert got[v][2] == t
+        assert abs(got[v][3] - round(2.0 * t / (float(d) * (d - 1)), 6)) < 1e-12
+
+
+def test_key_skew_salting_plan_recompute():
+    from collections import Counter
+
+    counts = Counter(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_custkey FROM '{SF_SMALL}/orders.parquet'"
+        ).fetchall()
+    )
+    total, n_keys = sum(counts.values()), len(counts)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = _oracle_rows("key_skew_salting_plan")
+    assert len(got) == 20
+    for (k, n), row in zip(top, got):
+        assert row[0] == k and row[1] == n
+        assert abs(row[2] - round(n / total, 6)) < 1e-12
+        assert abs(row[3] - round(n * n_keys / total, 6)) < 1e-12
+        assert row[4] == max(1, math.ceil(n / 500.0))
+
+
+def test_compaction_plan_recompute_and_conservation():
+    rows = duckdb.sql(
+        f"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) m, count(*)
+            FROM '{SF_SMALL}/lineitem.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    cum = 0
+    expect = []
+    for m, n in rows:
+        expect.append((m, n, cum, cum // 100000))
+        cum += n
+    got = sorted(_oracle_rows("compaction_bin_packing_plan"))
+    assert got == expect
+    # conservation: partition sizes sum to the table row count
+    (total,) = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMALL}/lineitem.parquet'"
+    ).fetchone()
+    assert sum(r[1] for r in got) == total
+    # bins are monotone and contiguous
+    bins = [r[3] for r in got]
+    assert bins == sorted(bins)
+
+
+def test_weekday_seasonality_recompute():
+    daily = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) d,
+                   CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+            FROM '{SF_SMALL}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0])
+    n = s = 0
+    ssq = 0
+    for d, rc in daily:
+        dow = d.isoweekday() % 7 + 1  # Spark dayofweek: Sun=1
+        g[dow][0] += 1
+        g[dow][1] += rc
+        n += 1
+        s += rc
+        ssq += rc * rc
+    m = s / n
+    ssb_u = sum(
+        math.floor(1e6 * ng * ((sg / ng - m) / m) * ((sg / ng - m) / m) + 0.5)
+        for ng, sg in g.values()
+    )
+    sst_u = math.floor(1e6 * (ssq / (m * m) - n) + 0.5)
+    (row,) = _oracle_rows("weekday_seasonality_strength")
+    assert row[0] == n and row[1] == ssb_u and row[2] == sst_u
+    assert abs(row[3] - round(ssb_u / sst_u, 6)) < 1e-12
+
+
+def test_split_label_balance_recompute():
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, label FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchall()
+    cells: Counter = Counter()
+    ms: Counter = Counter()
+    ml: Counter = Counter()
+    for vid, lbl in rows:
+        b = _md5_bucket(str(vid), "split9")
+        sp = "train" if b < 8 else ("val" if b == 8 else "test")
+        cells[(sp, lbl)] += 1
+        ms[sp] += 1
+        ml[lbl] += 1
+    n = len(rows)
+    chi_u = 0
+    exp = {}
+    for sp in ms:
+        for lbl in ml:
+            e = float(ms[sp]) * ml[lbl] / n
+            o = cells.get((sp, lbl), 0)
+            exp[(sp, lbl)] = e
+            chi_u += math.floor(1e6 * (o - e) * (o - e) / e + 0.5)
+    got = {(r[0], r[1]): r for r in _oracle_rows("split_label_balance_audit")}
+    assert set(got) == set(exp)
+    for key, e in exp.items():
+        r = got[key]
+        assert r[2] == cells.get(key, 0)
+        assert abs(r[3] - round(e, 6)) < 1e-12
+        assert abs(r[4] - round(chi_u / 1e6, 6)) < 1e-12

@@ -128,3 +128,94 @@ def q_degree_assortativity_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient per supplier (triangles / open wedges)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clustering_coefficient_suppliers",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        tri AS (
+            SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+            FROM e e1
+            JOIN e e2 ON e2.s1 = e1.s2
+            JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        ),
+        tcnt AS (
+            SELECT v, count(*) AS t FROM (
+                SELECT a AS v FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY v
+        ),
+        deg AS (
+            SELECT v, count(*) AS d FROM (
+                SELECT s1 AS v FROM e UNION ALL SELECT s2 FROM e
+            ) GROUP BY v
+        )
+        SELECT CAST(deg.v AS BIGINT) AS supplier,
+               CAST(deg.d AS BIGINT) AS degree,
+               CAST(coalesce(tcnt.t, 0) AS BIGINT) AS n_triangles,
+               ROUND(2.0 * coalesce(tcnt.t, 0)
+                     / (CAST(deg.d AS DOUBLE) * (deg.d - 1)), 6)
+                   AS clustering_coeff
+        FROM deg LEFT JOIN tcnt ON deg.v = tcnt.v
+        WHERE deg.d >= 2
+    """,
+    tags=("graph", "triangles", "clustering-coefficient", "extension"),
+)
+def q_clustering_coefficient_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the capped co-supply graph:
+    C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how clique-like each
+    supplier's neighborhood is (the community-structure number next to
+    the global triangle census). Reuses the SAME degree-bounded edge
+    build and oriented two-join triangle enumeration as
+    ``supplier_triangle_counts`` (one persisted edge frame feeds the
+    degree count, the wedge join, AND the closure join); T(v) and
+    deg(v) are exact integers, so the single displayed double is the
+    final ratio. Nodes of degree < 2 have no defined coefficient and
+    are excluded in both engines.
+
+    Scale: identical bounds to the triangle census — O(V·D²) wedges
+    with D capped at {TRIANGLE_ADJ_CAP}, never Θ(V³)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = co_supply_capped_edges(
+        li.select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("s"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        e.select(F.col("s1").alias("v"))
+        .unionAll(e.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e2 = e.select(F.col("s1").alias("s2"), F.col("s2").alias("s3"))
+    e3 = e.select(F.col("s1").alias("t1"), F.col("s2").alias("t3"))
+    tri = (
+        e.join(e2, "s2")
+        .join(e3, (F.col("t1") == F.col("s1")) & (F.col("t3") == F.col("s3")))
+        .select("s1", "s2", "s3")
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("s1", "s2", "s3")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.join(tcnt, "v", "left")
+        .where(F.col("d") >= 2)
+        .select(
+            F.col("v").cast("long").alias("supplier"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d").cast("double") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -181,7 +181,7 @@ def q_repeated_span_savings_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT CAST(sum(c) AS BIGINT) AS n_bigrams,
                CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
                ROUND(-CAST(sum(CAST(c AS HUGEINT) * qlog) AS DOUBLE)
-                     / 1000000.0 / sum(c), 6) AS cond_entropy
+                     / 1000000.0 / sum(c), 6) + 0.0 AS cond_entropy
         FROM q
         HAVING sum(c) > 0
     """,
@@ -226,8 +226,16 @@ def q_bigram_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.where(F.col("n_bigrams") > 0).select(
         "n_bigrams",
         "n_distinct_bigrams",
-        F.round(
-            -F.col("sq").cast("double") / 1000000.0 / F.col("n_bigrams"), 6
+        (
+            F.round(
+                -F.col("sq").cast("double") / 1000000.0 / F.col("n_bigrams"), 6
+            )
+            # IEEE −0.0 + 0.0 = +0.0: an all-deterministic bigram table
+            # (every w1 has ONE successor) yields sq = 0 and DuckDB's
+            # ROUND keeps the sign of −0.0 where Spark normalizes it —
+            # caught by the degenerate-corpus sweep; the +0.0 pins both
+            # engines to +0.0 and is exact for every other value.
+            + F.lit(0.0)
         ).alias("cond_entropy"),
     )
 

@@ -475,7 +475,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT t.doc_id,
                count(*) AS n_tokens,
-               round(-sum(log2(c.p)) / count(*), 6) AS bits_per_token
+               round(-sum(log2(c.p)) / count(*), 6) + 0.0 AS bits_per_token
         FROM toks t JOIN corpus c ON t.tok = c.tok
         GROUP BY t.doc_id
     """,
@@ -508,7 +508,12 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(-F.sum(F.log2("p")) / F.count("*"), 6).alias("bits_per_token"),
+            # +0.0 pins −0.0 → +0.0 (a single-token corpus makes every
+            # p = 1, so the negated zero sum keeps DuckDB's sign bit
+            # where Spark normalizes — the degenerate-sweep class)
+            (F.round(-F.sum(F.log2("p")) / F.count("*"), 6) + F.lit(0.0)).alias(
+                "bits_per_token"
+            ),
         )
     )
 

@@ -124,3 +124,72 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag", F.round(F.col("total"), 2).alias("total"), "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew salting planner (the diagnostic that sizes the mitigation)
+# ---------------------------------------------------------------------------
+
+ROWS_PER_SALT = 500  # target rows per (key, salt) shard
+
+
+@register(
+    "key_skew_salting_plan",
+    oracle=f"""
+        WITH k AS (
+            SELECT o_custkey AS custkey, count(*) AS n_rows
+            FROM orders GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM k
+        )
+        SELECT CAST(custkey AS BIGINT) AS custkey,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               ROUND(n_rows / CAST(total AS DOUBLE), 6) AS share,
+               ROUND(n_rows * n_keys / CAST(total AS DOUBLE), 6) AS x_mean,
+               CAST(greatest(1, ceil(n_rows / {ROWS_PER_SALT}.0)) AS BIGINT)
+                   AS n_salts
+        FROM k CROSS JOIN t
+        ORDER BY n_rows DESC, custkey
+        LIMIT 20
+    """,
+    tags=("skew", "planner", "extension"),
+)
+def q_key_skew_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic + salting plan for the orders⋈customer join key:
+    the 20 heaviest customer keys with their row share, multiple of the
+    mean key weight, and the salt fan-out (⌈rows/500⌉) a salted join
+    would give each one — the planner output that turns "the join is
+    skewed" into an executable mitigation (feeds ``salted_join``'s
+    n_salts). AQE's skew-join split handles partition-level skew at
+    runtime; this is the KEY-level census you consult when one key
+    alone exceeds an executor (AQE cannot split a single key's hash
+    group — only salting can). One grouped count + a TakeOrdered
+    top-20; the totals row is a broadcast scalar."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_rows")
+    )
+    tot = k.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("custkey").cast("long").alias("custkey"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("total").cast("double"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("n_keys") / F.col("total").cast("double"), 6
+            ).alias("x_mean"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("n_rows") / F.lit(float(ROWS_PER_SALT))).cast("long"),
+            ).alias("n_salts"),
+        )
+        .orderBy(F.desc("n_rows"), "custkey")
+        .limit(20)
+    )

@@ -290,7 +290,7 @@ def q_grubbs_statistic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n AS n_triples, k AS n_patterns,
                ROUND(-list_sum(list_transform(
-                   cs, x -> x / n * log2(x / n))), 6) AS entropy
+                   cs, x -> x / n * log2(x / n))), 6) + 0.0 AS entropy
         FROM folded
         WHERE n > 0
     """,
@@ -334,7 +334,10 @@ def q_permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.where(F.col("n") > 0).select(
         F.col("n").cast("long").alias("n_triples"),
         F.col("k").cast("long").alias("n_patterns"),
-        F.round(ent, 6).alias("entropy"),
+        # +0.0 pins −0.0 → +0.0 (a constant series has ONE pattern, so
+        # the negated zero fold keeps DuckDB's sign bit where Spark
+        # normalizes — the degenerate-sweep class)
+        (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
     )
 
 

@@ -383,3 +383,189 @@ def q_peak_hourly_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.max("r").cast("long").alias("peak_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest (forecast = value 7 calendar days earlier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_c
+            FROM orders GROUP BY 1
+        ),
+        j AS (
+            SELECT a.d, a.rev_c AS actual_c, b.rev_c AS forecast_c,
+                   CAST(floor(1000000.0 * abs(a.rev_c - b.rev_c) / a.rev_c + 0.5)
+                        AS BIGINT) AS ape_u
+            FROM daily a JOIN daily b ON b.d = a.d - 7
+            WHERE a.rev_c > 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN forecast_c > actual_c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over,
+               CAST(sum(CASE WHEN forecast_c < actual_c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_under,
+               ROUND(sum(ape_u) / (count(*) * 1000000.0), 6) AS mape
+        FROM j
+    """,
+    tags=("timeseries", "forecast", "backtest", "extension"),
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue as
+    the SAME WEEKDAY one week earlier (the benchmark every real
+    forecaster must beat — if Holt/ARIMA can't out-MAPE naive-7, ship
+    naive-7), scored by in-sample MAPE plus over/under-forecast day
+    counts. The lag is a CALENDAR self-join on d−7, not a row lag, so
+    missing days never misalign the season. Revenues are exact integer
+    cents; each day's absolute percentage error is quantized to integer
+    micro-units (floor ·1e6 + 0.5 of a double computed from exact
+    integers — bit-identical in both engines), so the MAPE numerator is
+    an exact integer sum with no free-order float accumulation. One
+    grouped aggregate + one calendar-bounded self-join (day-domain
+    sized: ~2.4k rows at ANY SF), one scalar aggregate."""
+    daily = _daily(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    j = (
+        a.join(F.broadcast(b), F.col("b.d") == F.date_sub(F.col("a.d"), 7))
+        .where(F.col("a.rev_c") > 0)
+        .select(
+            F.col("a.rev_c").alias("actual_c"),
+            F.col("b.rev_c").alias("forecast_c"),
+            F.floor(
+                1000000.0
+                * F.abs(F.col("a.rev_c") - F.col("b.rev_c"))
+                / F.col("a.rev_c")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ape_u"),
+        )
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.when(F.col("forecast_c") > F.col("actual_c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_over"),
+        F.sum(F.when(F.col("forecast_c") < F.col("actual_c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_under"),
+        F.round(F.sum("ape_u") / (F.count("*") * F.lit(1000000.0)), 6).alias("mape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality strength (variance decomposition, eta-squared)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekday_seasonality_strength",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_c
+            FROM orders GROUP BY 1
+        ),
+        g AS (
+            SELECT dayofweek(d) + 1 AS dow,
+                   count(*) AS ng,
+                   CAST(sum(rev_c) AS BIGINT) AS sg
+            FROM daily GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rev_c) AS BIGINT) AS s,
+                   sum(CAST(rev_c AS HUGEINT) * rev_c) AS ssq
+            FROM daily
+        ),
+        terms AS (
+            SELECT CAST(floor(
+                       1000000.0 * ng
+                       * ((CAST(sg AS DOUBLE) / ng - CAST(t.s AS DOUBLE) / t.n)
+                          / (CAST(t.s AS DOUBLE) / t.n))
+                       * ((CAST(sg AS DOUBLE) / ng - CAST(t.s AS DOUBLE) / t.n)
+                          / (CAST(t.s AS DOUBLE) / t.n))
+                       + 0.5) AS BIGINT) AS ssb_u
+            FROM g CROSS JOIN t
+        ),
+        agg AS (
+            SELECT (SELECT CAST(sum(ssb_u) AS BIGINT) FROM terms) AS ssb_rel_u,
+                   CAST(floor(1000000.0
+                              * (CAST(t.ssq AS DOUBLE)
+                                 / ((CAST(t.s AS DOUBLE) / t.n)
+                                    * (CAST(t.s AS DOUBLE) / t.n))
+                                 - t.n) + 0.5)
+                        AS BIGINT) AS sst_rel_u,
+                   t.n AS n_days
+            FROM t
+        )
+        SELECT n_days, ssb_rel_u, sst_rel_u,
+               ROUND(CAST(ssb_rel_u AS DOUBLE) / sst_rel_u, 6) AS eta_squared
+        FROM agg
+        WHERE sst_rel_u > 0
+    """,
+    tags=("timeseries", "seasonality", "variance-decomposition", "extension"),
+)
+def q_weekday_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of daily-revenue variance the weekday explains:
+    η² = SS_between(weekday) / SS_total over the daily series — the
+    seasonality-strength number that decides whether a forecaster needs
+    a weekly component at all (read next to ``seasonal_naive_backtest``:
+    high η² ⇒ naive-7 is hard to beat). Exactness discipline: group
+    sums and the total sum-of-squares are exact integers (cents /
+    HUGEINT-cents²); each of the 7 between-group terms is computed in
+    double FROM those exact integers, NORMALIZED by the mean daily
+    revenue (η² is scale-free, so relative terms never outgrow int64
+    at any SF — raw cents² already overflow int64 at sf0.01, which the
+    gate caught), then quantized to integer micro-units BEFORE the
+    cross-group sum — both engines sum 7 exact BIGINTs, no free-order
+    float accumulation. The quantized relative SSB and SST are
+    THEMSELVES output columns (hash-exact), with the ratio as the
+    single displayed double."""
+    daily = _daily(spark, sf_dir)
+    g = daily.groupBy(F.dayofweek("d").alias("dow")).agg(
+        F.count("*").alias("ng"), F.sum("rev_c").alias("sg")
+    )
+    t = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev_c").alias("s"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c")).alias("ssq"),
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    rel = (F.col("sg").cast("double") / F.col("ng") - m) / m
+    terms = g.crossJoin(F.broadcast(t)).select(
+        F.floor(F.lit(1000000.0) * F.col("ng") * rel * rel + F.lit(0.5))
+        .cast("long")
+        .alias("ssb_u")
+    )
+    ssb = terms.agg(F.sum("ssb_u").cast("long").alias("ssb_rel_u"))
+    return (
+        t.crossJoin(F.broadcast(ssb))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("ssb_rel_u"),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("ssq").cast("double") / (m * m) - F.col("n"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sst_rel_u"),
+        )
+        .where(F.col("sst_rel_u") > 0)
+        .select(
+            "n_days",
+            "ssb_rel_u",
+            "sst_rel_u",
+            F.round(F.col("ssb_rel_u").cast("double") / F.col("sst_rel_u"), 6).alias(
+                "eta_squared"
+            ),
+        )
+    )

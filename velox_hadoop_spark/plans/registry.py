@@ -182,6 +182,8 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.graph2  # noqa: F401
     import velox_hadoop_spark.operators.sqlbreadth4  # noqa: F401
     import velox_hadoop_spark.operators.llmops7  # noqa: F401
+    import velox_hadoop_spark.operators.llmops8  # noqa: F401
+    import velox_hadoop_spark.operators.layout  # noqa: F401
 
 
 def specs() -> dict[str, QuerySpec]:
