@@ -81,10 +81,11 @@ _REVERIFY = (
 # (spanremoval, llmops6, sketches, timeseries5, stats4, retrieval2,
 # graph2, sqlbreadth4, llmops7, llmops8, layout, skew additions)
 # behind nothing. Budget arithmetic: 37 new (36 oracled + hll
-# rows-only) + 5 reverify (advice-fix riders) + 2 perpetual
-# rows-only = 44 candidates vs ~50 driver slots — every query keeps
-# a current driver row with ~6 slots of green tail; registration
-# stops here for round 9 to preserve that invariant.
+# rows-only) + 6 reverify (5 advice-fix riders + the −0.0
+# normalization rider) + 2 perpetual rows-only = 45 candidates vs
+# ~50 driver slots — every query keeps a current driver row with ~5
+# slots of green tail; registration stops here for round 9 to
+# preserve that invariant.
 _DEFER = ()
 
 

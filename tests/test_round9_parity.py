@@ -209,7 +209,12 @@ def test_semdedup_prune_rule_numpy_recompute(spark):
     the pruned set and dominators exactly."""
     import numpy as np
 
-    from velox_hadoop_spark.operators.llmops6 import SEMDEDUP_TAU, semdedup_members, semdedup_pruned
+    from velox_hadoop_spark.operators.llmops6 import (
+        SEMDEDUP_DOM_CAP,
+        SEMDEDUP_TAU,
+        semdedup_members,
+        semdedup_pruned,
+    )
     from velox_hadoop_spark.functions.vectors import round_half_away
 
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
@@ -222,13 +227,17 @@ def test_semdedup_prune_rule_numpy_recompute(spark):
         by_cell.setdefault(cl, []).append(vid)
     expect: dict[int, tuple[int, float]] = {}
     for cl, ids in by_cell.items():
+        # keeper-order rank (dist desc, id asc); dominators are the
+        # cell's top-SEMDEDUP_DOM_CAP ranked members (the pair-join
+        # bound added after the 10x probe flagged the uncapped join)
+        order = sorted(ids, key=lambda v: (-meta[v][1], v))
+        rank = {v: i + 1 for i, v in enumerate(order)}
         for b in ids:
             best = None
             for a in ids:
                 if a == b:
                     continue
-                da, db = meta[a][1], meta[b][1]
-                if not (da > db or (da == db and a < b)):
+                if not (rank[a] < rank[b] and rank[a] <= SEMDEDUP_DOM_CAP):
                     continue
                 va, vb = vec[a], vec[b]
                 cs = float(
@@ -500,10 +509,23 @@ def test_cohens_d_python_recompute(spark):
     ssa = sum(x * x for x in a) - sum(a) ** 2 / len(a)
     ssr = sum(x * x for x in r) - sum(r) ** 2 / len(r)
     sp = math.sqrt((ssa + ssr) / (len(a) + len(r) - 2))
-    d = (sum(a) / len(a) - sum(r) / len(r)) / sp / 100.0
+    # d is dimensionless: cents difference over cents spread. The
+    # round-9 review caught a stray /100 here that the test itself had
+    # copied from the kernel — a recompute must derive the FORMULA
+    # independently, not transcribe it.
+    d = (sum(a) / len(a) - sum(r) / len(r)) / sp
     row = registry.queries()["cohens_d_returnflag"](spark, SF_SMALL).collect()[0]
     assert (row["n_a"], row["n_r"]) == (len(a), len(r))
     assert abs(row["cohens_d"] - d) < 1e-6
+    # dimensional sanity pin: d must also equal the dollars-domain
+    # recompute (dollars difference over dollars spread)
+    ad = [x / 100.0 for x in a]
+    rd = [x / 100.0 for x in r]
+    ssa_d = sum(x * x for x in ad) - sum(ad) ** 2 / len(ad)
+    ssr_d = sum(x * x for x in rd) - sum(rd) ** 2 / len(rd)
+    sp_d = math.sqrt((ssa_d + ssr_d) / (len(ad) + len(rd) - 2))
+    d_dollars = (sum(ad) / len(ad) - sum(rd) / len(rd)) / sp_d
+    assert abs(row["cohens_d"] - d_dollars) < 1e-5
 
 
 # ---------------------------------------------------------------------------

@@ -139,7 +139,7 @@ def q_decontam_13gram_hit_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered AS (
             SELECT doc_id, n_tokens, pos,
                    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                                 + {DECONTAM13_K - 1}
+                                 + {DECONTAM13_K}
                           OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
                         THEN 1 ELSE 0 END AS is_start
             FROM (SELECT DISTINCT doc_id, n_tokens, pos FROM hits)
@@ -170,7 +170,8 @@ def q_decontam_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged contaminated-span coverage per doc: each 13-gram hit
     covers tokens [pos, pos+12]; overlapping/adjacent hits merge into
     maximal spans (classic gaps-and-islands — with fixed-length
-    intervals a new island starts exactly when pos > prev_pos + 12),
+    intervals a new island starts exactly when pos > prev_pos + 13;
+    pos = prev_pos + 13 is the exactly-adjacent case and merges),
     and the report is spans, covered tokens, and the covered fraction
     — the number that decides whether to cut spans or drop the doc.
     Window partitions are per contaminated doc (bounded by doc
@@ -186,7 +187,11 @@ def q_decontam_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.when(
             F.lag("pos").over(w).isNull()
-            | (F.col("pos") > F.lag("pos").over(w) + (DECONTAM13_K - 1)),
+            # > prev + K (not K−1): covers at pos = prev + K are exactly
+            # adjacent — one contiguous contaminated run — and must
+            # merge (round-9 review find, aligned with the r8 test's
+            # sort-and-sweep reference which always merged adjacency)
+            | (F.col("pos") > F.lag("pos").over(w) + DECONTAM13_K),
             1,
         )
         .otherwise(0)

@@ -65,6 +65,18 @@ assert LN2 == math.log(2)
 # path exercised. The operator takes tau as a parameter.
 SEMDEDUP_TAU = 0.35
 
+# Dominator cap per cell: a member is only tested against the CAP
+# highest-ranked (farthest-from-centroid, the keeper order) members of
+# its cell. Bounds the intra-cell pair join at |cell|·CAP instead of
+# |cell|² — with K fixed, cells grow ~n/K and the uncapped join grew
+# ~n²/K (the round-9 10× probe measured 9.7 s → 436.6 s, a 45× blow-up
+# on 10× data; capped it re-times linear). Exact for every member
+# ranked ≤ CAP (all its dominators rank above it, hence inside the
+# cap); below the cap it is the same deterministic-truncation contract
+# as TRIANGLE_ADJ_CAP / MAX_KEY_DOC_FREQ, mirrored in the oracle.
+# Production SemDeDup sizes K so cells stay ~CAP-sized anyway.
+SEMDEDUP_DOM_CAP = 64
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -271,25 +283,27 @@ def semdedup_pruned(members: DataFrame, tau: float) -> DataFrame:
     cluster, dist, pruned_by, cos). The keeper rule is the SemDeDup
     paper's: within a cell the member FARTHEST from the centroid wins
     (rank by kmeans dist DESC, vec_id ASC), and a member is pruned iff
-    ANY higher-ranked same-cell member sits within cosine ≥ tau.
+    a same-cell member among the cell's SEMDEDUP_DOM_CAP highest-ranked
+    sits above it within cosine ≥ tau (the cap bounds the pair join at
+    |cell|·CAP; exact for members ranked ≤ CAP — see the constant).
     ``pruned_by`` is the closest such dominator (cos DESC, id ASC).
     dist is the kmeans-rounded 6-dp L2², so the rank is deterministic
     in both engines."""
-    d = members.select(
+    # Keeper-order rank within the cell: dominance "(d_dist, d_id)
+    # lexicographically before (dist, id)" is EXACTLY "d_rk < rk", and
+    # restricting the dominator side to rk <= SEMDEDUP_DOM_CAP bounds
+    # the join at |cell|·CAP pairs (see the constant's rationale).
+    wr = Window.partitionBy("cluster").orderBy(F.desc("dist"), F.asc("vec_id"))
+    ranked = members.withColumn("rk", F.row_number().over(wr)).persist()
+    d = ranked.where(F.col("rk") <= SEMDEDUP_DOM_CAP).select(
         F.col("vec_id").alias("d_id"),
         F.col("cluster").alias("cl"),
-        F.col("dist").alias("d_dist"),
         F.col("e").alias("d_e"),
+        F.col("rk").alias("d_rk"),
     )
     pairs = (
-        d.join(members, (F.col("cl") == F.col("cluster")))
-        .where(
-            (F.col("d_id") != F.col("vec_id"))
-            & (
-                (F.col("d_dist") > F.col("dist"))
-                | ((F.col("d_dist") == F.col("dist")) & (F.col("d_id") < F.col("vec_id")))
-            )
-        )
+        d.join(ranked, (F.col("cl") == F.col("cluster")))
+        .where(F.col("d_rk") < F.col("rk"))
         .select(
             "vec_id",
             "cluster",
@@ -319,13 +333,19 @@ def _duck_semdedup_ctes(tau: float) -> str:
             FROM a{KM_ITERS} a JOIN v USING (vec_id)
             WHERE list_dot_product(v.e, v.e) > 0
         ),
+        ranked AS (
+            SELECT vec_id, cluster, dist, e,
+                   row_number() OVER (
+                       PARTITION BY cluster ORDER BY dist DESC, vec_id ASC
+                   ) AS rk
+            FROM members
+        ),
         dompairs AS (
             SELECT m.vec_id, m.cluster, m.dist,
                    d.vec_id AS pruned_by, {cos} AS cos
-            FROM members d JOIN members m ON d.cluster = m.cluster
-            WHERE d.vec_id <> m.vec_id
-              AND (d.dist > m.dist
-                   OR (d.dist = m.dist AND d.vec_id < m.vec_id))
+            FROM ranked d JOIN ranked m ON d.cluster = m.cluster
+            WHERE d.rk < m.rk
+              AND d.rk <= {SEMDEDUP_DOM_CAP}
               AND {cos} >= {tau!r}
         )
     """

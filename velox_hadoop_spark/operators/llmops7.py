@@ -47,7 +47,7 @@ def _duck_savings_branch(t: int, k: int = SPANREM_K) -> str:
                 FROM (
                     SELECT doc_id, pos,
                            CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                                         + {k - 1}
+                                         + {k}
                                   OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
                                 THEN 1 ELSE 0 END AS is_start
                     FROM (SELECT DISTINCT doc_id, pos FROM hd WHERE df >= {t})
@@ -114,7 +114,9 @@ def q_repeated_span_savings_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             "pos",
             F.when(
                 F.lag("pos").over(w).isNull()
-                | (F.col("pos") > F.lag("pos").over(w) + (SPANREM_K - 1)),
+                # adjacency merges (> prev + k, not k−1) — the uniform
+                # island rule across spanremoval/contamination2/here
+                | (F.col("pos") > F.lag("pos").over(w) + SPANREM_K),
                 1,
             )
             .otherwise(0)

@@ -345,9 +345,12 @@ def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN dim db ON pr.j = db.i
         )
         SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               -- single 1e12 constant, not 1e6 * 1e6: two successive
+               -- multiplies round twice where Spark's prefolded
+               -- constant rounds once (the pinned-op-sequence rule)
                ROUND(CAST(num AS DOUBLE)
                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                        * {COV_QSCALE}.0 * {COV_QSCALE}.0), 8) AS cov
+                        * {COV_QSCALE * COV_QSCALE}.0), 8) AS cov
         FROM num
         ORDER BY abs(CAST(num AS DOUBLE)) DESC, i, j
         LIMIT {COV_TOPK}

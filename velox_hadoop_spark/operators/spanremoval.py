@@ -16,7 +16,8 @@ Semantics (deterministic, engine-portable):
     [pos, pos + k − 1]; overlapping/adjacent covers merge into maximal
     spans (gaps-and-islands, same island rule as
     ``contamination2.q_decontam_span_coverage``: a new island starts
-    exactly when pos > prev_pos + k − 1);
+    exactly when pos > prev_pos + k — at pos = prev_pos + k the two
+    covers are exactly adjacent, one contiguous removed run);
   * the document keeps the tokens outside every merged span, in
     original order.
 
@@ -67,8 +68,9 @@ def merged_removal_spans(docs: DataFrame, k: int = SPANREM_K) -> DataFrame:
     """Maximal merged token spans (doc_id, n_tokens, s, e) to excise.
 
     Fixed-width covers merge under the closed-form island rule: sorted
-    by pos within a doc, a new island starts iff pos > prev + k − 1.
-    Both windows run per doc_id (bounded by doc length)."""
+    by pos within a doc, a new island starts iff pos > prev + k (the
+    adjacency case pos = prev + k merges). Both windows run per doc_id
+    (bounded by doc length)."""
     hits = repeated_gram_hits(docs, k)
     w = Window.partitionBy("doc_id").orderBy("pos")
     ordered = hits.select(
@@ -77,7 +79,12 @@ def merged_removal_spans(docs: DataFrame, k: int = SPANREM_K) -> DataFrame:
         "pos",
         F.when(
             F.lag("pos").over(w).isNull()
-            | (F.col("pos") > F.lag("pos").over(w) + (k - 1)),
+            # > prev + k (not k−1): covers [prev, prev+k−1] and
+            # [prev+k, …] are exactly adjacent — one contiguous removed
+            # run — and must share an island (round-9 review find; the
+            # k−1 form split adjacent covers, contradicting the
+            # maximal-merged-span contract and the Python reference)
+            | (F.col("pos") > F.lag("pos").over(w) + k),
             1,
         )
         .otherwise(0)
@@ -123,7 +130,7 @@ def _duck_spanremoval_ctes(k: int = SPANREM_K) -> str:
         ordered AS (
             SELECT doc_id, n_tokens, pos,
                    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                                 + {k - 1}
+                                 + {k}
                           OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
                         THEN 1 ELSE 0 END AS is_start
             FROM hits

@@ -373,7 +373,7 @@ def q_permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
                              + (CAST(qr AS DOUBLE)
                                 - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nr))
-                            / (na + nr - 2)) / 100.0, 6) AS cohens_d
+                            / (na + nr - 2)), 6) AS cohens_d
         FROM two
         WHERE na >= 2 AND nr >= 2
           AND (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
@@ -386,10 +386,13 @@ def q_cohens_d_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's d effect size between returned ('R') and accepted ('A')
     line prices: (x̄_A − x̄_R) / s_pooled with the pooled sample
     variance from exact integer-cent moment sums (Σx BIGINT, Σx²
-    decimal-38/HUGEINT). The /100 at the end converts the cents-domain
-    difference and spread to dollars simultaneously, leaving d itself
-    scale-free. Zero-pooled-variance and singleton groups emit nothing
-    in both engines."""
+    decimal-38/HUGEINT). Both the mean difference and the pooled spread
+    are in cents, so their ratio is ALREADY scale-free — no unit
+    conversion belongs in d (a stray /100 here once reported d/100;
+    caught in the round-9 review pass — oracle parity is blind to a
+    formula error both engines share, which is why the means are also
+    displayed for a dimensional sanity check). Zero-pooled-variance and
+    singleton groups emit nothing in both engines."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     g = (
@@ -425,8 +428,7 @@ def q_cohens_d_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sr").cast("double") / F.col("nr") / 100.0, 6).alias("mean_r"),
         F.round(
             (F.col("sa").cast("double") / F.col("na") - F.col("sr").cast("double") / F.col("nr"))
-            / sp
-            / 100.0,
+            / sp,
             6,
         ).alias("cohens_d"),
     )

@@ -349,7 +349,13 @@ def q_open_order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "peak_hourly_rate_per_user",
     oracle="""
         WITH e AS (
-            SELECT user_id, epoch(ts) AS es FROM events
+            -- floor(epoch(ts)): DuckDB's epoch() keeps fractional
+            -- seconds while Spark's unix_timestamp truncates; an
+            -- unfloored axis shifts the RANGE window bounds by the
+            -- fraction and admits different rows per engine (the
+            -- funcs2.py timestamp-parity rule; caught in the round-9
+            -- review pass)
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
         ),
         rates AS (
             SELECT user_id,
@@ -392,13 +398,8 @@ def q_peak_hourly_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "seasonal_naive_backtest",
-    oracle="""
-        WITH daily AS (
-            SELECT CAST(o_orderdate AS DATE) AS d,
-                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                       AS rev_c
-            FROM orders GROUP BY 1
-        ),
+    oracle=f"""
+        WITH {_DAILY_ORACLE},
         j AS (
             SELECT a.d, a.rev_c AS actual_c, b.rev_c AS forecast_c,
                    CAST(floor(1000000.0 * abs(a.rev_c - b.rev_c) / a.rev_c + 0.5)
@@ -466,13 +467,8 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weekday_seasonality_strength",
-    oracle="""
-        WITH daily AS (
-            SELECT CAST(o_orderdate AS DATE) AS d,
-                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                       AS rev_c
-            FROM orders GROUP BY 1
-        ),
+    oracle=f"""
+        WITH {_DAILY_ORACLE},
         g AS (
             SELECT dayofweek(d) + 1 AS dow,
                    count(*) AS ng,
