@@ -537,6 +537,27 @@ def test_broadcast_lint_all_sites_bounded():
     assert res.returncode == 0, res.stdout + res.stderr
 
 
+def test_window_lint_all_sites_bounded():
+    """Unpartitioned-window discipline, mechanically: every
+    Window.orderBy site (no partitionBy — all rows land in ONE task)
+    must ride a bounded frame (calendar spine, fixed grid,
+    partition-id, or a 10x-probed value domain) recorded with an exact
+    per-file site count in scripts/lint_windows.py. The round-8
+    verdict tracked this as a watch-item; the lint is its permanent
+    home (same erosion logic as the broadcast lint above)."""
+    import subprocess
+    import sys as _sys
+
+    res = subprocess.run(
+        [_sys.executable, "scripts/lint_windows.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+
+
 def test_ts_nanos_probe_recurses_partitioned_layout(tmp_path):
     """ts_stored_as_nanos must find part files nested in key=value
     subdirectories (partitioned writes): a top-level-only listing
