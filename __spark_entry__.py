@@ -70,6 +70,11 @@ _REVERIFY = (
     # −0.0 where Spark normalizes it). Values at real SFs unchanged;
     # re-queued per the rewritten-kernel policy.
     "unigram_logprob_score",
+    # overflow-safe margin products (cast a factor to double before
+    # the BIGINT x BIGINT multiply — the Cramér's V class, found by
+    # sweeping the class across older modules). Values unchanged at
+    # any test SF; re-queued per the rewritten-kernel policy.
+    "cohens_kappa_lang_signals",
 )
 
 
@@ -81,11 +86,11 @@ _REVERIFY = (
 # (spanremoval, llmops6, sketches, timeseries5, stats4, retrieval2,
 # graph2, sqlbreadth4, llmops7, llmops8, layout, skew additions)
 # behind nothing. Budget arithmetic: 37 new (36 oracled + hll
-# rows-only) + 6 reverify (5 advice-fix riders + the −0.0
-# normalization rider) + 2 perpetual rows-only = 45 candidates vs
-# ~50 driver slots — every query keeps a current driver row with ~5
-# slots of green tail; registration stops here for round 9 to
-# preserve that invariant.
+# rows-only) + 7 reverify (5 advice-fix riders + the −0.0 rider +
+# the kappa margin-overflow rider) + 2 perpetual rows-only = 46
+# candidates vs ~50 driver slots — every query keeps a current
+# driver row with ~4 slots of green tail; registration stops here
+# for round 9 to preserve that invariant.
 _DEFER = ()
 
 

@@ -1107,3 +1107,50 @@ def test_split_label_balance_recompute():
         assert r[2] == cells.get(key, 0)
         assert abs(r[3] - round(e, 6)) < 1e-12
         assert abs(r[4] - round(chi_u / 1e6, 6)) < 1e-12
+
+
+def test_span_removal_adjacent_covers_merge(spark, tmp_path):
+    """Regression for the round-9 review find: two repeated 13-gram
+    covers at pos p and p + 13 are EXACTLY adjacent (one contiguous
+    removed run) and must merge into ONE span in both engines — the
+    k−1 island rule split them, and the standard fixtures never
+    contained the shape. Constructs the minimal corpus: doc1 = X·Y·z
+    where X and Y are 13-token runs repeated verbatim in doc2/doc3, so
+    doc1's only hits are pos 1 and pos 14."""
+    X = " ".join(f"x{i}" for i in range(13))
+    Y = " ".join(f"y{i}" for i in range(13))
+    rows = [
+        (1, f"{X} {Y} ztail1 ztail2", "en", "srcA", 0),
+        (2, X, "en", "srcB", 0),
+        (3, Y, "en", "srcC", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r
+        for r in registry.specs()["repeated_span_removal"].fn(spark, d).collect()
+    }
+    # doc1: hits at 1 and 14 -> ONE merged span [1, 26], kept = 2 tail tokens
+    r1 = got[1]
+    assert r1["n_tokens"] == 28
+    assert r1["n_spans"] == 1, "adjacent covers must merge into one span"
+    assert r1["removed_tokens"] == 26
+    assert r1["kept_tokens"] == 2
+    assert r1["kept_text"] == "ztail1 ztail2"
+    # doc2/doc3: fully covered by their single repeated gram
+    for d_id in (2, 3):
+        r = got[d_id]
+        assert (r["n_spans"], r["removed_tokens"], r["kept_tokens"]) == (1, 13, 0)
+        assert r["kept_text"] == ""
+    # oracle agrees on the same corpus
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    orows = {r[0]: r for r in con.sql(registry.specs()["repeated_span_removal"].oracle).fetchall()}
+    assert orows[1][2] == 1 and orows[1][3] == 26 and orows[1][5] == "ztail1 ztail2"

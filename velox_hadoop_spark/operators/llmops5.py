@@ -147,22 +147,25 @@ def q_gopher_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum((1 - a) * (1 - b)) AS n00
             FROM m
         )
+        -- margin products cast a factor to DOUBLE first: BIGINT
+        -- (n11+n10)*(n11+n01) overflows int64 near ~3e9 docs (the
+        -- Cramer's V margin class fixed in round 9's advice pass)
         SELECT n,
                ROUND((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
-               ROUND(((n11 + n10) * (n11 + n01)
-                      + (n01 + n00) * (n10 + n00))
+               ROUND((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                      + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
                      / (CAST(n AS DOUBLE) * n), 6) AS pe,
                ROUND(((n11 + n00) / CAST(n AS DOUBLE)
-                      - ((n11 + n10) * (n11 + n01)
-                         + (n01 + n00) * (n10 + n00))
+                      - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                         + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
                         / (CAST(n AS DOUBLE) * n))
-                     / (1 - ((n11 + n10) * (n11 + n01)
-                             + (n01 + n00) * (n10 + n00))
+                     / (1 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                             + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
                            / (CAST(n AS DOUBLE) * n)), 6) AS kappa
         FROM agg
         WHERE n > 0
-          AND ((n11 + n10) * (n11 + n01)
-               + (n01 + n00) * (n10 + n00)) < CAST(n AS DOUBLE) * n
+          AND (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+               + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) < CAST(n AS DOUBLE) * n
     """,
     tags=("quality", "agreement", "kappa", "extension"),
 )
@@ -195,9 +198,11 @@ def q_cohens_kappa_lang_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     po = (F.col("n11") + F.col("n00")) / nd
+    # cast a factor to double BEFORE the product: the BIGINT margin
+    # product overflows int64 near ~3e9 docs (the Cramer's V class)
     pe = (
-        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
-        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+        (F.col("n11") + F.col("n10")).cast("double") * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double") * (F.col("n10") + F.col("n00"))
     ) / (nd * nd)
     return agg.where((F.col("n") > 0) & (pe < 1)).select(
         "n",
