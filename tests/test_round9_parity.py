@@ -1154,3 +1154,52 @@ def test_span_removal_adjacent_covers_merge(spark, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
     orows = {r[0]: r for r in con.sql(registry.specs()["repeated_span_removal"].oracle).fetchall()}
     assert orows[1][2] == 1 and orows[1][3] == 26 and orows[1][5] == "ztail1 ztail2"
+
+
+# ---------------------------------------------------------------------------
+# Back-fill recomputes for two pre-r6 mirrored-formula kernels that had
+# no independent test (the Cohen's-d lesson: oracle parity cannot catch
+# a formula error both engines share)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_drift_numpy_recompute():
+    import numpy as np
+    import datetime  # noqa: F401
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM '{SF_SMALL}/embeddings.parquet' WHERE embedding IS NOT NULL"
+    ).fetchall()
+    cells: dict[tuple[int, int], list] = {}
+    counts: dict[int, list[int]] = {}
+    for vid, lbl, emb in rows:
+        snap = vid % 2
+        cells.setdefault((lbl, snap), []).append(np.asarray(emb, dtype=np.float64))
+        counts.setdefault(lbl, [0, 0])[snap] += 1
+    got = {r[0]: r for r in _oracle_rows("embedding_drift_monitor")}
+    labels = {lbl for lbl, _ in cells}
+    assert set(got) == {l for l in labels if counts[l][0] and counts[l][1]}
+    for lbl in got:
+        m_old = np.mean(np.stack(cells[(lbl, 0)]), axis=0)
+        m_new = np.mean(np.stack(cells[(lbl, 1)]), axis=0)
+        l2 = math.sqrt(float(np.sum((m_old - m_new) ** 2)))
+        assert got[lbl][1] == counts[lbl][0] and got[lbl][2] == counts[lbl][1]
+        assert abs(got[lbl][3] - l2) < 5e-4  # display-fixed to 4dp
+
+
+def test_weekly_ohlc_python_recompute():
+    rows = duckdb.sql(
+        f"""SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE),
+                   o_orderdate, o_orderkey, o_totalprice
+            FROM '{SF_SMALL}/orders.parquet'"""
+    ).fetchall()
+    weeks: dict = {}
+    for wk, d, k, p in rows:
+        weeks.setdefault(wk, []).append((d, k, p))
+    got = {r[0]: r for r in _oracle_rows("resample_weekly_ohlc")}
+    assert set(got) == set(weeks)
+    for wk, lst in weeks.items():
+        lst.sort()
+        prices = [p for _, _, p in lst]
+        o, h, lo, c = lst[0][2], max(prices), min(prices), lst[-1][2]
+        assert got[wk][1:] == (o, h, lo, c, len(lst)), wk
