@@ -78,6 +78,28 @@ _REVERIFY = (
 )
 
 
+# Green rows whose kernels were HARDENED this round with provably
+# value-neutral rewrites (decimal/HUGEINT widening of overflow-at-scale
+# products, integer-cents ranking keys, −0.0 pins, the bounded
+# posting-list top-k) — all re-gated at sf0.01 AND sf0.1 with identical
+# results. They re-enter the queue BEHIND the never-verified group:
+# fresh driver evidence is desirable but must not displace a
+# new registration's FIRST row (the every-query-has-a-row invariant);
+# whatever the ~50-slot budget doesn't reach this round re-queues in
+# round 10.
+_REVERIFY_TAIL = (
+    "customer_rfm_segments",
+    "spend_quartile_migration",
+    "cohort_ltv_curve",
+    "inverted_index_tokens",
+    "embedding_random_projection",
+    "cusum_changepoint_daily",
+    "mann_whitney_u",
+    "auc_quality_en_classifier",
+    "ks_statistic_order_values",
+)
+
+
 # Queries added in the current round: they go to the BACK of the
 # never-verified group so each new registration extends the burn-down
 # queue instead of displacing older queries out of the driver's
@@ -86,11 +108,13 @@ _REVERIFY = (
 # (spanremoval, llmops6, sketches, timeseries5, stats4, retrieval2,
 # graph2, sqlbreadth4, llmops7, llmops8, layout, skew additions)
 # behind nothing. Budget arithmetic: 37 new (36 oracled + hll
-# rows-only) + 7 reverify (5 advice-fix riders + the −0.0 rider +
-# the kappa margin-overflow rider) + 2 perpetual rows-only = 46
-# candidates vs ~50 driver slots — every query keeps a current
-# driver row with ~4 slots of green tail; registration stops here
-# for round 9 to preserve that invariant.
+# rows-only) + 7 front reverify (5 advice-fix riders + the −0.0
+# rider + the kappa margin-overflow rider) + 2 perpetual rows-only
+# = 46 front candidates vs ~50 driver slots, then the 9
+# _REVERIFY_TAIL hardening riders fill whatever remains (≈4 this
+# round, the rest re-queue in round 10) — every query keeps a
+# current driver row; registration stops here for round 9 to
+# preserve that invariant.
 _DEFER = ()
 
 
@@ -105,14 +129,19 @@ def _priority_order(names: list[str]) -> list[str]:
     unverified = [n for n in names if n not in green]
     boosted = [n for n in _BOOST if n in unverified]
     reverify = [n for n in _REVERIFY if n in names]
+    reverify_tail = [n for n in _REVERIFY_TAIL if n in names]
     deferred = [n for n in unverified if n in _DEFER]
     rest = [
         n
         for n in unverified
         if n not in _BOOST and n not in _DEFER and n not in _REVERIFY
     ]
-    tail = [n for n in names if n in green and n not in _REVERIFY]
-    return boosted + reverify + rest + deferred + tail
+    tail = [
+        n
+        for n in names
+        if n in green and n not in _REVERIFY and n not in _REVERIFY_TAIL
+    ]
+    return boosted + reverify + rest + deferred + reverify_tail + tail
 
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

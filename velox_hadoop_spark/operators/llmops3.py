@@ -634,8 +634,11 @@ def q_auc_quality_en_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_s").over(w), F.lit(0)).alias("cum_before"),
     )
     agg = ranked.agg(
+        # decimal(38,0) rank sum: 2*R_pos ~ P*(P+N) passes int64 at
+        # multi-billion-doc corpora (round-9 review find)
         F.sum(
-            F.col("n_pos_s") * (2 * F.col("cum_before") + F.col("n_s") + 1)
+            F.col("n_pos_s").cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("n_s") + 1)
         ).alias("two_rank_sum"),
         F.sum("n_pos_s").alias("n_pos"),
         F.sum(F.col("n_s") - F.col("n_pos_s")).alias("n_neg"),
@@ -1036,7 +1039,9 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT t.no_tot AS n_open, t.nf_tot AS n_finished,
                CASE WHEN t.no_tot > 0 AND t.nf_tot > 0 THEN
-                   round(CAST(max(abs(c.co * t.nf_tot - c.cf * t.no_tot)) AS DOUBLE)
+                   round(CAST(max(abs(CAST(c.co AS HUGEINT) * t.nf_tot
+                                      - CAST(c.cf AS HUGEINT) * t.no_tot))
+                              AS DOUBLE)
                          / (t.no_tot * CAST(t.nf_tot AS DOUBLE)), 6)
                END AS ks_stat
         FROM cum c CROSS JOIN tot t
@@ -1048,8 +1053,9 @@ def q_ks_statistic_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between open and
     finished order values: D = max |ECDF_O − ECDF_F|, evaluated on the
     distinct-cents grid with EXACT integer cross-products
-    (|cum_O·N_F − cum_F·N_O| — no double ECDFs to wobble; exact
-    through ~3·10⁹ rows per side before BIGINT overflow).
+    (|cum_O·N_F − cum_F·N_O| — no double ECDFs to wobble), riding
+    decimal(38,0)/HUGEINT so the products stay exact past the ~3·10⁹
+    rows/side where int64 overflowed (round-9 review find).
 
     Scale shape: the cumulative counts are a global prefix sum,
     computed with the repo's staged scan — per-bucket partials
@@ -1091,9 +1097,14 @@ def q_ks_statistic_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.crossJoin(F.broadcast(tot))
         .groupBy("no_tot", "nf_tot")
         .agg(
+            # decimal(38,0) cross-products: cum*N reaches ~(rows/2)^2,
+            # past int64 at the 100 TB target where each side holds
+            # ~7e10 orders (round-9 review find — Spark wrapped,
+            # DuckDB threw; the argmax stays exact in 128-bit)
             F.max(
                 F.abs(
-                    F.col("co") * F.col("nf_tot") - F.col("cf") * F.col("no_tot")
+                    F.col("co").cast("decimal(38,0)") * F.col("nf_tot")
+                    - F.col("cf").cast("decimal(38,0)") * F.col("no_tot")
                 )
             ).alias("max_diff")
         )
@@ -1166,7 +1177,12 @@ def _attach_oracles() -> None:
             FROM grid
         ),
         agg AS (
-            SELECT CAST(sum(n_pos_s * (2 * cum_before + n_s + 1)) AS BIGINT) AS two_rank_sum,
+            -- HUGEINT rank sum: the per-score product and the total
+            -- 2*R_pos reach ~P*(P+N), past int64 at multi-billion-doc
+            -- corpora (round-9 review find, the Kendall overflow class)
+            SELECT CAST(sum(CAST(n_pos_s AS HUGEINT)
+                            * (2 * cum_before + n_s + 1)) AS HUGEINT)
+                       AS two_rank_sum,
                    CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
                    CAST(sum(n_s - n_pos_s) AS BIGINT) AS n_neg
             FROM ranked

@@ -348,7 +348,7 @@ def q_seasonal_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    date_diff('day', max(CAST(o.o_orderdate AS DATE)), any_value(anchor.maxd))
                        AS recency,
                    count(*) AS frequency,
-                   ROUND(SUM(o.o_totalprice), 2) AS monetary
+                   SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS monetary_c
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             CROSS JOIN anchor
@@ -363,14 +363,14 @@ def q_seasonal_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                        PARTITION BY seg ORDER BY frequency, ck
                    ) AS BIGINT) AS f_score,
                    CAST(ntile(4) OVER (
-                       PARTITION BY seg ORDER BY monetary, ck
+                       PARTITION BY seg ORDER BY monetary_c, ck
                    ) AS BIGINT) AS m_score,
-                   monetary
+                   monetary_c
             FROM cust
         )
         SELECT seg, r_score * 100 + f_score * 10 + m_score AS rfm,
                count(*) AS n_customers,
-               ROUND(SUM(monetary), 2) AS total_monetary
+               CAST(SUM(monetary_c) AS DOUBLE) / 100.0 AS total_monetary
         FROM scored
         GROUP BY seg, r_score * 100 + f_score * 10 + m_score
     """,
@@ -402,23 +402,30 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.first("maxd"), F.max(F.col("o_orderdate").cast("date"))
             ).alias("recency"),
             F.count("*").alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            # integer cents, not ROUND(SUM(double)): the m_score NTILE
+            # orders by this value, and a double sum within an ulp of a
+            # half-cent boundary rounds apart across engines (and across
+            # Spark runs), flipping quartile assignments — the ranking
+            # variant of the free-order-SUM class (round-9 review find)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_c"
+            ),
         )
     )
     seg = Window.partitionBy("seg")
     scored = per_cust.select(
         "seg",
-        "monetary",
+        "monetary_c",
         F.ntile(4).over(seg.orderBy(F.col("recency").desc(), "ck")).cast("long").alias("r_score"),
         F.ntile(4).over(seg.orderBy("frequency", "ck")).cast("long").alias("f_score"),
-        F.ntile(4).over(seg.orderBy("monetary", "ck")).cast("long").alias("m_score"),
+        F.ntile(4).over(seg.orderBy("monetary_c", "ck")).cast("long").alias("m_score"),
     )
     return scored.groupBy(
         "seg",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias("rfm"),
     ).agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        (F.sum("monetary_c").cast("double") / 100.0).alias("total_monetary"),
     )
 
 
@@ -684,27 +691,28 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH om AS (
             SELECT o_custkey AS ck,
                    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-                   o_totalprice AS rev
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c
             FROM orders
         ),
         cohorts AS (SELECT ck, min(m) AS cohort FROM om GROUP BY ck),
         aged AS (
             SELECT c.cohort,
                    CAST(date_diff('month', c.cohort, om.m) AS BIGINT) AS age,
-                   om.rev, om.ck
+                   om.rev_c, om.ck
             FROM om JOIN cohorts c ON om.ck = c.ck
         ),
         per AS (
             SELECT cohort, age,
-                   ROUND(SUM(rev), 2) AS revenue,
+                   SUM(rev_c) AS revenue_c,
                    count(DISTINCT ck) AS n_active
             FROM aged GROUP BY cohort, age
         )
-        SELECT cohort, age, revenue, n_active,
-               ROUND(SUM(revenue) OVER (
+        SELECT cohort, age,
+               CAST(revenue_c AS DOUBLE) / 100.0 AS revenue, n_active,
+               CAST(SUM(revenue_c) OVER (
                    PARTITION BY cohort ORDER BY age
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 2) AS cum_revenue
+               ) AS DOUBLE) / 100.0 AS cum_revenue
         FROM per
     """,
     tags=("mining", "cohort", "ltv", "extension"),
@@ -723,17 +731,21 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     om = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("ck"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
-        F.col("o_totalprice").alias("rev"),
+        # integer cents end-to-end: ROUND(SUM(double)) at a half-cent
+        # boundary can round apart across engines, and the cumulative
+        # window would propagate one flipped cell down the whole cohort
+        # curve (round-9 review find)
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev_c"),
     )
     cohorts = om.groupBy("ck").agg(F.min("m").alias("cohort"))
     aged = om.join(cohorts, "ck").select(
         "cohort",
         F.months_between(F.col("m"), F.col("cohort")).cast("long").alias("age"),
-        "rev",
+        "rev_c",
         "ck",
     )
     per = aged.groupBy("cohort", "age").agg(
-        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.sum("rev_c").alias("revenue_c"),
         F.countDistinct("ck").alias("n_active"),
     )
     w = (
@@ -744,9 +756,9 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "cohort",
         "age",
-        "revenue",
+        (F.col("revenue_c").cast("double") / 100.0).alias("revenue"),
         "n_active",
-        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+        (F.sum("revenue_c").over(w).cast("double") / 100.0).alias("cum_revenue"),
     )
 
 
@@ -954,10 +966,12 @@ _MIGRATION_SPLIT = "1996-01-01"  # period A strictly before, B at/after
     oracle=f"""
         WITH spend AS (
             SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
-                   ROUND(SUM(CASE WHEN o.o_orderdate < DATE '{_MIGRATION_SPLIT}'
-                                  THEN o.o_totalprice ELSE 0 END), 2) AS spend_a,
-                   ROUND(SUM(CASE WHEN o.o_orderdate >= DATE '{_MIGRATION_SPLIT}'
-                                  THEN o.o_totalprice ELSE 0 END), 2) AS spend_b
+                   SUM(CASE WHEN o.o_orderdate < DATE '{_MIGRATION_SPLIT}'
+                            THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS spend_a,
+                   SUM(CASE WHEN o.o_orderdate >= DATE '{_MIGRATION_SPLIT}'
+                            THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS spend_b
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment, o.o_custkey
         ),
@@ -990,21 +1004,20 @@ def q_spend_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("ck"))
         .agg(
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("o_orderdate").cast("date") < split, F.col("o_totalprice")
-                    ).otherwise(0.0)
-                ),
-                2,
+            # integer cents: these values are NTILE ORDER BY keys, so a
+            # free-order double sum at a rounding boundary would flip
+            # quartile cells across engines (round-9 review find)
+            F.sum(
+                F.when(
+                    F.col("o_orderdate").cast("date") < split,
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
             ).alias("spend_a"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("o_orderdate").cast("date") >= split, F.col("o_totalprice")
-                    ).otherwise(0.0)
-                ),
-                2,
+            F.sum(
+                F.when(
+                    F.col("o_orderdate").cast("date") >= split,
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
             ).alias("spend_b"),
         )
     )

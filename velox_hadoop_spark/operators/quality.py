@@ -361,23 +361,35 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The distinct (doc_id, token) projection is the classic index-build
     shuffle — map-side combine collapses within-document repeats before
-    any bytes move. Posting lists are CAPPED at 10 ids (sorted) so no
-    reducer materializes an unbounded list for stop-words; ``df``
-    carries the true frequency. At 100 TB you'd shard the index by
-    token range — the same plan with a ``repartitionByRange(tok)``
-    before the write.
+    any bytes move. The 10-id posting cap is enforced BEFORE any list
+    materializes: a row_number() <= 10 filter compiles to Spark's
+    WindowGroupLimit (map-side + reducer-side top-k), so a stop-word
+    appearing in billions of documents never accumulates more than 10
+    ids of per-key state — the previous collect_list-then-slice shape
+    buffered the FULL posting list per token in one aggregation buffer
+    (executor OOM at corpus scale; round-9 review find). ``df`` carries
+    the true frequency from a separate co-partitioned grouped count.
+    At 100 TB you'd shard the index by token range — the same plan with
+    a ``repartitionByRange(tok)`` before the write.
 
     Postings are emitted as a CSV string (repo convention, see
     ``operators/agg.py``): top-level array columns are unhashable to
     the driver's pandas canonicalizer.
     """
     toks = _tokens(_docs(spark, sf_dir)).distinct()
-    return toks.groupBy("tok").agg(
-        F.count("*").alias("df"),
-        F.array_join(
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10), ","
-        ).alias("postings"),
+    df = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    top = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .groupBy("tok")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            )
+        )
     )
+    return df.join(top, "tok")
 
 
 # ---------------------------------------------------------------------------
@@ -417,7 +429,10 @@ def _rp_oracle() -> str:
             f"({'' if w[p][d] > 0 else '-'}CAST(embedding[{d + 1}] AS DOUBLE))"
             for d in range(_RP_DIMS)
         )
-        cols.append(f"round({terms}, 6) AS p{p}")
+        # + 0.0 pins −0.0 → +0.0: the ±1 sums are built to cancel, and
+        # DuckDB round() preserves the sign of a −0.0 result where
+        # Spark normalizes it (the degenerate-sweep class)
+        cols.append(f"round({terms}, 6) + 0.0 AS p{p}")
     return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
 
 
@@ -440,7 +455,7 @@ def random_projection(emb: DataFrame) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cols.append(F.round(proj, 6).alias(f"p{p}"))
+        cols.append((F.round(proj, 6) + F.lit(0.0)).alias(f"p{p}"))
     return emb.select("vec_id", *cols)
 
 

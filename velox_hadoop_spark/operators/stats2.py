@@ -406,7 +406,7 @@ def q_max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM daily
         )
         SELECT day AS change_day,
-               CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+               CAST(cusum_scaled AS DOUBLE) AS cusum_scaled,
                CAST((SELECT n FROM t) AS BIGINT) AS n_days
         FROM c
         ORDER BY abs(cusum_scaled) DESC, day
@@ -421,11 +421,13 @@ def q_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The statistic is kept in scaled-integer space: n·Σᵗx − t·S (n days,
     S total cents) is the textbook Σᵗ(x−μ) multiplied through by n, so
-    the argmax is an exact int64 comparison — no float summation order
-    anywhere. Magnitude bound: days are calendar-bounded (~2.4k), so
-    n·Σx ≲ 2.4k × total-cents; int64-safe through the verified SFs and
-    ~10⁴ beyond (documented bound, same class as the checksum
-    kernels)."""
+    the argmax is an EXACT wide-integer comparison — no float summation
+    order anywhere. The products ride decimal(38,0) (DuckDB's windowed
+    sum is already HUGEINT): n·Σx ≈ 2.4k × total-cents crosses int64
+    near SF ≈ 170, far below the 100 TB target — int64 here wrapped in
+    Spark while DuckDB's CAST threw (round-9 review find; the original
+    docstring's "~10⁴ beyond" bound was wrong). Only the DISPLAYED
+    statistic converts to double; the argmax ordering stays exact."""
     daily = _daily_rev_cents(spark, sf_dir)
     t = daily.agg(
         F.count("*").alias("n_days"), F.sum("rev_cents").alias("s")
@@ -439,12 +441,21 @@ def q_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("day").alias("change_day"),
             (
-                F.col("n_days") * F.col("cum") - F.col("t_idx") * F.col("s")
-            ).alias("cusum_scaled"),
+                F.col("n_days").cast("decimal(38,0)") * F.col("cum")
+                - F.col("t_idx").cast("decimal(38,0)") * F.col("s")
+            ).alias("cusum_x"),
             "n_days",
         )
     )
-    return c.orderBy(F.abs(F.col("cusum_scaled")).desc(), "change_day").limit(1)
+    return (
+        c.orderBy(F.abs(F.col("cusum_x")).desc(), "change_day")
+        .limit(1)
+        .select(
+            "change_day",
+            F.col("cusum_x").cast("double").alias("cusum_scaled"),
+            "n_days",
+        )
+    )
 
 
 _BB_WIN = 20
@@ -655,25 +666,36 @@ def q_theil_index_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND o_orderdate <  TIMESTAMP '{_MW_HI} 00:00:00'
         ),
         r AS (
+            -- DOUBLED rank units (2*rank + ties - 1 = 2*avg_rank): the
+            -- rank sum stays an exact wide integer instead of a
+            -- free-order double sum of 0.5-multiples, which loses
+            -- exactness past 2^53 and diverges between engines
+            -- (round-9 review find)
             SELECT g1,
-                   rank() OVER (ORDER BY v)
-                     + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar
+                   rank() OVER (ORDER BY v) * 2
+                     + count(*) OVER (PARTITION BY v) - 1 AS ar2
             FROM x
         ),
         agg AS (
             SELECT CAST(sum(g1) AS BIGINT) AS n1,
                    CAST(count(*) - sum(g1) AS BIGINT) AS n2,
-                   sum(CASE WHEN g1 = 1 THEN ar ELSE 0 END) AS r1
+                   CAST(sum(CASE WHEN g1 = 1 THEN ar2 ELSE 0 END) AS HUGEINT)
+                       AS r1_2
             FROM r
+        ),
+        u AS (
+            SELECT n1, n2,
+                   r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1_2
+            FROM agg
         )
         SELECT n1, n2,
-               r1 - n1 * (n1 + 1) / 2.0 AS u1,
-               CAST(n1 AS DOUBLE) * n2 - (r1 - n1 * (n1 + 1) / 2.0) AS u2,
-               round(((r1 - n1 * (n1 + 1) / 2.0)
+               CAST(u1_2 AS DOUBLE) / 2.0 AS u1,
+               CAST(2 * CAST(n1 AS HUGEINT) * n2 - u1_2 AS DOUBLE) / 2.0 AS u2,
+               round((CAST(u1_2 AS DOUBLE) / 2.0
                       - CAST(n1 AS DOUBLE) * n2 / 2)
                      / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0),
                      6) AS z
-        FROM agg
+        FROM u
     """,
     tags=("stats", "rank", "hypothesis-test", "extension"),
 )
@@ -707,29 +729,40 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("_n"), F.sum("g1").alias("_n1")
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    # DOUBLED rank units: ar2 = 2*cum_before + n + 1 = 2*avg_rank is an
+    # exact integer, so the rank sum rides decimal(38,0)/HUGEINT as an
+    # exact wide integer instead of a free-order double sum of
+    # 0.5-multiples (exactness lost past 2^53; round-9 review find)
     ranked = vals.select(
         "_n",
         "_n1",
         (
-            F.coalesce(F.sum("_n").over(w), F.lit(0))
-            + (F.col("_n") + 1) / 2.0
-        ).alias("avg_rank"),
+            2 * F.coalesce(F.sum("_n").over(w), F.lit(0))
+            + F.col("_n")
+            + 1
+        ).alias("ar2"),
     )
     agg = ranked.agg(
         F.sum("_n1").cast("long").alias("n1"),
         (F.sum("_n") - F.sum("_n1")).cast("long").alias("n2"),
-        F.sum(F.col("_n1") * F.col("avg_rank")).alias("r1"),
+        F.sum(F.col("_n1").cast("decimal(38,0)") * F.col("ar2")).alias("r1_2"),
     )
-    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    u1_2 = F.col("r1_2") - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+    u1d = u1_2.cast("double") / 2.0
     return agg.select(
         "n1",
         "n2",
-        u1.alias("u1"),
-        (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
+        u1d.alias("u1"),
+        (
+            (
+                2 * F.col("n1").cast("decimal(38,0)") * F.col("n2") - u1_2
+            ).cast("double")
+            / 2.0
+        ).alias("u2"),
         F.when(
             (F.col("n1") > 0) & (F.col("n2") > 0),
             F.round(
-                (u1 - F.col("n1").cast("double") * F.col("n2") / 2)
+                (u1d - F.col("n1").cast("double") * F.col("n2") / 2)
                 / F.sqrt(
                     F.col("n1").cast("double")
                     * F.col("n2")
