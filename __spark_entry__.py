@@ -97,6 +97,22 @@ _REVERIFY_TAIL = (
     "mann_whitney_u",
     "auc_quality_en_classifier",
     "ks_statistic_order_values",
+    # money-exactness batch: exact fixed-point sums replace
+    # ROUND(SUM(double)) where the double sum loses cent resolution or
+    # feeds a ranking key at 100 TB scale (same re-gate evidence).
+    # sqlbreadth2's _t -> read_table change is NOT re-queued: it only
+    # alters the events read path under TIMESTAMP(NANOS) storage and
+    # is a byte-identical no-op on every driver-visible corpus.
+    "damped_rank_formula",
+    "conditional_agg_flags",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "monthly_revenue_mom",
+    "window_rank_in_nation",
+    "nation_revenue_share",
+    "time_weighted_avg_value",
 )
 
 

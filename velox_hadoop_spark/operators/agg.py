@@ -81,14 +81,28 @@ def q_collect_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q1_pricing_summary",
     oracle="""
+        -- exact fixed-point money (round-9 review find): a 100 TB
+        -- group's double sum has ulp ~1.0 — it cannot resolve cents
+        -- and its value depends on accumulation order. Quantities sum
+        -- as exact integers; prices as cents; disc_price/charge as
+        -- 1e4/1e6 fixed point (their algebraic grids); DuckDB BIGINT
+        -- sums promote to HUGEINT, the Spark twin rides decimal(38,0).
         SELECT l_returnflag, l_linestatus,
-               ROUND(sum(l_quantity), 2) AS sum_qty,
-               ROUND(sum(l_extendedprice), 2) AS sum_base_price,
-               ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(avg(l_quantity), 4) AS avg_qty,
-               ROUND(avg(l_extendedprice), 4) AS avg_price,
-               ROUND(avg(l_discount), 4) AS avg_disc,
+               ROUND(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 2) AS sum_qty,
+               ROUND(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS sum_base_price,
+               ROUND(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 10000) AS BIGINT))
+                          AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
+               ROUND(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                         * (1 + l_tax) * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+               ROUND(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                     / count(*), 4) AS avg_qty,
+               ROUND(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 / count(*), 4) AS avg_price,
+               ROUND(CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 / count(*), 4) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -100,18 +114,31 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the flagship wide aggregate."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty = F.sum(F.col("l_quantity").cast("long").cast("decimal(38,0)"))
+    base_c = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    )
+    disc_fp = F.sum(F.round(disc_price * 10000).cast("decimal(38,0)"))
+    charge_fp = F.sum(
+        F.round(disc_price * (1 + F.col("l_tax")) * 1000000).cast("decimal(38,0)")
+    )
+    disc_c = F.sum(F.round(F.col("l_discount") * 100).cast("decimal(38,0)"))
+    n = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            # exact fixed-point money (round-9 review find) — see the
+            # oracle comment; every sum is an exact integer in
+            # decimal(38,0) and only the display divides to double
+            F.round(qty.cast("double"), 2).alias("sum_qty"),
+            F.round(base_c.cast("double") / 100.0, 2).alias("sum_base_price"),
+            F.round(disc_fp.cast("double") / 10000.0, 2).alias("sum_disc_price"),
+            F.round(charge_fp.cast("double") / 1000000.0, 2).alias("sum_charge"),
+            F.round(qty.cast("double") / n, 4).alias("avg_qty"),
+            F.round(base_c.cast("double") / 100.0 / n, 4).alias("avg_price"),
+            F.round(disc_c.cast("double") / 100.0 / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -119,18 +146,27 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q3_shipping_priority",
     oracle="""
-        SELECT o.o_orderkey,
-               ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-               o.o_orderdate
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING'
-          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        GROUP BY o.o_orderkey, o.o_orderdate
-        ORDER BY revenue DESC, o_orderkey ASC
-        LIMIT 10
+        -- the top-10 ranks on the EXACT 1e4-fixed-point revenue sum,
+        -- not a free-order double (a boundary-straddling double sum
+        -- could flip top-10 membership between engines at scale;
+        -- round-9 review find); only the display divides to dollars
+        SELECT o_orderkey,
+               ROUND(CAST(rev_fp AS DOUBLE) / 10000.0, 2) AS revenue,
+               o_orderdate
+        FROM (
+            SELECT o.o_orderkey, o.o_orderdate,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)) AS rev_fp
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY rev_fp DESC, o_orderkey ASC
+            LIMIT 10
+        )
     """,
     tags=("agg", "tpch", "join"),
 )
@@ -152,13 +188,19 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                ).cast("decimal(38,0)")
+            ).alias("rev_fp")
         )
-        .select("o_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .orderBy(F.desc("rev_fp"), F.asc("o_orderkey"))
         .limit(10)
+        .select(
+            "o_orderkey",
+            F.round(F.col("rev_fp").cast("double") / 10000.0, 2).alias("revenue"),
+            "o_orderdate",
+        )
     )
 
 
@@ -166,7 +208,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_volume",
     oracle="""
         SELECT n.n_name,
-               ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               ROUND(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                         * 10000) AS BIGINT)) AS DOUBLE)
+                     / 10000.0, 2) AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -197,16 +241,24 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 10000.0,
+            2,
+        ).alias("revenue")
     )
 
 
 @register(
     "tpch_q6_forecast_revenue",
     oracle="""
-        SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT ROUND(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                                    AS BIGINT)) AS DOUBLE) / 10000.0, 2)
+                   AS revenue,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -228,9 +280,15 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / 10000.0,
+                2,
+            ).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -288,7 +346,12 @@ def q_rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "damped_rank_formula",
     oracle="""
         SELECT l_suppkey AS node,
-               ROUND(0.15 + 0.85 * sum(l_quantity / 10.0), 6) AS rank
+               -- sum THEN divide: l_quantity is integer-valued, so
+               -- sum(l_quantity) is order-exact in double while the
+               -- per-row /10.0 made every term inexact and the sum
+               -- order-dependent — a cross-engine ROUND-flip class at
+               -- billions of groups (round-9 review find)
+               ROUND(0.15 + 0.85 * (sum(l_quantity) / 10.0), 6) AS rank
         FROM lineitem
         GROUP BY l_suppkey
     """,
@@ -299,7 +362,7 @@ def q_damped_rank_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.groupBy(F.col("l_suppkey").alias("node"))
-        .agg(F.sum(F.col("l_quantity") / 10.0).alias("s"))
+        .agg((F.sum("l_quantity") / 10.0).alias("s"))
         .select("node", F.round(F.lit(0.15) + F.lit(0.85) * F.col("s"), 6).alias("rank"))
     )
 
@@ -423,13 +486,25 @@ def q_ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "conditional_agg_flags",
     oracle="""
+        WITH ranked AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice, o_orderpriority,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey DESC
+                   ) AS rb,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice ASC, o_orderkey ASC
+                   ) AS rw
+            FROM orders
+        )
         SELECT o_orderstatus,
                CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
                bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
                bool_and(o_totalprice > 0) AS all_positive,
-               max_by(o_orderkey, o_totalprice) AS top_order,
-               min_by(o_orderkey, o_totalprice) AS bottom_order
-        FROM orders
+               max(CASE WHEN rb = 1 THEN o_orderkey END) AS top_order,
+               min(CASE WHEN rw = 1 THEN o_orderkey END) AS bottom_order
+        FROM ranked
         GROUP BY o_orderstatus
     """,
     tags=("agg", "conditional", "functions", "extension"),
@@ -439,17 +514,24 @@ def q_conditional_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by / min_by per order status — the predicate-aggregate family
     every SQL dialect ships. All are plain partial+final hash
     aggregates (each partition folds its predicate locally; only the
-    per-group scalars shuffle). max_by/min_by ties are impossible here
-    because o_totalprice is unique per status at every SF (asserted by
-    the hash gate itself — a tie would flake it).
+    per-group scalars shuffle). max_by/min_by ride a (price, orderkey)
+    STRUCT key so price ties resolve deterministically — prices live on
+    a 2-dp grid, so ties are pigeonhole-certain once a status group
+    outgrows the distinct-price domain (~5e7), and a bare-price key let
+    each engine pick an arbitrary orderkey (round-9 review find; the
+    docstring's old 'ties are impossible' claim only held at tiny SFs).
+    The oracle states the same tie rule as row_number CTEs (the
+    argmax_order_extremes pattern — DuckDB's max_by takes no struct
+    key).
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return orders.groupBy("o_orderstatus").agg(
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
-        F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+        F.max_by("o_orderkey", key).alias("top_order"),
+        F.min_by("o_orderkey", key).alias("bottom_order"),
     )
 
 

@@ -25,7 +25,15 @@ from velox_hadoop_spark.plans.registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # route through the catalog: events.ts can arrive as parquet
+    # TIMESTAMP(NANOS), which read_table normalizes and a raw
+    # spark.read.parquet either rejects or (with the session-wide
+    # nanosAsLong legacy flag set by an earlier kernel) silently reads
+    # as a nanosecond LONG — every other events consumer already uses
+    # read_table (round-9 review find)
+    from velox_hadoop_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def _cents(col: str = "o_totalprice"):

@@ -96,8 +96,13 @@ def q_interval_overlap_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFra
             FROM events
         ),
         agg AS (
+            -- HUGEINT product: v_fp (≤ ~5e6) times a month-long gap in
+            -- MICROS (~2.6e12) bounds a single interval at ~1.3e19 >
+            -- int64 — DuckDB threw on the BIGINT multiply while Spark
+            -- wrapped silently (round-9 review find; measured 20% of
+            -- int64 consumed at sf0.01 already)
             SELECT user_id,
-                   CAST(sum(v_fp * (next_us - t_us)) AS BIGINT) AS wsum,
+                   sum(CAST(v_fp AS HUGEINT) * (next_us - t_us)) AS wsum,
                    CAST(max(next_us) - min(t_us) AS BIGINT) AS span_us
             FROM iv WHERE next_us IS NOT NULL
             GROUP BY user_id
@@ -132,7 +137,10 @@ def q_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.where(F.col("next_us").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.sum(F.col("v_fp") * (F.col("next_us") - F.col("t_us"))).alias("wsum"),
+            F.sum(
+                F.col("v_fp").cast("decimal(38,0)")
+                * (F.col("next_us") - F.col("t_us"))
+            ).alias("wsum"),
             (F.max("next_us") - F.min("t_us")).alias("span_us"),
         )
     )

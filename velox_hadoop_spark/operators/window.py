@@ -76,26 +76,44 @@ def q_window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_nationkey, c_custkey, c_acctbal,
                CAST(rank() OVER w AS BIGINT) AS bal_rank,
                CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
-               ROUND(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey), 4) AS bal_vs_nation_avg
+               -- exact integer-cents algebra: bal − S/n as
+               -- (n·bal_c − S_c)/(100n) — a free-order double AVG over
+               -- a nation-sized partition shifts every row's diff by
+               -- engine-dependent ulps across 4-dp ROUND boundaries
+               -- (round-9 review find; the peer-avg kernel already
+               -- used this form)
+               ROUND(CAST(CAST(count(*) OVER nw AS HUGEINT)
+                              * CAST(round(c_acctbal * 100) AS BIGINT)
+                          - sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER nw
+                          AS DOUBLE)
+                     / (100.0 * count(*) OVER nw), 4) AS bal_vs_nation_avg
         FROM customer
-        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+               nw AS (PARTITION BY c_nationkey)
     """,
     tags=("window", "rank"),
 )
 def q_window_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partitioned rank/dense_rank + deviation from partition mean."""
+    """Partitioned rank/dense_rank + deviation from partition mean
+    (the mean deviation rides exact integer cents — see the oracle
+    comment)."""
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     w_all = Window.partitionBy("c_nationkey")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    n = F.count("*").over(w_all)
+    s_c = F.sum(bal_c).over(w_all)
     return customer.select(
         "c_nationkey",
         "c_custkey",
         "c_acctbal",
         F.rank().over(w).cast("long").alias("bal_rank"),
         F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
-        F.round(F.col("c_acctbal") - F.avg("c_acctbal").over(w_all), 4).alias(
-            "bal_vs_nation_avg"
-        ),
+        F.round(
+            (n.cast("decimal(38,0)") * bal_c - s_c).cast("double")
+            / (F.lit(100.0) * n),
+            4,
+        ).alias("bal_vs_nation_avg"),
     )
 
 
@@ -428,13 +446,18 @@ def q_bitmap_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "monthly_revenue_mom",
     oracle="""
         WITH m AS (
+            -- integer cents: a month's double sum at 100 TB (~2.7e14,
+            -- ulp 0.03) cannot even resolve cents and is order-
+            -- dependent; the exact BIGINT sum is (round-9 review find)
             SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
                    CAST(month(o_orderdate) AS INTEGER) AS m,
-                   ROUND(sum(o_totalprice), 2) AS revenue
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
             FROM orders GROUP BY 1, 2
         )
-        SELECT y, m, revenue,
-               ROUND(revenue - lag(revenue) OVER (ORDER BY y, m), 2) AS mom_delta
+        SELECT y, m,
+               CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+               CAST(rev_c - lag(rev_c) OVER (ORDER BY y, m) AS DOUBLE) / 100.0
+                   AS mom_delta
         FROM m
     """,
     tags=("window", "timeseries", "extension"),
@@ -445,20 +468,28 @@ def q_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned ORDER BY window (normally a scale smell) is fine
     here: the heavy partial+final agg reduces the fact table first and
     the single-task window sees ~100 rows regardless of input size.
-    The rounded monthly totals feed the delta so both engines subtract
-    identical 2-dp values."""
+    Revenue folds to exact integer cents (round-9 review find: at
+    100 TB a month's double sum has ulp > a cent and is order-
+    dependent), so the delta is an exact integer subtraction and only
+    the display divides to dollars."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     monthly = (
         orders.groupBy(
             F.year(F.col("o_orderdate").cast("date")).alias("y"),
             F.month(F.col("o_orderdate").cast("date")).alias("m"),
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+        )
     )
     w = Window.orderBy("y", "m")
     return monthly.select(
-        "y", "m", "revenue",
-        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta"),
+        "y",
+        "m",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (
+            (F.col("rev_c") - F.lag("rev_c").over(w)).cast("double") / 100.0
+        ).alias("mom_delta"),
     )
 
 
@@ -467,6 +498,10 @@ def q_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT r.r_name AS region, n.n_name AS nation,
+                   -- DuckDB's BIGINT sum promotes to HUGEINT; the
+                   -- /10000.0 divide converts to DOUBLE, so no cast
+                   -- is needed here — the Spark twin widens to
+                   -- decimal(38,0) for the same 128-bit headroom
                    ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
                                         * 10000) AS BIGINT)) / 10000.0, 4)
                        AS revenue
@@ -507,8 +542,15 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
+            # decimal(38,0) sum: the 1e4-scale fixed-point revenue of a
+            # nation crosses int64 at the 100 TB target (~1.2e19; Spark
+            # long sum wraps SILENTLY while DuckDB promotes to HUGEINT
+            # — a guaranteed one-sided corruption; round-9 review find)
             F.round(
-                F.sum(F.round(line_rev * 10000).cast("long")) / 10000.0, 4
+                F.sum(F.round(line_rev * 10000).cast("decimal(38,0)"))
+                .cast("double")
+                / 10000.0,
+                4,
             ).alias("revenue")
         )
     )
