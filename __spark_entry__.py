@@ -113,6 +113,20 @@ _REVERIFY_TAIL = (
     "window_rank_in_nation",
     "nation_revenue_share",
     "time_weighted_avg_value",
+    # money-exactness sweep part 2 (same class, same evidence):
+    "broadcast_region_rollup",
+    "range_join_ship_window",
+    "override_join_balances",
+    "cube_priority_status",
+    "orders_by_weekday",
+    "salted_join_lineitem_orders",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q10_returned_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_rich_customers",
+    "window_customer_orders",
+    "window_trailing_30d_spend",
 )
 
 

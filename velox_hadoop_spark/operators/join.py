@@ -140,7 +140,7 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "broadcast_region_rollup",
     oracle="""
-        SELECT r.r_name, count(*) AS n_customers, ROUND(sum(c.c_acctbal), 2) AS total_acctbal
+        SELECT r.r_name, count(*) AS n_customers, ROUND(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -162,7 +162,12 @@ def q_broadcast_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("r_name").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        F.round(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            / 100.0,
+            2,
+        ).alias("total_acctbal"),
     )
 
 
@@ -259,7 +264,8 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o.o_orderpriority,
                count(*) AS n_lineitems,
-               ROUND(sum(l.l_extendedprice), 2) AS total_price
+               ROUND(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS total_price
         FROM orders o
         JOIN lineitem l
           ON l.l_orderkey = o.o_orderkey
@@ -282,5 +288,10 @@ def q_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lineitems"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            / 100.0,
+            2,
+        ).alias("total_price"),
     )

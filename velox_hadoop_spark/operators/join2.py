@@ -73,11 +73,15 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "override_join_balances",
     oracle="""
         WITH l AS (
-            SELECT c_nationkey AS key, ROUND(sum(c_acctbal), 2) AS bal
+            SELECT c_nationkey AS key,
+                   ROUND(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS bal
             FROM customer GROUP BY 1
         ),
         r AS (
-            SELECT s_nationkey AS key, ROUND(sum(s_acctbal), 2) AS bal
+            SELECT s_nationkey AS key,
+                   ROUND(CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS bal
             FROM supplier GROUP BY 1
         )
         SELECT coalesce(l.key, r.key) AS key,
@@ -93,10 +97,20 @@ def q_override_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums of 2-dp data round exactly; round(avg) can straddle an engine-
     # dependent half-boundary
     l = customer.groupBy(F.col("c_nationkey").alias("key")).agg(
-        F.round(F.sum("c_acctbal"), 2).alias("bal")
+        F.round(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            / 100.0,
+            2,
+        ).alias("bal")
     )
     r = supplier.groupBy(F.col("s_nationkey").alias("key")).agg(
-        F.round(F.sum("s_acctbal"), 2).alias("bal")
+        F.round(
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            / 100.0,
+            2,
+        ).alias("bal")
     )
     return override_join(l, r, "key", ["bal"])
 
@@ -135,7 +149,8 @@ def q_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n,
-               ROUND(sum(o_totalprice), 2) AS total
+               ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS total
         FROM orders
         GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
@@ -146,7 +161,12 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return orders.cube("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            / 100.0,
+            2,
+        ).alias("total"),
     )
 
 
@@ -157,7 +177,8 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
                CAST(year(o_orderdate) AS INT) AS yr,
                count(*) AS n,
-               ROUND(sum(o_totalprice), 2) AS total
+               ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS total
         FROM orders
         GROUP BY 1, 2
     """,
@@ -171,5 +192,10 @@ def q_orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            / 100.0,
+            2,
+        ).alias("total"),
     )

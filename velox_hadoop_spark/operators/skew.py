@@ -78,7 +78,8 @@ def salted_agg(
     "salted_join_lineitem_orders",
     oracle="""
         SELECT o.o_orderpriority, count(*) AS n,
-               ROUND(sum(l.l_extendedprice), 2) AS total_price
+               ROUND(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS total_price
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority
     """,
@@ -96,7 +97,12 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            / 100.0,
+            2,
+        ).alias("total_price"),
     )
 
 @register(

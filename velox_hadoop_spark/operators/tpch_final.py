@@ -92,7 +92,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_quantity_revenue",
     oracle="""
-        SELECT ROUND(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT ROUND(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#1'
           AND l.l_quantity < (
@@ -122,7 +123,15 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part_avg, F.col("l_partkey") == F.col("avg_partkey"))
         .where(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+                .cast("double")
+                / 100.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 

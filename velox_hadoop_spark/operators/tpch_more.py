@@ -49,16 +49,24 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q10_returned_revenue",
     oracle="""
-        SELECT c.c_custkey, c.c_name, n.n_name,
-               ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        WHERE l.l_returnflag = 'R'
-        GROUP BY c.c_custkey, c.c_name, n.n_name
-        ORDER BY revenue DESC, c_custkey ASC
-        LIMIT 20
+        -- top-20 ranks on the EXACT 1e4-fixed-point revenue (the q3
+        -- rule: a free-order double sum at a boundary could flip
+        -- membership between engines at scale)
+        SELECT c_custkey, c_name, n_name,
+               ROUND(CAST(rev_fp AS DOUBLE) / 10000.0, 2) AS revenue
+        FROM (
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)) AS rev_fp
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY rev_fp DESC, c_custkey ASC
+            LIMIT 20
+        )
     """,
     tags=("tpch", "join", "topk"),
 )
@@ -75,12 +83,20 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                ).cast("decimal(38,0)")
+            ).alias("rev_fp")
         )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .orderBy(F.desc("rev_fp"), F.asc("c_custkey"))
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("rev_fp").cast("double") / 10000.0, 2).alias("revenue"),
+        )
     )
 
 

@@ -37,7 +37,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-               ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               ROUND(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                         * 10000) AS BIGINT)) AS DOUBLE)
+                     / 10000.0, 2) AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -71,7 +73,15 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 10000.0,
+            2,
+        ).alias("revenue")
     )
 
 
@@ -260,7 +270,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19_disjunctive_revenue",
     oracle="""
-        SELECT ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        SELECT ROUND(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                          * 10000) AS BIGINT)) AS DOUBLE)
+                     / 10000.0, 2) AS revenue,
                count(*) AS n_rows
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
@@ -290,7 +302,15 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(
         arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#4", 15, 20, 30)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 10000.0,
+            2,
+        ).alias("revenue"),
         F.count("*").alias("n_rows"),
     )
 
@@ -299,13 +319,20 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_idle_rich_customers",
     oracle="""
         WITH avg_bal AS (
-            SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+            -- exact integer membership: bal > avg becomes
+            -- n*bal_c > S_c, so no free-order double AVG can flip a
+            -- customer sitting at the boundary (round-9 review class)
+            SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS HUGEINT)
+                       AS s_c,
+                   CAST(count(*) AS HUGEINT) AS n
+            FROM customer WHERE c_acctbal > 0.0
         )
         SELECT c.c_nationkey % 5 AS cntrycode,
                count(*) AS numcust,
-               ROUND(sum(c.c_acctbal), 2) AS totacctbal
+               ROUND(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS totacctbal
         FROM customer c, avg_bal
-        WHERE c.c_acctbal > avg_bal.a
+        WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * avg_bal.n > avg_bal.s_c
           AND NOT EXISTS (
               SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
@@ -320,15 +347,26 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped by a derived country code (scalar avg via broadcast,
     no-orders via left_anti)."""
     cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
-    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
-    rich = cust.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("a"))
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_c).cast("decimal(38,0)").alias("s_c"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        bal_c.cast("decimal(38,0)") * F.col("n") > F.col("s_c")
+    )
     recent = orders.where(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
     idle = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     return idle.groupBy((F.col("c_nationkey") % 5).alias("cntrycode")).agg(
         F.count("*").alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        F.round(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            / 100.0,
+            2,
+        ).alias("totacctbal"),
     )
 
 

@@ -37,7 +37,11 @@ def running_total(df: DataFrame, key: str, order: list[str], value: str, out: st
     "window_customer_orders",
     oracle="""
         SELECT o_custkey, o_orderkey, o_orderdate,
-               ROUND(sum(o_totalprice) OVER w_cum, 2) AS running_total,
+               -- running total in exact cents (per-customer sums are
+               -- small today, but the cumulative double sum is the
+               -- order-dependence class at scale)
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w_cum
+                    AS DOUBLE) / 100.0 AS running_total,
                ROUND(lag(o_totalprice, 1) OVER w_ord, 2) AS prev_price,
                ROUND(lead(o_totalprice, 1) OVER w_ord, 2) AS next_price,
                ROUND(avg(o_totalprice) OVER w_ma3, 4) AS moving_avg3,
@@ -62,7 +66,12 @@ def q_window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w_cum), 2).alias("running_total"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .over(w_cum)
+            .cast("double")
+            / 100.0
+        ).alias("running_total"),
         F.round(F.lag("o_totalprice", 1).over(w_ord), 2).alias("prev_price"),
         F.round(F.lead("o_totalprice", 1).over(w_ord), 2).alias("next_price"),
         F.round(F.avg("o_totalprice").over(w_ma3), 4).alias("moving_avg3"),
@@ -121,10 +130,10 @@ def q_window_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_trailing_30d_spend",
     oracle="""
         SELECT o_custkey, o_orderkey, o_orderdate,
-               ROUND(sum(o_totalprice) OVER (
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate
                    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-               ), 2) AS spend_30d
+               ) AS DOUBLE) / 100.0 AS spend_30d
         FROM orders
     """,
     tags=("window", "range-frame", "extension"),
@@ -147,7 +156,12 @@ def q_window_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .over(w)
+            .cast("double")
+            / 100.0
+        ).alias("spend_30d"),
     )
 
 
