@@ -127,6 +127,21 @@ _REVERIFY_TAIL = (
     "tpch_q22_idle_rich_customers",
     "window_customer_orders",
     "window_trailing_30d_spend",
+    # −0.0 pins on the shared cosine/centroid kernels (similarity.py)
+    # and the A-ES zero-weight guard (sampling.py): results identical
+    # on every driver corpus, re-gated green at sf0.01 + sf0.1.
+    "embedding_near_dup",
+    "ann_bruteforce_topk",
+    "knn_top1_all",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "embedding_label_centroids",
+    "centroid_separation_matrix",
+    "ann_lsh_recall_at_k",
+    "ann_multiprobe_recall",
+    "ann_ivf_recall",
+    "ann_hard_negatives",
+    "weighted_sample_docs",
 )
 
 

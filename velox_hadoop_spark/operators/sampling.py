@@ -191,7 +191,15 @@ def weighted_sample(
         (F.expr(spark_md5_int60(seeded(key, seed))) % WS_MOD + 1)
         / F.lit(float(WS_MOD + 1))
     )
-    keyed = df.withColumn("sample_key", -F.log(u) / F.col(weight))
+    # weight > 0 guard: A-ES gives a zero-weight row inclusion
+    # probability 0, which the division cannot express — unguarded,
+    # ANSI Spark raises DIVIDE_BY_ZERO while DuckDB yields a NULL key
+    # that sorts NULLS-LAST in its asc top-k but NULLS-FIRST in
+    # Spark's (sampled with probability 1!). Filtering is the exact
+    # semantics (round-9 review find).
+    keyed = df.where(F.col(weight) > 0).withColumn(
+        "sample_key", -F.log(u) / F.col(weight)
+    )
     from velox_hadoop_spark.operators.sort import top_k
 
     return top_k(keyed, k, F.asc("sample_key"), F.asc(key))
@@ -210,7 +218,7 @@ def _ws_key_duck(key: str = "doc_id", weight: str = "n_chars", seed: str = WS_SE
         SELECT doc_id, source, n_chars, ROUND(k, 6) AS sample_key
         FROM (
             SELECT doc_id, source, n_chars, {_ws_key_duck()} AS k
-            FROM documents
+            FROM documents WHERE n_chars > 0
         ) ORDER BY k, doc_id LIMIT {WS_K}
     """,
     tags=("sampling", "weighted", "extension"),

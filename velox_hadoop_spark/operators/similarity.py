@@ -35,9 +35,14 @@ N_PLANES = 8
 DRIVER_BROADCAST_ROWS = 500_000
 BLOCK_ROWS = 250_000
 
+# + 0.0 pins −0.0 → +0.0 on every rounded cosine/centroid output:
+# near-orthogonal pairs land in (−5e-7, 0) where DuckDB ROUND keeps the
+# sign bit and Spark normalizes (the degenerate-sweep class, applied
+# module-wide in round 9)
 _DUCK_COS = (
-    "ROUND(list_dot_product(q.v, n.v) / "
+    "(ROUND(list_dot_product(q.v, n.v) / "
     "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6)"
+    " + 0.0)"
 )
 
 
@@ -93,8 +98,11 @@ def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            (
+                F.round(
+                    dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+                )
+                + F.lit(0.0)
             ).alias("cos"),
         )
     )
@@ -448,7 +456,10 @@ def _ivf_scored_centroids(emb: DataFrame, n_centroids: int):
         "vec_id",
         "v",
         "centroid_id",
-        F.round(dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6).alias("sim"),
+        (
+            F.round(dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6)
+            + F.lit(0.0)
+        ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
     return scored, w
@@ -605,7 +616,7 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
             SELECT e.vec_id, c.centroid_id,
                    ROUND(list_dot_product(e.v, c.cv) /
-                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) + 0.0 AS sim
             FROM e CROSS JOIN cents c
         ),
         assign AS (
@@ -745,7 +756,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "bucket",
-            F.round(dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6).alias("cos"),
+            (
+                F.round(
+                    dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+                )
+                + F.lit(0.0)
+            ).alias("cos"),
         )
     )
     from pyspark.sql import Window
@@ -780,7 +796,7 @@ def label_centroids(emb: DataFrame) -> DataFrame:
             FROM embeddings
             CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS t(i)
         )
-        SELECT label, pos, ROUND(avg(x), 6) AS c
+        SELECT label, pos, ROUND(avg(x), 6) + 0.0 AS c
         FROM dims GROUP BY label, pos
     """,
     tags=("similarity", "profiling", "extension"),
@@ -788,7 +804,9 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean embedding per class label (embedding-space class profile)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return label_centroids(emb).select("label", "pos", F.round("c", 6).alias("c"))
+    return label_centroids(emb).select(
+        "label", "pos", (F.round("c", 6) + F.lit(0.0)).alias("c")
+    )
 
 
 @register(
@@ -990,7 +1008,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY a.label, b.label
         )
         SELECT label_a, label_b,
-               ROUND(dot / (na.n * nb.n), 6) AS cos
+               ROUND(dot / (na.n * nb.n), 6) + 0.0 AS cos
         FROM dots
         JOIN norms na ON dots.label_a = na.label
         JOIN norms nb ON dots.label_b = nb.label
@@ -1026,7 +1044,9 @@ def q_centroid_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label_a",
             "label_b",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+            (
+                F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6) + F.lit(0.0)
+            ).alias("cos"),
         )
     )
 
@@ -1081,8 +1101,11 @@ def _score_candidates(emb, cand):
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            (
+                F.round(
+                    dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+                )
+                + F.lit(0.0)
             ).alias("cos"),
         )
     )
@@ -1421,7 +1444,7 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
             SELECT e.vec_id, c.centroid_id,
                    ROUND(list_dot_product(e.v, c.cv) /
-                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) + 0.0 AS sim
             FROM e CROSS JOIN cents c
         ),
         assign AS (
@@ -1506,7 +1529,7 @@ _HARDNEG_K = 3
         scored AS (
             SELECT e.vec_id, c.centroid_id,
                    ROUND(list_dot_product(e.v, c.cv) /
-                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) + 0.0 AS sim
             FROM e CROSS JOIN cents c
         ),
         assign AS (
