@@ -155,11 +155,12 @@ _REVERIFY_TAIL = (
 # behind nothing. Budget arithmetic: 37 new (36 oracled + hll
 # rows-only) + 7 front reverify (5 advice-fix riders + the −0.0
 # rider + the kappa margin-overflow rider) + 2 perpetual rows-only
-# = 46 front candidates vs ~50 driver slots, then the 9
-# _REVERIFY_TAIL hardening riders fill whatever remains (≈4 this
-# round, the rest re-queue in round 10) — every query keeps a
-# current driver row; registration stops here for round 9 to
-# preserve that invariant.
+# = 46 front candidates vs ~50 driver slots, then the 44
+# _REVERIFY_TAIL hardening riders (value-neutral rewrites, each
+# re-gated at sf0.01 + sf0.1) fill whatever remains (≈4 this round,
+# the rest re-queue in round 10) — every query keeps a current
+# driver row; registration stops here for round 9 to preserve that
+# invariant.
 _DEFER = ()
 
 
