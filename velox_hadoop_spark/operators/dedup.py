@@ -273,26 +273,41 @@ def jaccard_pairs(
 
 
 def prefix_filtered_jaccard(
-    shingles: DataFrame, id_col: str, threshold: float
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_prefix_bucket: int = MAX_KEY_DOC_FREQ,
 ) -> DataFrame:
     """All pairs with Jaccard ≥ ``threshold`` via PPJoin-style prefix
-    filtering — EXACT output, subquadratic candidate generation.
+    filtering — subquadratic candidate generation, exact verification.
 
     Order each document's shingles globally by (doc-frequency asc,
     shingle asc) — rarest first. For Jaccard ≥ t, two sets of sizes
     (na, nb) must share ≥ 1 element among each one's first
     ``n − ceil(t·n) + 1`` ordered elements (the prefix), so the
     candidate self-join runs on PREFIX shingles only. Rare-first
-    ordering makes prefix shingles low-frequency by construction: the
-    per-key join fanout stays small WITHOUT dropping any shingle, so —
-    unlike the df-capped ``jaccard_pairs`` — this path is lossless. A
-    length filter (nb ≥ ceil(t·na) in both directions) prunes
-    impossible pairs inside the join condition. Candidates are then
-    verified against the FULL shingle sets: a join keyed on
-    (candidate doc id, shingle) touches |candidates| × set-size rows,
-    never the corpus squared.
+    ordering makes prefix shingles low-frequency by construction
+    whenever rare shingles EXIST. A length filter (nb ≥ ceil(t·na) in
+    both directions) prunes impossible pairs inside the join
+    condition. Candidates are then verified against the FULL shingle
+    sets: a join keyed on (candidate doc id, shingle) touches
+    |candidates| × set-size rows, never the corpus squared.
 
-    This is the 100 TB-safe exact-threshold companion to the LSH
+    Hot-prefix cap (module convention): on a duplicate-heavy corpus
+    with NO rare shingles — a million copies of one page — every
+    prefix token is hot and the prefix join itself degenerates
+    quadratic, so a prefix shingle carried by more than
+    ``max_prefix_bucket`` documents is dropped from CANDIDATE
+    generation (deterministic truncation, mirrored in the registered
+    oracle). Pairs whose every shared prefix shingle exceeds the cap
+    are not emitted — the same contract as every banded join in this
+    module; wherever no prefix bucket exceeds the cap (all test
+    corpora) the output is identical to the lossless form, and the
+    cap bounds per-key fanout at cap²/2 regardless of corpus shape.
+    Verification joins and sizes still use the FULL shingle sets, so
+    every emitted jaccard value is exact.
+
+    This is the 100 TB-safe exact-value companion to the LSH
     (probabilistic) and df-capped (approximate-universe) paths.
     """
     from pyspark.storagelevel import StorageLevel
@@ -311,16 +326,29 @@ def prefix_filtered_jaccard(
         ))
         .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
     )
-    prefix = ordered.where(F.col("pos") <= F.col("sz") - F.ceil(t * F.col("sz")) + 1)
-    pa = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
-    pb = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
+    # persist: the capped-prefix pipeline reads this frame three times
+    # (cool counts + both join sides) — one materialization of the
+    # window chain instead of three
+    prefix = (
+        ordered.where(F.col("pos") <= F.col("sz") - F.ceil(t * F.col("sz")) + 1)
+        .select("id", "shingle", "sz")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    coolp = (
+        prefix.groupBy("shingle")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") <= max_prefix_bucket)
+        .select("shingle")
+    )
+    prefc = prefix.join(coolp, "shingle")
+    pa = prefc.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    pb = prefc.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
     cand = (
-        pa.join(
-            pb,
-            (pa["shingle"] == pb["shingle"])
-            & (F.col("id_a") < F.col("id_b"))
+        pa.join(pb, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
             & (F.col("sz_b") >= F.ceil(t * F.col("sz_a")))
-            & (F.col("sz_a") >= F.ceil(t * F.col("sz_b"))),
+            & (F.col("sz_a") >= F.ceil(t * F.col("sz_b")))
         )
         .select("id_a", "id_b")
         .distinct()
@@ -404,10 +432,15 @@ _CONTAIN_BLOCK_CHARS = 40
             SELECT doc_id, text, substr(text, 1, {_CONTAIN_BLOCK_CHARS}) AS blk
             FROM documents
         ),
+        coolblk AS (
+            SELECT blk FROM blk GROUP BY blk
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        cblk AS (SELECT blk.* FROM blk JOIN coolblk USING (blk)),
         main AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    (length(a.text) = length(b.text)) AS is_exact
-            FROM blk a JOIN blk b
+            FROM cblk a JOIN cblk b
               ON a.blk = b.blk AND a.doc_id < b.doc_id
             WHERE (length(a.text) <= length(b.text)
                    AND substr(b.text, 1, length(a.text)) = a.text)
@@ -419,16 +452,26 @@ _CONTAIN_BLOCK_CHARS = 40
             WHERE length(text) < {_CONTAIN_BLOCK_CHARS}
         ),
         slens AS (SELECT DISTINCT sl FROM shorts),
+        cont AS (
+            SELECT c.doc_id AS c_id, l.sl AS c_sl,
+                   substr(c.text, 1, l.sl) AS c_pref
+            FROM documents c
+            JOIN slens l ON length(c.text) > l.sl
+        ),
+        coolpref AS (
+            SELECT c_sl, c_pref FROM cont GROUP BY c_sl, c_pref
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        contc AS (SELECT cont.* FROM cont JOIN coolpref USING (c_sl, c_pref)),
         short_pairs AS (
-            SELECT least(s.doc_id, c.doc_id) AS id_a,
-                   greatest(s.doc_id, c.doc_id) AS id_b,
+            SELECT least(s.doc_id, c.c_id) AS id_a,
+                   greatest(s.doc_id, c.c_id) AS id_b,
                    FALSE AS is_exact
             FROM shorts s
-            JOIN slens l ON s.sl = l.sl
-            JOIN documents c
-              ON length(c.text) > s.sl
-             AND substr(c.text, 1, l.sl) = s.text
-             AND c.doc_id <> s.doc_id
+            JOIN contc c
+              ON c.c_sl = s.sl
+             AND c.c_pref = s.text
+             AND c.c_id <> s.doc_id
         )
         SELECT id_a, id_b, is_exact FROM main
         UNION ALL
@@ -453,6 +496,19 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block key is also the shuffle key, so no node ever sees two
     documents that cannot match.
 
+    Hot-block cap (module convention): a block shared by more than
+    ``MAX_KEY_DOC_FREQ`` documents — identical HTML headers make one
+    block quadratic — is dropped on both join sides (deterministic
+    truncation, mirrored by the oracle's ``HAVING count(*) <= cap``).
+    The cool table is an aggregate over the (doc_id, blk) projection
+    (no text movement) and AQE broadcasts it, so the filter costs no
+    extra shuffle of the text rows; surviving blocks bound the pair
+    fanout at cap²/2 per key. The short branch gets the matching cap
+    on its container-prefix key — a hot (length, prefix) container
+    group is dropped the same way; the shorts side stays uncapped
+    because its fanout against a capped container group is linear
+    (≤ cap rows per short doc), never quadratic.
+
     Documents SHORTER than the block get a second branch (the main
     equi-join structurally cannot pair a 30-char doc with its 40-char
     container block): containers emit prefix keys only at the DISTINCT
@@ -467,10 +523,19 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blk = docs.select(
         "doc_id", "text", F.substring("text", 1, _CONTAIN_BLOCK_CHARS).alias("blk")
     )
-    a = blk.select(
+    # hot-block cap: count pre-pass over the pruned (blk) projection;
+    # the aggregated cool frame is small, AQE broadcasts it unhinted
+    coolblk = (
+        blk.groupBy("blk")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") <= MAX_KEY_DOC_FREQ)
+        .select("blk")
+    )
+    cblk = blk.join(coolblk, "blk")
+    a = cblk.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"), "blk"
     )
-    b = blk.select(
+    b = cblk.select(
         F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"), "blk"
     )
     main = (
@@ -505,9 +570,16 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(text, 1, c_sl)").alias("c_pref"),
         "c_sl",
     )
+    coolpref = (
+        cont.groupBy("c_sl", "c_pref")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") <= MAX_KEY_DOC_FREQ)
+        .select("c_sl", "c_pref")
+    )
+    contc = cont.join(coolpref, ["c_sl", "c_pref"])
     short_pairs = (
         shorts.join(
-            cont,
+            contc,
             (F.col("sl") == F.col("c_sl")) & (F.col("c_pref") == F.col("s_text")),
         )
         .where(F.col("c_id") != F.col("s_id"))
@@ -722,11 +794,38 @@ _PREFIX_JACCARD_T = 0.8
     "similarity_join_prefix",
     oracle=f"""
         WITH sh AS ({H.duck_shingle_cte('documents', 'doc_id', 'text', SHINGLE_K)}),
+        dfreq AS (SELECT shingle, count(*) AS dfv FROM sh GROUP BY shingle),
+        ordered AS (
+            SELECT s.doc_id, s.shingle,
+                   row_number() OVER (
+                       PARTITION BY s.doc_id ORDER BY d.dfv ASC, s.shingle ASC
+                   ) AS pos,
+                   count(*) OVER (PARTITION BY s.doc_id) AS sz
+            FROM sh s JOIN dfreq d USING (shingle)
+        ),
+        prefix AS (
+            SELECT doc_id, shingle, sz FROM ordered
+            WHERE pos <= sz - ceil(CAST({_PREFIX_JACCARD_T!r} AS DOUBLE) * sz) + 1
+        ),
+        coolp AS (
+            SELECT shingle FROM prefix GROUP BY shingle
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        prefc AS (SELECT prefix.* FROM prefix JOIN coolp USING (shingle)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM prefc a JOIN prefc b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             AND b.sz >= ceil(CAST({_PREFIX_JACCARD_T!r} AS DOUBLE) * a.sz)
+             AND a.sz >= ceil(CAST({_PREFIX_JACCARD_T!r} AS DOUBLE) * b.sz)
+        ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
+            SELECT c.id_a, c.id_b, count(*) AS n_shared
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
         )
         SELECT i.id_a, i.id_b, i.n_shared,
                ROUND(i.n_shared / (sa.n + sb.n - i.n_shared), 6) AS jaccard
@@ -738,12 +837,16 @@ _PREFIX_JACCARD_T = 0.8
     tags=("dedup", "jaccard", "prefix-filter", "extension"),
 )
 def q_similarity_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard ≥ 0.8 similarity join via prefix filtering.
+    """Jaccard ≥ 0.8 similarity join via capped prefix filtering.
 
-    The oracle verifies against the brute-force shared-shingle join —
-    correct at verification scale; the Spark plan generates candidates
-    from rare-first prefixes only (see ``prefix_filtered_jaccard``),
-    the shape that survives a 100 TB corpus."""
+    The oracle mirrors the whole candidate pipeline — rare-first
+    prefixes, the hot-prefix bucket cap (deterministic-truncation
+    contract, see ``prefix_filtered_jaccard``), the two-sided length
+    filter — then verifies candidates against the full shingle sets;
+    the independent brute-force check lives in the pytest suite
+    (capped output == thresholded ``jaccard_pairs`` wherever no
+    prefix bucket exceeds the cap, which includes every test corpus).
+    Emitted jaccard values are always exact."""
     docs = _docs_par(spark, sf_dir)
     return prefix_filtered_jaccard(
         shingle_set(docs, "doc_id", "text"), "doc_id", _PREFIX_JACCARD_T
@@ -1393,8 +1496,16 @@ def q_incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_duck_minhash_cte()
     + f""",
         bands AS ({_BAND_KEYS}),
-        corpus AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
-        batch AS (SELECT * FROM bands WHERE doc_id % 10 = 0)
+        cool AS (
+            SELECT band_id, band_key FROM bands
+            GROUP BY band_id, band_key
+            HAVING count(*) <= {MAX_KEY_DOC_FREQ}
+        ),
+        capped AS (
+            SELECT bands.* FROM bands JOIN cool USING (band_id, band_key)
+        ),
+        corpus AS (SELECT * FROM capped WHERE doc_id % 10 <> 0),
+        batch AS (SELECT * FROM capped WHERE doc_id % 10 = 0)
         SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_corpus_matches
         FROM batch b JOIN corpus c
           ON b.band_id = c.band_id AND b.band_key = c.band_key
@@ -1412,26 +1523,39 @@ def q_incremental_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The near-dup twin of ``incremental_dedup_new_docs``: in production
     the corpus band table is a PERSISTED index (band_key-partitioned
     parquet), so daily ingest joins its small batch against the index
-    without recomputing corpus signatures — here both sides derive from
-    one signature pass and the join is the same band equi-join the full
-    self-join dedup uses, minus the corpus×corpus quadrant (the whole
-    point: incremental cost is batch-sized, not corpus-sized).
-    """
-    from pyspark.storagelevel import StorageLevel
+    without recomputing corpus signatures — here the batch×corpus
+    quadrant is carved out of ONE grouped pass over the band table
+    (incremental cost is batch-sized, not corpus-sized).
 
+    Hot-key cap (module convention): a band bucket holding more than
+    ``MAX_KEY_DOC_FREQ`` signatures — f identical boilerplate docs emit
+    ~f² join rows from one key — is dropped by the same size filter
+    every other band join in this module applies, mirrored in the
+    oracle's ``HAVING count(*) <= cap``. The grouped-array shape
+    replaces the earlier persist + two-branch band equi-join: one
+    groupBy shuffle builds per-bucket id arrays, the batch/corpus
+    split happens IN-ROW with JVM array ``filter`` (no second pass
+    over the minhash pipeline, no persist), and per-bucket fanout is
+    bounded by cap² before the final per-doc distinct count.
+    """
     docs = _docs_par(spark, sf_dir)
     sig = minhash_signature_inline(docs, "doc_id", "text")
-    # persist: the corpus and batch branches filter the SAME band frame,
-    # and without a materialization point each side would re-run the
-    # whole shingle->minhash->band pipeline (there is no shuffle for
-    # Spark to reuse in this zero-exchange plan)
-    bands = lsh_bands(sig, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
-    corpus = bands.where(F.col("doc_id") % 10 != 0).select(
-        "band_id", "band_key", F.col("doc_id").alias("corpus_id")
+    bands = lsh_bands(sig, "doc_id")
+    grouped = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") <= MAX_KEY_DOC_FREQ)
+        .select(
+            F.filter(F.col("ids"), lambda x: x % 10 == 0).alias("batch_ids"),
+            F.filter(F.col("ids"), lambda x: x % 10 != 0).alias("corpus_ids"),
+        )
+        .where((F.size("batch_ids") >= 1) & (F.size("corpus_ids") >= 1))
     )
-    batch = bands.where(F.col("doc_id") % 10 == 0)
     return (
-        batch.join(corpus, ["band_id", "band_key"])
+        grouped.select(
+            F.explode("batch_ids").alias("doc_id"), F.col("corpus_ids")
+        )
+        .select("doc_id", F.explode("corpus_ids").alias("corpus_id"))
         .groupBy("doc_id")
         .agg(F.countDistinct("corpus_id").alias("n_corpus_matches"))
     )
