@@ -28,6 +28,16 @@ from velox_hadoop_spark.functions.vectors import cosine, round_half_away, to_dou
 from velox_hadoop_spark.plans.registry import register
 
 N_PLANES = 8
+# Deterministic neighbor-side truncation for the fixed-bucket LSH topk:
+# per bucket, only the ANN_BUCKET_CAP lowest vec_ids serve as candidate
+# neighbors (mirrored in the oracle). Bounds candidate volume linearly
+# in N even when 2^N_PLANES buckets are mis-sized for the corpus.
+ANN_BUCKET_CAP = 512
+# Query-axis salting factor for the IVF grouped-map: each cell's
+# queries split across this many cogroup tasks (neighbors replicated),
+# so no single task owns a whole ~N/K cell. Value-neutral: every query
+# still scores against its full cell.
+IVF_QUERY_SALTS = 8
 
 # Corpora at or below this row count may be collected and broadcast as a
 # dense matrix (the fast single-dgemm path); larger corpora route through
@@ -565,29 +575,38 @@ def q_knn_top1_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb, k=1).drop("rnk")
 
 
+def _duck_plane_fold(weights: list[float], col: str = "embedding") -> str:
+    """Literal left-to-right projection sum for one hyperplane — the
+    exact double-precision fold order the Spark in-row ``F.aggregate``
+    uses (0.0 + w0·x0 + w1·x1 + …, left-associative), so the two
+    engines agree bit-for-bit on the sign of a near-zero projection.
+    The free-order GROUP-BY-sum oracle this replaces is the class the
+    Brown-EMA flake came from: a ±1e-16 summation-order difference can
+    flip ``proj >= 0`` and move a vector's bucket."""
+    return "0.0 + " + " + ".join(
+        f"({'' if w > 0 else '-'}CAST({col}[{d + 1}] AS DOUBLE))"
+        for d, w in enumerate(weights)
+    )
+
+
 def _duck_bucket_ctes() -> str:
-    """CTE chain ``dims, proj, buckets`` shared by the bucket queries."""
-    w = (
-        "CASE WHEN CAST(('0x' || substr(md5(concat(plane, '|', pos)), 1, 15)) AS BIGINT) % 2 = 1 "
-        "THEN 1.0 ELSE -1.0 END"
+    """CTE chain ``buckets(vec_id, bucket)`` shared by the bucket
+    queries. Plane weights come from the SAME driver-side
+    ``_plane_weights`` literals the Spark plan bakes in (md5 parity of
+    "plane|pos"), and each plane's projection is a literal ordered
+    fold (``_duck_plane_fold``); assumes the corpus's fixed 64-dim
+    embeddings (as ``quality._rp_oracle`` already does)."""
+    w = _plane_weights(N_PLANES, 64)
+    bits = " + ".join(
+        f"(CASE WHEN ({_duck_plane_fold(w[p])}) >= 0 "
+        f"THEN CAST(1 AS BIGINT) << {p} ELSE CAST(0 AS BIGINT) END)"
+        for p in range(N_PLANES)
     )
     return f"""
-        dims AS (
-            SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
-            FROM embeddings
-            CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS t(i)
-        ),
-        proj AS (
-            SELECT d.vec_id, p.plane, sum(({w}) * d.x) AS proj
-            FROM dims d
-            CROSS JOIN (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p
-            GROUP BY d.vec_id, p.plane
-        ),
         buckets AS (
-            SELECT vec_id,
-                   CAST(sum(CASE WHEN proj >= 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
-            FROM proj
-            GROUP BY vec_id
+            SELECT vec_id, CAST({bits} AS BIGINT) AS bucket
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
         )
     """
 
@@ -650,14 +669,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid cell, then exact cosine top-3 within the query's own cell.
 
     The 100 TB shape: centroid assignment is a broadcast of K centroids
-    (never a corpus shuffle); candidate generation groups by
-    centroid_id, so one task owns one cell (a grouped-map group cannot
-    be split by AQE — cell-size control belongs to the codebook: train
-    enough centroids that a cell fits a task, exactly as a real IVF
-    index does). Within a cell the kernel streams query BLOCKS against
-    the cell matrix, so peak memory is block x cell, never cell² —
-    the dense full-cell Gram matrix would be ~125 GB for a 125k-vector
-    cell. Raising nprobe = unioning the next-nearest cells."""
+    (never a corpus shuffle). Candidate generation is a SALTED cogroup
+    — a grouped-map keyed on centroid_id alone hands one task the whole
+    cell (~N/K rows: the single-task hazard), so queries are salted
+    into ``IVF_QUERY_SALTS`` slices per cell while the neighbor side is
+    replicated per salt. Each task then scores |cell|/S queries against
+    the full cell with blocked dgemm: parallelism is K × S tasks, task
+    memory is (1 + 1/S) × cell, and the result is EXACTLY the per-cell
+    top-3 (the salt only partitions the query axis — every query still
+    sees every cell member), so the oracle is unchanged. K (codebook
+    size) and S are the two scale knobs; a real index trains K so cells
+    fit a task and S soaks up what remains. Raising nprobe = unioning
+    the next-nearest cells."""
     import numpy as np
     import pandas as pd
 
@@ -666,34 +689,51 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     QUERY_BLOCK = 4096  # peak kernel memory = QUERY_BLOCK x |cell| doubles
 
-    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Blocked dgemm per cell: query rows stream in fixed blocks
-        # against the (|cell| x dims) matrix, so memory is bounded by
-        # QUERY_BLOCK x |cell| regardless of cell size — the full-cell
-        # Gram matrix would be quadratic in the cell.
-        n_rows = len(pdf)
+    qry = assign.withColumn(
+        "__salt", F.pmod(F.hash("vec_id"), F.lit(IVF_QUERY_SALTS))
+    )
+    # fresh aliases: both cogroup sides descend from `assign`, and
+    # duplicate attribute ids across left/right are ambiguous to the
+    # analyzer — renaming mints new ones
+    nbr = assign.select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("centroid_id").alias("n_centroid_id"),
+        F.col("v").alias("n_v"),
+    ).withColumn(
+        "__nsalt", F.explode(F.array(*[F.lit(i) for i in range(IVF_QUERY_SALTS)]))
+    )
+
+    def cell_topk(qpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        # qpdf: this (cell, salt)'s query slice; npdf: the FULL cell.
+        # Blocked dgemm: query rows stream in fixed blocks against the
+        # (|cell| x dims) matrix, so memory is bounded by
+        # QUERY_BLOCK x |cell| regardless of cell size.
+        n_rows = len(npdf)
         k = min(3, n_rows - 1)
-        if k < 1:
+        if len(qpdf) == 0 or k < 1:
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "centroid_id": [], "cos": [], "rnk": []}
             )
-        order = np.argsort(pdf["vec_id"].to_numpy())  # id-order ⇒ tie-break
-        ids = pdf["vec_id"].to_numpy()[order]
-        mat = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
-        nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        cid = int(pdf["centroid_id"].iloc[0])
+        order = np.argsort(npdf["n_vec_id"].to_numpy())  # id-order ⇒ tie-break
+        nids = npdf["n_vec_id"].to_numpy()[order]
+        nmat = np.array(npdf["n_v"].tolist(), dtype=np.float64)[order]
+        nnrm = nmat / np.linalg.norm(nmat, axis=1, keepdims=True)
+        qids = qpdf["vec_id"].to_numpy()
+        qmat = np.array(qpdf["v"].tolist(), dtype=np.float64)
+        qnrm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        cid = int(npdf["n_centroid_id"].iloc[0])
         outs = []
-        for lo in range(0, n_rows, QUERY_BLOCK):
-            hi = min(lo + QUERY_BLOCK, n_rows)
-            cos = round_half_away(nrm[lo:hi] @ nrm.T, 6)
-            for j in range(lo, hi):  # ids unique ⇒ diagonal is self
-                cos[j - lo, j] = -np.inf
+        for lo in range(0, len(qpdf), QUERY_BLOCK):
+            hi = min(lo + QUERY_BLOCK, len(qpdf))
+            cos = round_half_away(qnrm[lo:hi] @ nnrm.T, 6)
+            # ids unique ⇒ a query's one self row masks out exactly
+            cos[nids[None, :] == qids[lo:hi, None]] = -np.inf
             top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
             outs.append(
                 pd.DataFrame(
                     {
-                        "query_id": np.repeat(ids[lo:hi], k),
-                        "neighbor_id": ids[top].ravel(),
+                        "query_id": np.repeat(qids[lo:hi], k),
+                        "neighbor_id": nids[top].ravel(),
                         "centroid_id": cid,
                         "cos": np.take_along_axis(cos, top, axis=1).ravel(),
                         "rnk": np.tile(np.arange(1, k + 1), hi - lo),
@@ -703,7 +743,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.concat(outs, ignore_index=True)
 
     out_schema = "query_id long, neighbor_id long, centroid_id long, cos double, rnk long"
-    return assign.groupBy("centroid_id").applyInPandas(cell_topk, out_schema)
+    return (
+        qry.groupBy("centroid_id", "__salt")
+        .cogroup(nbr.groupBy("n_centroid_id", "__nsalt"))
+        .applyInPandas(cell_topk, out_schema)
+    )
 
 
 @register(
@@ -711,12 +755,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_duck_bucket_ctes()},
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nbrs AS (
+            SELECT vec_id, bucket FROM (
+                SELECT vec_id, bucket, row_number() OVER (
+                    PARTITION BY bucket ORDER BY vec_id
+                ) AS brn
+                FROM buckets
+            ) WHERE brn <= {ANN_BUCKET_CAP}
+        ),
         pairs AS (
             SELECT qb.vec_id AS query_id, nb.vec_id AS neighbor_id,
                    qb.bucket AS bucket,
                    {_DUCK_COS} AS cos
             FROM buckets qb
-            JOIN buckets nb ON qb.bucket = nb.bucket AND nb.vec_id <> qb.vec_id
+            JOIN nbrs nb ON qb.bucket = nb.bucket AND nb.vec_id <> qb.vec_id
             JOIN e q ON q.vec_id = qb.vec_id
             JOIN e n ON n.vec_id = nb.vec_id
         ),
@@ -735,13 +787,30 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path end-to-end: candidates restricted to the query's
     LSH bucket, then exact cosine re-ranking within the bucket.
 
-    At 100 TB this is the shape that survives: the all-pairs join is
-    replaced by a per-bucket equi-join whose fan-out is bucket size,
-    with AQE splitting any hot bucket."""
+    Hot-bucket cap: 8 hyperplanes give 2^8 = 256 fixed buckets, so
+    the uncapped per-bucket join is Θ(N²/256)
+    candidate pairs no matter how large N grows. The NEIGHBOR side of
+    each bucket is therefore truncated to its first ``ANN_BUCKET_CAP``
+    members by vec_id (deterministic truncation, mirrored in the
+    oracle's ranked subquery) — every vector still queries, but
+    per-query fanout is bounded by cap, making total candidate volume
+    linear in N. The truncation rank itself is computed with the
+    staged two-pass top-k (``staged_topk_per_group``) so no task ever
+    sorts a whole hot bucket. N_PLANES is the recall/cost knob a real
+    deployment scales with corpus size (documented parameter of
+    ``hyperplane_buckets``); the cap is the hard bound that holds even
+    when the planes are mis-sized for the corpus. At the test SFs
+    (≤ 2k vectors / 256 buckets) the cap never binds, so results equal
+    the uncapped form there; the cap-binding contract is pinned by a
+    dedicated fixture test."""
+    from velox_hadoop_spark.functions.staged import staged_topk_per_group
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     buckets = hyperplane_buckets(emb)
     qb = buckets.select(F.col("vec_id").alias("query_id"), "bucket")
-    nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    nb = staged_topk_per_group(
+        buckets, ["bucket"], ["vec_id"], ANN_BUCKET_CAP
+    ).select(F.col("vec_id").alias("neighbor_id"), "bucket")
     cand = qb.join(nb, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
     e_q = emb.select(F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv"))
     e_n = emb.select(F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("nv"))
@@ -817,10 +886,15 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
             CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS t(i)
         ),
-        cent AS (SELECT label, pos, avg(x) AS c FROM dims GROUP BY label, pos),
+        cent AS (
+            SELECT label, pos, floor(avg(x) * 1e9 + 0.5) / 1e9 AS c
+            FROM dims GROUP BY label, pos
+        ),
         dist AS (
             SELECT d.vec_id, d.label,
-                   ROUND(sqrt(sum((d.x - c.c) * (d.x - c.c))), 6) AS dist
+                   ROUND(sqrt(CAST(sum(CAST(floor(
+                       (d.x - c.c) * (d.x - c.c) * 1e12 + 0.5
+                   ) AS BIGINT)) AS DOUBLE) / 1e12), 6) AS dist
             FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
             GROUP BY d.vec_id, d.label
         )
@@ -838,7 +912,17 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     own label centroid, per label. Centroid table is labels × dims rows
     — broadcast back onto the per-dimension stream; the per-vector
     distance aggregate combines map-side (vector dims are co-located
-    after posexplode), so one tiny shuffle row per vector."""
+    after posexplode), so one tiny shuffle row per vector.
+
+    The ranking key is built from ORDER-INDEPENDENT integers: the
+    centroid is pinned to a 1e-9 grid and each per-dimension squared
+    term to a 1e-12 grid BEFORE the cross-dimension sum (exact BIGINT
+    addition in both engines), so a ±1e-16 summation-order difference
+    between Spark's partial aggregation and DuckDB's scan order can no
+    longer flip the ROUND-6 top-5 membership — the free-order double
+    sum this replaces was the last ranking key in the cancellation
+    class the Brown-EMA flake came from. Terms are < 4e12 on unit-ish
+    embeddings, so a 64-dim sum stays far inside BIGINT."""
     from pyspark.sql import Window
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -847,14 +931,23 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"),
     )
-    cent = label_centroids(emb)
+    cent = label_centroids(emb).select(
+        "label",
+        "pos",
+        (F.floor(F.col("c") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("c"),
+    )
+    d2 = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
     dist = (
         dims.join(F.broadcast(cent), ["label", "pos"])
         .groupBy("vec_id", "label")
         .agg(
-            F.round(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 6).alias(
-                "dist"
-            )
+            F.round(
+                F.sqrt(
+                    F.sum(F.floor(d2 * F.lit(1e12) + F.lit(0.5))).cast("double")
+                    / F.lit(1e12)
+                ),
+                6,
+            ).alias("dist")
         )
     )
     w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
@@ -1315,33 +1408,28 @@ _AMP_STRIDE = 100      # global plane-id stride separating tables
 
 
 def _duck_multitable_cte(tables: int, planes: int, stride: int) -> str:
-    """CTE chain ``mdims, mproj, tbuckets(vec_id, tbl, bucket)`` — the
-    OR-amplified twin of ``_duck_bucket_ctes`` (plane ids offset by
-    ``tbl * stride`` so every table's hyperplanes are independent)."""
-    w = (
-        "CASE WHEN CAST(('0x' || substr(md5(concat(t.tbl * "
-        f"{stride}"
-        " + p.j, '|', d.pos)), 1, 15)) AS BIGINT) % 2 = 1 "
-        "THEN 1.0 ELSE -1.0 END"
-    )
+    """CTE ``tbuckets(vec_id, tbl, bucket)`` — the OR-amplified twin of
+    ``_duck_bucket_ctes`` (plane ids offset by ``tbl * stride`` so
+    every table's hyperplanes are independent). Same literal ordered
+    folds from the shared ``_plane_weights`` derivation, one UNION ALL
+    branch per table."""
+    branches = []
+    for tbl in range(tables):
+        w = _plane_weights(planes, 64, offset=tbl * stride)
+        bits = " + ".join(
+            f"(CASE WHEN ({_duck_plane_fold(w[j])}) >= 0 "
+            f"THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+            for j in range(planes)
+        )
+        branches.append(
+            f"SELECT vec_id, CAST({tbl} AS BIGINT) AS tbl, CAST({bits} AS BIGINT) AS bucket "
+            "FROM embeddings "
+            "WHERE embedding IS NOT NULL AND len(embedding) > 0"
+        )
+    body = " UNION ALL ".join(branches)
     return f"""
-        mdims AS (
-            SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
-            FROM embeddings
-            CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS g(i)
-        ),
-        mproj AS (
-            SELECT d.vec_id, t.tbl, p.j, sum(({w}) * d.x) AS proj
-            FROM mdims d
-            CROSS JOIN (SELECT unnest(generate_series(0, {tables - 1})) AS tbl) t
-            CROSS JOIN (SELECT unnest(generate_series(0, {planes - 1})) AS j) p
-            GROUP BY d.vec_id, t.tbl, p.j
-        ),
         tbuckets AS (
-            SELECT vec_id, tbl,
-                   CAST(sum(CASE WHEN proj >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
-            FROM mproj
-            GROUP BY vec_id, tbl
+            {body}
         )
     """
 
