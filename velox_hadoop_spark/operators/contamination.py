@@ -170,19 +170,46 @@ def pack_sequences(
     sequence. Oversized docs (> budget tokens) simply span their own
     sequence — real pipelines chunk those first (see
     textstats.chunk_documents).
+
+    Scale shape: ``part_col`` ("source") has O(1) cardinality, so a
+    single cumulative window partitioned by it funnels a whole source
+    through one task at data scale. The prefix sum is therefore STAGED
+    (the ``watermark_late_accounting`` pattern): (1) per-(source,
+    1M-doc-id-bucket) token sums — an ordinary grouped agg; (2)
+    exclusive prefix sum ACROSS buckets per source — a window over
+    |buckets| rows (~10⁶-fold smaller), joined back unhinted so AQE
+    broadcasts it; (3) within-bucket cumulative window KEYED on
+    (source, bucket) — partition-parallel — folded with the prior-
+    bucket sum. Integer arithmetic throughout, so the staged cum is
+    bit-identical to the single-window form the oracles state.
     """
     toks = docs.select(
         F.col(part_col),
         F.col(id_col),
         F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("n_tok"),
     )
-    w = (
+    base = toks.withColumn("__bkt", (F.col(id_col) / 1_000_000).cast("long"))
+    bsum = base.groupBy(part_col, "__bkt").agg(F.sum("n_tok").alias("__bsum"))
+    wb = (
         Window.partitionBy(part_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = bsum.select(
+        part_col, "__bkt", F.sum("__bsum").over(wb).alias("__prior")
+    )
+    wi = (
+        Window.partitionBy(part_col, "__bkt")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    laid = toks.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
-        "seq_id", F.floor((F.col("cum") - F.col("n_tok")) / budget)
+    laid = (
+        base.join(prior, [part_col, "__bkt"])
+        .withColumn(
+            "cum",
+            F.sum("n_tok").over(wi) + F.coalesce(F.col("__prior"), F.lit(0)),
+        )
+        .withColumn("seq_id", F.floor((F.col("cum") - F.col("n_tok")) / budget))
     )
     return laid.groupBy(part_col, "seq_id").agg(
         F.count("*").alias("n_docs"),

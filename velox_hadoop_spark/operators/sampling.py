@@ -79,10 +79,21 @@ def stratified_sample(
 def capped_per_group(df: DataFrame, group: str, key: str, cap: int, seed: str = SEED) -> DataFrame:
     """At most ``cap`` rows per group, chosen by hash order (determin-
     istic, unbiased within the group). The balancing pass that stops a
-    single domain/language from dominating a training mix."""
+    single domain/language from dominating a training mix.
+
+    Scale shape: ``group`` ("source") has O(1) cardinality, so a
+    single window partitioned by it is a whole-group single-task sort
+    at data scale. The rank runs as the staged two-pass top-k
+    (``staged_topk_per_group``): per-(group, input-partition) top-cap
+    first — each sort bounded by a scan partition — then a final rank
+    over ≤ cap × n_partitions survivors per group. Identical output
+    (the per-partition top-cap always contains the global top-cap)."""
+    from velox_hadoop_spark.functions.staged import staged_topk_per_group
+
     order = F.expr(spark_md5_int60(seeded(key, seed)))
-    rn = F.row_number().over(Window.partitionBy(group).orderBy(order, F.col(key)))
-    return df.withColumn("_rn", rn).where(F.col("_rn") <= cap).drop("_rn")
+    return staged_topk_per_group(
+        df.withColumn("__ord", order), [group], ["__ord", key], cap
+    ).drop("__ord")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
