@@ -376,7 +376,15 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/agg.py``): top-level array columns are unhashable to
     the driver's pandas canonicalizer.
     """
-    toks = _tokens(_docs(spark, sf_dir)).distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    # persist: the distinct (doc_id, tok) projection — the heaviest
+    # scan in the query — feeds both the df counts and the capped
+    # postings; without a materialization point each branch re-runs
+    # the full-corpus tokenize + distinct (round-9 ADVICE)
+    toks = _tokens(_docs(spark, sf_dir)).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     df = toks.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("tok").orderBy("doc_id")
     top = (

@@ -174,10 +174,15 @@ def q_key_skew_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone exceeds an executor (AQE cannot split a single key's hash
     group — only salting can). One grouped count + a TakeOrdered
     top-20; the totals row is a broadcast scalar."""
+    from pyspark.storagelevel import StorageLevel
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # persist: the grouped frame feeds both the scalar totals aggregate
+    # and the crossJoin — without a materialization point the orders
+    # groupBy shuffle runs twice (round-9 ADVICE)
     k = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.count("*").alias("n_rows")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = k.agg(
         F.sum("n_rows").cast("long").alias("total"),
         F.count("*").cast("long").alias("n_keys"),
