@@ -297,28 +297,72 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_per_segment",
     oracle="""
+        WITH g AS (
+            SELECT c_mktsegment,
+                   count(*) AS n,
+                   CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+                   ROUND(min(c_acctbal), 2) AS min_bal,
+                   ROUND(max(c_acctbal), 2) AS max_bal,
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                   sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(c_acctbal * 100) AS BIGINT)) AS q
+            FROM customer
+            GROUP BY c_mktsegment
+        )
         SELECT c_mktsegment,
-               count(*) AS n,
-               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
-               ROUND(min(c_acctbal), 2) AS min_bal,
-               ROUND(max(c_acctbal), 2) AS max_bal,
-               ROUND(avg(c_acctbal), 4) AS avg_bal,
-               ROUND(stddev_samp(c_acctbal), 4) AS sd_bal
-        FROM customer
-        GROUP BY c_mktsegment
+               CAST(n AS BIGINT) AS n,
+               n_nations, min_bal, max_bal,
+               ROUND(CAST(s AS DOUBLE) / n / 100.0, 4) AS avg_bal,
+               CASE WHEN n > 1 THEN
+                   ROUND(sqrt(CAST(CAST(n AS HUGEINT) * q
+                                   - CAST(s AS HUGEINT) * s AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 4)
+               END AS sd_bal
+        FROM g
     """,
     tags=("agg", "distinct"),
 )
 def q_stats_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate breadth: min/max/avg/stddev/count distinct per segment."""
+    """Aggregate breadth: min/max/avg/stddev/count distinct per segment.
+
+    Money-exactness (the round-9 sweep's last remainder): avg and
+    sample-stddev over the money column ride EXACT integer-cent
+    moments (Σx BIGINT, Σx² decimal-38/HUGEINT — the Cohen's-d
+    pattern), with the variance numerator n·Σx² − (Σx)² formed in
+    exact 128-bit integers (always ≥ 0, so no negative-residue guard)
+    and ONE pinned double sequence in both engines. min/max are exact
+    selections, not sums — they stay as-is."""
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return customer.groupBy("c_mktsegment").agg(
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = customer.withColumn("x", cents).groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    m = (
+        F.col("n").cast("decimal(38,0)") * F.col("q")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    return g.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        "n_nations",
+        "min_bal",
+        "max_bal",
+        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 4).alias("avg_bal"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                F.sqrt(
+                    m.cast("double") / (F.col("n").cast("double") * (F.col("n") - 1))
+                )
+                / 100.0,
+                4,
+            ),
+        ).alias("sd_bal"),
     )
 
 
