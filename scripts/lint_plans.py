@@ -94,6 +94,7 @@ WHITELIST = {
     ("operators/retrieval.py", "stats"): (2, "collection stats: one scalar row (BM25 + TF-IDF)"),
     ("operators/retrieval.py", "idf"): (1, "one row per QUERY term (constant query bag), not per corpus term"),
     ("operators/retrieval.py", "active"): (1, "top_k-capped user set (active_cap rows)"),
+    ("operators/llmops9.py", "cents"): (1, "k centroid rows (k is a parameter)"),
     ("operators/similarity.py", "q"): (1, "fixed-count md5-ordered query sample"),
     ("operators/similarity.py", "cents"): (1, "k centroid rows"),
     ("operators/similarity.py", "cent"): (1, "k centroid rows"),

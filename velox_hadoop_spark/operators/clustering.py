@@ -63,9 +63,15 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans(emb: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
+def kmeans(
+    emb: DataFrame, k: int = K, iters: int = ITERS, return_centroids: bool = False
+) -> DataFrame:
     """Lloyd's k-means, deterministic init (k lowest vec_ids); returns
-    the final (vec_id, cluster, dist) assignment."""
+    the final (vec_id, cluster, dist) assignment. With
+    ``return_centroids`` also returns the (cid, ce) centroid frame the
+    FINAL assignment was scored against (c_{iters-1} — the one whose
+    distances match the emitted ``dist``), for consumers like the
+    silhouette QA; the default path is byte-identical to before."""
     # NULL embeddings get no assignment (a null L2² sorts FIRST under
     # asc and would silently claim an arbitrary centroid)
     v = emb.where(F.col("embedding").isNotNull()).select(
@@ -82,12 +88,15 @@ def kmeans(emb: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
     )
     assigned = None
+    last_cents = cents
     for _ in range(iters):
+        last_cents = cents
         assigned = _assign(v, cents)
         cents = _update(assigned)
-    return assigned.select(
-        "vec_id", F.col("cid").alias("cluster"), "dist"
-    )
+    out = assigned.select("vec_id", F.col("cid").alias("cluster"), "dist")
+    if return_centroids:
+        return out, last_cents
+    return out
 
 
 def _duck_kmeans_ctes(k: int, iters: int) -> str:

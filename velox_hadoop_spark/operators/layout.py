@@ -21,6 +21,29 @@ from velox_hadoop_spark.plans.registry import register
 COMPACT_TARGET_ROWS = 100_000  # rows per output file / bin
 
 
+def compaction_plan(li: DataFrame) -> DataFrame:
+    """The greedy contiguous bin-packing plan as a frame: (part_month,
+    n_rows, cum_before, bin_id). The ONE home for the packing rule —
+    the registered plan query and its execution twin
+    (``llmops9.compaction_bin_execution``) both derive from it, so the
+    planner and the executor cannot silently disagree on bin cuts."""
+    p = li.groupBy(
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("part_month")
+    ).agg(F.count("*").alias("n_rows"))
+    w = Window.orderBy("part_month").rowsBetween(Window.unboundedPreceding, -1)
+    c = p.select(
+        "part_month",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return c.select(
+        "part_month",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("cum_before").cast("long").alias("cum_before"),
+        F.expr(f"CAST(cum_before DIV {COMPACT_TARGET_ROWS} AS BIGINT)").alias("bin_id"),
+    )
+
+
 @register(
     "compaction_bin_packing_plan",
     oracle=f"""
@@ -60,18 +83,4 @@ def q_compaction_bin_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame
     rows at ANY SF), so the unpartitioned window is a constant-size
     final step, the same accepted class as the daily-spine kernels."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    p = li.groupBy(
-        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("part_month")
-    ).agg(F.count("*").alias("n_rows"))
-    w = Window.orderBy("part_month").rowsBetween(Window.unboundedPreceding, -1)
-    c = p.select(
-        "part_month",
-        "n_rows",
-        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("cum_before"),
-    )
-    return c.select(
-        "part_month",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("cum_before").cast("long").alias("cum_before"),
-        F.expr(f"CAST(cum_before DIV {COMPACT_TARGET_ROWS} AS BIGINT)").alias("bin_id"),
-    )
+    return compaction_plan(li)

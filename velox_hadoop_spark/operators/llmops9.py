@@ -1,0 +1,574 @@
+"""LLM-pipeline operators, round 10. [extension]
+
+DoReMi-shape mixture reweighting (per-source loss-proxy weight
+updates, Xie et al. 2023's excess-loss multiplicative rule in a
+deterministic 2-step unroll), MAP@10 / MRR@10 retrieval metrics next
+to the nDCG kernel, a silhouette-lite cluster-QA score over the
+k-means cells, and the compaction plan→execution twin that verifies
+the bin-packing planner's row accounting by actually grouping.
+
+Numeric discipline (the round-9/10 cancellation-class rules): every
+cross-group reduction is a sum of exact BIGINT micro-grid terms —
+per-token surprisal on a 1e-6 grid, per-term mixture products on a
+1e-9/1e-12 grid, AP@k terms as exact integers on the lcm(1..10)=2520
+grid, per-member silhouette terms on a 1e-6 grid — so no threshold,
+ranking, or weight ever rides a free-order double sum; exp() outputs
+are pinned with the funcs2 _fix6 convention before reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velox_hadoop_spark.operators.clustering import ITERS as KM_ITERS
+from velox_hadoop_spark.operators.clustering import K as KM_K
+from velox_hadoop_spark.operators.clustering import _duck_kmeans_ctes, kmeans
+from velox_hadoop_spark.operators.layout import (
+    COMPACT_TARGET_ROWS,
+    compaction_plan,
+)
+from velox_hadoop_spark.operators.retrieval2 import NDCG_QUERIES
+from velox_hadoop_spark.operators.similarity import _DUCK_COS, cosine_pairs
+from velox_hadoop_spark.functions.vectors import to_double
+from velox_hadoop_spark.plans.registry import register
+
+DOREMI_ETA = 1.0     # multiplicative-update step size
+DOREMI_ITERS = 2     # fixed unroll depth (oracle mirrors per-step CTEs)
+MAP_K = 10
+_AP_LCM = 2520       # lcm(1..10): precision@i terms become exact integers
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _fix6(c: Column) -> Column:
+    """funcs2 transcendental pin: floor(x·1e6 + 0.5)/1e6."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-shape mixture reweighting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doremi_mixture_reweight",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents
+        ),
+        t AS (SELECT source, tok FROM tok WHERE tok <> ''),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t),
+        tc AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        q AS (
+            SELECT t.source,
+                   CAST(floor((-ln(CAST(tc.c AS DOUBLE) / n.n_total)) * 1e6
+                              + 0.5) AS BIGINT) AS sq
+            FROM t JOIN tc USING (tok) CROSS JOIN n
+        ),
+        src AS (
+            SELECT source, count(*) AS ns, sum(sq) AS ls
+            FROM q GROUP BY source
+        ),
+        base AS (
+            SELECT source,
+                   CAST(ns AS BIGINT) AS n_tokens,
+                   CAST(floor(CAST(ls AS DOUBLE) / ns + 0.5) AS BIGINT) AS lq,
+                   floor(CAST(ns AS DOUBLE)
+                         / (SELECT n_total FROM n) * 1e9 + 0.5) / 1e9 AS w0
+            FROM src
+        ),
+        s0 AS (SELECT source, n_tokens, lq, lq / 1e6 AS l, w0 AS w FROM base),
+        b1 AS (
+            SELECT CAST(sum(CAST(floor((w * l) * 1e9 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e9 AS b
+            FROM s0
+        ),
+        u1 AS (
+            SELECT source, n_tokens, lq, l,
+                   CAST(floor((w * (floor(exp({DOREMI_ETA!r}
+                        * greatest(l - (SELECT b FROM b1), 0.0)) * 1e6 + 0.5)
+                        / 1e6)) * 1e12 + 0.5) AS BIGINT) AS uq
+            FROM s0
+        ),
+        s1 AS (
+            SELECT source, n_tokens, lq, l,
+                   floor(CAST(uq AS DOUBLE)
+                         / CAST((SELECT sum(uq) FROM u1) AS DOUBLE)
+                         * 1e9 + 0.5) / 1e9 AS w
+            FROM u1
+        ),
+        b2 AS (
+            SELECT CAST(sum(CAST(floor((w * l) * 1e9 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e9 AS b
+            FROM s1
+        ),
+        u2 AS (
+            SELECT source, n_tokens, lq, l,
+                   CAST(floor((w * (floor(exp({DOREMI_ETA!r}
+                        * greatest(l - (SELECT b FROM b2), 0.0)) * 1e6 + 0.5)
+                        / 1e6)) * 1e12 + 0.5) AS BIGINT) AS uq
+            FROM s1
+        ),
+        s2 AS (
+            SELECT source,
+                   floor(CAST(uq AS DOUBLE)
+                         / CAST((SELECT sum(uq) FROM u2) AS DOUBLE)
+                         * 1e9 + 0.5) / 1e9 AS w
+            FROM u2
+        )
+        SELECT base.source, base.n_tokens,
+               ROUND(base.lq / 1e6, 6) AS mean_surprisal,
+               ROUND(base.w0, 6) + 0.0 AS w0,
+               ROUND(s1.w, 6) + 0.0 AS w1,
+               ROUND(s2.w, 6) + 0.0 AS w2
+        FROM base
+        JOIN s1 USING (source)
+        JOIN s2 USING (source)
+    """,
+    tags=("llm-pipeline", "doremi", "mixture", "extension"),
+)
+def q_doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shape domain reweighting: per-source mean token surprisal
+    under the corpus unigram LM is the loss proxy; starting from the
+    token-share mixture w0, two multiplicative updates
+    w ← normalize(w · exp(η · max(ℓ_s − Σ w·ℓ, 0))) raise the weight
+    of sources whose loss exceeds the current-mixture average (the
+    excess-loss rule of Xie et al. 2023, with the per-step
+    renormalization making step 2 genuinely depend on step 1's
+    mixture). Deterministic end to end: surprisal is summed as exact
+    1e-6-grid BIGINTs, mixture-average terms as 1e-9-grid BIGINTs,
+    update masses as 1e-12-grid BIGINTs, and exp() is pinned to the
+    1e-6 grid (funcs2 convention) — so the max(·,0) threshold and both
+    normalizations never ride a free-order double.
+
+    Scale shape: one token explode feeding a token-frequency join
+    (1:1 per occurrence), one per-source grouped sum; the iteration
+    runs on the |sources|-row frame with scalar aggregates AQE
+    broadcasts — no window, no driver loop."""
+    docs = _docs(spark, sf_dir)
+    t = (
+        docs.select("source", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    n = t.agg(F.count("*").cast("long").alias("n_total"))
+    tc = t.groupBy("tok").agg(F.count("*").alias("c"))
+    q = (
+        t.join(tc, "tok")
+        .crossJoin(n)
+        .select(
+            "source",
+            F.floor(
+                (-F.log(F.col("c").cast("double") / F.col("n_total")))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).alias("sq"),
+        )
+    )
+    src = q.groupBy("source").agg(
+        F.count("*").alias("ns"), F.sum("sq").alias("ls")
+    )
+    # persist: every iteration scalar (b, z) and the final joins re-read
+    # this |sources|-row frame; without a materialization point each
+    # branch re-runs the corpus-wide token pipeline above it
+    base = src.crossJoin(n).select(
+        "source",
+        F.col("ns").cast("long").alias("n_tokens"),
+        F.floor(F.col("ls").cast("double") / F.col("ns") + F.lit(0.5)).alias("lq"),
+        (
+            F.floor(
+                F.col("ns").cast("double") / F.col("n_total") * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("w0"),
+    ).persist()
+    s = base.select(
+        "source", "n_tokens", "lq", (F.col("lq") / F.lit(1e6)).alias("l"),
+        F.col("w0").alias("w"),
+    )
+    w_hist = []
+    for _ in range(DOREMI_ITERS):
+        b = s.agg(
+            (
+                F.sum(
+                    F.floor((F.col("w") * F.col("l")) * F.lit(1e9) + F.lit(0.5))
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("b")
+        )
+        u = s.crossJoin(b).select(
+            "source",
+            "n_tokens",
+            "lq",
+            "l",
+            F.col("w").alias("w_prev"),
+            F.floor(
+                (
+                    F.col("w")
+                    * _fix6(
+                        F.exp(
+                            F.lit(DOREMI_ETA)
+                            * F.greatest(F.col("l") - F.col("b"), F.lit(0.0))
+                        )
+                    )
+                )
+                * F.lit(1e12)
+                + F.lit(0.5)
+            ).alias("uq"),
+        )
+        z = u.agg(F.sum("uq").cast("double").alias("z"))
+        s = u.crossJoin(z).select(
+            "source",
+            "n_tokens",
+            "lq",
+            "l",
+            (
+                F.floor(
+                    F.col("uq").cast("double") / F.col("z") * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e9)
+            ).alias("w"),
+        )
+        w_hist.append(s.select("source", F.col("w").alias(f"w{len(w_hist) + 1}")))
+    out = base.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("lq") / F.lit(1e6), 6).alias("mean_surprisal"),
+        (F.round(F.col("w0"), 6) + F.lit(0.0)).alias("w0"),
+    )
+    for i, wf in enumerate(w_hist, start=1):
+        out = out.join(
+            wf.select("source", (F.round(f"w{i}", 6) + F.lit(0.0)).alias(f"w{i}")),
+            "source",
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MAP@10 / MRR@10 retrieval metrics (label ground truth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_map_mrr_at_10",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings),
+        pairs AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   q.label AS ql, n.label AS nl,
+                   {_DUCK_COS} AS cos
+            FROM e q JOIN e n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < {NDCG_QUERIES}
+        ),
+        ranked AS (
+            SELECT query_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                   ) AS rnk,
+                   CASE WHEN ql = nl THEN 1 ELSE 0 END AS rel
+            FROM pairs
+        ),
+        rtot AS (
+            SELECT query_id, sum(rel) AS n_rel_total FROM ranked
+            GROUP BY query_id
+        ),
+        cum AS (
+            SELECT query_id, rnk, rel,
+                   sum(rel) OVER (
+                       PARTITION BY query_id ORDER BY rnk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS hits
+            FROM ranked WHERE rnk <= {MAP_K}
+        ),
+        perq AS (
+            SELECT query_id,
+                   CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+                   CAST(sum(rel * hits * ({_AP_LCM} // rnk)) AS BIGINT)
+                       AS ap_num,
+                   min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+            FROM cum GROUP BY query_id
+        )
+        SELECT p.query_id,
+               CAST(r.n_rel_total AS BIGINT) AS n_rel_total,
+               p.n_rel_topk,
+               ROUND(CAST(p.ap_num AS DOUBLE)
+                     / ({_AP_LCM}.0 * least(r.n_rel_total, {MAP_K})), 6)
+                   AS ap_at_10,
+               coalesce(ROUND(1.0 / p.first_rel, 6), 0.0) AS rr_at_10
+        FROM perq p JOIN rtot r USING (query_id)
+        WHERE r.n_rel_total >= 1
+    """,
+    tags=("retrieval", "evaluation", "map", "mrr", "extension"),
+)
+def q_retrieval_map_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 and MRR@10 of the brute-force cosine ranking for the same
+    query sample and label ground truth as ``knn_label_ndcg_at_10`` —
+    the order-sensitive retrieval scorecard pair (AP punishes late
+    relevants, RR reads the first hit).
+
+    Exactness: precision@i terms are rationals with denominators in
+    1..10, so AP's numerator is summed as EXACT integers on the
+    lcm(1..10)={_AP_LCM} grid (rel·hits·(lcm÷rank) — integer division
+    is exact there) and divided once at the end; RR is a single pinned
+    division. No free-order double sum anywhere; queries with no
+    same-label document are skipped like the nDCG kernel."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = emb.select("vec_id", "label")
+    scored = cosine_pairs(emb.where(F.col("vec_id") < NDCG_QUERIES), emb)
+    ranked = (
+        scored.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("neighbor_id")
+                )
+            )
+            .alias("rnk"),
+            F.when(F.col("ql") == F.col("nl"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    rtot = ranked.groupBy("query_id").agg(F.sum("rel").alias("n_rel_total"))
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranked.where(F.col("rnk") <= MAP_K).withColumn(
+        "hits", F.sum("rel").over(wcum)
+    )
+    perq = cum.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_topk"),
+        F.sum(
+            F.col("rel") * F.col("hits") * (F.lit(_AP_LCM) / F.col("rnk")).cast("long")
+        )
+        .cast("long")
+        .alias("ap_num"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+    )
+    return (
+        perq.join(rtot, "query_id")
+        .where(F.col("n_rel_total") >= 1)
+        .select(
+            "query_id",
+            F.col("n_rel_total").cast("long").alias("n_rel_total"),
+            "n_rel_topk",
+            F.round(
+                F.col("ap_num").cast("double")
+                / (
+                    F.lit(float(_AP_LCM))
+                    * F.least(F.col("n_rel_total"), F.lit(MAP_K))
+                ),
+                6,
+            ).alias("ap_at_10"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("first_rel"), 6), F.lit(0.0)
+            ).alias("rr_at_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Silhouette-lite cluster QA over the k-means cells
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmeans_silhouette_lite",
+    oracle=f"""
+        WITH {_duck_kmeans_ctes(KM_K, KM_ITERS)},
+        d2 AS (
+            SELECT a.vec_id, a.cid AS cluster, a.dist AS a_dist,
+                   c.cid AS other_cid,
+                   ROUND(list_sum(list_transform(list_zip(v.e, c.ce),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS o_dist
+            FROM a{KM_ITERS} a
+            JOIN v ON v.vec_id = a.vec_id
+            CROSS JOIN c{KM_ITERS - 1} c
+            WHERE c.cid <> a.cid
+        ),
+        member AS (
+            SELECT vec_id, cluster, a_dist, min(o_dist) AS b_dist
+            FROM d2 GROUP BY vec_id, cluster, a_dist
+        ),
+        terms AS (
+            SELECT cluster,
+                   CAST(floor(a_dist * 1e6 + 0.5) AS BIGINT) AS aq,
+                   CAST(floor(b_dist * 1e6 + 0.5) AS BIGINT) AS bq,
+                   CAST(floor((CASE WHEN greatest(a_dist, b_dist) > 0
+                                    THEN (b_dist - a_dist)
+                                         / greatest(a_dist, b_dist)
+                                    ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT)
+                       AS sq
+            FROM member
+        )
+        SELECT cluster,
+               CAST(count(*) AS BIGINT) AS n_members,
+               ROUND(CAST(sum(aq) AS DOUBLE) / count(*) / 1e6, 6) AS mean_a,
+               ROUND(CAST(sum(bq) AS DOUBLE) / count(*) / 1e6, 6) AS mean_b,
+               ROUND(CAST(sum(sq) AS DOUBLE) / count(*) / 1e6, 6) + 0.0
+                   AS mean_silhouette
+        FROM terms GROUP BY cluster
+    """,
+    tags=("clustering", "quality", "silhouette", "extension"),
+)
+def q_kmeans_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette-lite QA over the k-means cells: per cluster, the mean
+    L2² distance to the OWN centroid (a), the mean distance to the
+    NEAREST OTHER centroid (b), and the mean simplified silhouette
+    (b−a)/max(a,b) — the medoid-free variant whose per-member cost is
+    K distances, not |cell|² pair distances (the cluster-QA score that
+    completes SemDeDup's cell pipeline).
+
+    Determinism: distances reuse the kmeans kernel's ROUND-6 formula
+    against the SAME centroids the final assignment was scored on
+    (c_{{iters-1}}); a ≤ b by the argmin assignment, so the silhouette
+    is in [0,1]; all three per-cluster means are sums of exact
+    1e-6-grid BIGINT terms, divided once — no free-order double sum.
+    Scale: K broadcast centroid arrays against the streaming corpus
+    (the assignment plan's own shape) and one grouped sum; nothing
+    pairwise, nothing driver-side."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = kmeans(emb, return_centroids=True)
+    v = emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id", to_double(F.col("embedding")).alias("e")
+    )
+    o_dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    d2 = (
+        assigned.join(v, "vec_id")
+        .crossJoin(F.broadcast(cents))
+        .where(F.col("cid") != F.col("cluster"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dist").alias("a_dist"),
+            o_dist.alias("o_dist"),
+        )
+    )
+    member = d2.groupBy("vec_id", "cluster", "a_dist").agg(
+        F.min("o_dist").alias("b_dist")
+    )
+    sil = F.when(
+        F.greatest(F.col("a_dist"), F.col("b_dist")) > 0,
+        (F.col("b_dist") - F.col("a_dist"))
+        / F.greatest(F.col("a_dist"), F.col("b_dist")),
+    ).otherwise(F.lit(0.0))
+    terms = member.select(
+        "cluster",
+        F.floor(F.col("a_dist") * F.lit(1e6) + F.lit(0.5)).alias("aq"),
+        F.floor(F.col("b_dist") * F.lit(1e6) + F.lit(0.5)).alias("bq"),
+        F.floor(sil * F.lit(1e6) + F.lit(0.5)).alias("sq"),
+    )
+    return terms.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.sum("aq").cast("double") / F.count("*") / F.lit(1e6), 6).alias(
+            "mean_a"
+        ),
+        F.round(F.sum("bq").cast("double") / F.count("*") / F.lit(1e6), 6).alias(
+            "mean_b"
+        ),
+        (
+            F.round(F.sum("sq").cast("double") / F.count("*") / F.lit(1e6), 6)
+            + F.lit(0.0)
+        ).alias("mean_silhouette"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction plan -> execution twin
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "compaction_bin_execution",
+    oracle=f"""
+        WITH p AS (
+            SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part_month,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1
+        ),
+        plan AS (
+            SELECT part_month, n_rows,
+                   CAST(coalesce(sum(n_rows) OVER (
+                       ORDER BY part_month
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin_id
+            FROM p
+        ),
+        executed AS (
+            SELECT pl.bin_id, count(*) AS executed_rows
+            FROM lineitem l
+            JOIN plan pl
+              ON CAST(date_trunc('month', l.l_shipdate) AS DATE)
+                 = pl.part_month
+            GROUP BY pl.bin_id
+        )
+        SELECT pl.bin_id,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(pl.n_rows) AS BIGINT) AS planned_rows,
+               CAST(e.executed_rows AS BIGINT) AS executed_rows,
+               (CAST(sum(pl.n_rows) AS BIGINT)
+                = CAST(e.executed_rows AS BIGINT)) AS row_accounting_ok
+        FROM plan pl JOIN executed e USING (bin_id)
+        GROUP BY pl.bin_id, e.executed_rows
+    """,
+    tags=("layout", "compaction", "maintenance", "extension"),
+)
+def q_compaction_bin_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the compaction plan and audit its row accounting: every
+    lineitem row routes to its month's assigned bin (the equi-join a
+    real rewrite job performs), and per bin the EXECUTED row count is
+    checked against the plan's PLANNED sum — the plan→action parity
+    that turns the planner's output from a claim into a verified
+    contract (``row_accounting_ok`` must read true on every bin).
+
+    Scale: the plan frame is |months| rows (calendar-bounded) so AQE
+    broadcasts it onto the fact scan; the execution pass is one
+    grouped count by bin — exactly the shuffle the real rewrite
+    (write.partitionBy(bin)) would do."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = compaction_plan(li).select("part_month", "n_rows", "bin_id")
+    routed = li.select(
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("part_month")
+    ).join(plan, "part_month")
+    executed = routed.groupBy("bin_id").agg(
+        F.count("*").alias("executed_rows")
+    )
+    per_bin = plan.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("n_rows").cast("long").alias("planned_rows"),
+    )
+    return per_bin.join(executed, "bin_id").select(
+        "bin_id",
+        "n_parts",
+        "planned_rows",
+        F.col("executed_rows").cast("long").alias("executed_rows"),
+        (F.col("planned_rows") == F.col("executed_rows").cast("long")).alias(
+            "row_accounting_ok"
+        ),
+    )

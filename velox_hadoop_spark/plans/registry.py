@@ -183,6 +183,7 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.sqlbreadth4  # noqa: F401
     import velox_hadoop_spark.operators.llmops7  # noqa: F401
     import velox_hadoop_spark.operators.llmops8  # noqa: F401
+    import velox_hadoop_spark.operators.llmops9  # noqa: F401
     import velox_hadoop_spark.operators.layout  # noqa: F401
 
 
