@@ -31,6 +31,11 @@ PARITY_QUERIES = [
     "orc_roundtrip_customer",
     "events_segment_enriched",
     "events_click_to_purchase",
+    # round 10: REAL streaming-trigger runners — the registered query
+    # itself drains an availableNow micro-batch job into a memory sink,
+    # so this parity check verifies actual streaming execution
+    "streaming_tumbling_runner",
+    "streaming_dedup_runner",
 ]
 
 

@@ -500,9 +500,12 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``MAX_KEY_DOC_FREQ`` documents — identical HTML headers make one
     block quadratic — is dropped on both join sides (deterministic
     truncation, mirrored by the oracle's ``HAVING count(*) <= cap``).
-    The cool table is an aggregate over the (doc_id, blk) projection
-    (no text movement) and AQE broadcasts it, so the filter costs no
-    extra shuffle of the text rows; surviving blocks bound the pair
+    The cool table is an aggregate over the (doc_id, blk) projection —
+    no text movement in the count pre-pass — and its filter join is
+    keyed on ``blk``, the SAME key the pair self-join shuffles on, so
+    the exchange is shared rather than added (the cool side is
+    distinct-block-sized, i.e. data-sized: it rides the join planner,
+    not a broadcast assumption); surviving blocks bound the pair
     fanout at cap²/2 per key. The short branch gets the matching cap
     on its container-prefix key — a hot (length, prefix) container
     group is dropped the same way; the shorts side stays uncapped
@@ -524,7 +527,7 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", F.substring("text", 1, _CONTAIN_BLOCK_CHARS).alias("blk")
     )
     # hot-block cap: count pre-pass over the pruned (blk) projection;
-    # the aggregated cool frame is small, AQE broadcasts it unhinted
+    # the filter join shares the pair join's blk-keyed exchange
     coolblk = (
         blk.groupBy("blk")
         .agg(F.count("*").alias("__n"))

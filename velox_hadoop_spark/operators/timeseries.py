@@ -154,3 +154,55 @@ def retention_cohorts(events: DataFrame, epoch: str = EPOCH) -> DataFrame:
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events table."""
     return retention_cohorts(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "retention_cohort_segment_matrix",
+    oracle=f"""
+        WITH wk AS (
+            SELECT DISTINCT user_id,
+                   (CAST(ts AS DATE) - DATE '{EPOCH}') // 7 AS w
+            FROM events
+        ),
+        coh AS (SELECT user_id, min(w) AS cohort FROM wk GROUP BY user_id)
+        SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+               cu.c_mktsegment AS segment,
+               CAST(w.w - c.cohort AS BIGINT) AS week_offset,
+               count(DISTINCT w.user_id) AS n_users
+        FROM wk w
+        JOIN coh c ON w.user_id = c.user_id
+        JOIN customer cu ON w.user_id = cu.c_custkey
+        GROUP BY 1, 2, 3
+    """,
+    tags=("timeseries", "retention", "cohort", "extension"),
+)
+def q_retention_cohort_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional retention: acquisition-week cohort × customer
+    market segment × week offset — the slice the BI layer asks for
+    right after the 1-D matrix ("is week-4 retention worse for the
+    BUILDING segment?"). Same arithmetic week bucketing and
+    dedup-first shape as ``retention_cohorts``; the segment dimension
+    arrives through one equi-join on user_id (SF-proportional dim, so
+    the join strategy is left to the planner), and the output is
+    bounded by cohorts × segments × offsets, never event volume."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    wk = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit(EPOCH).cast("date")) / 7
+        ).cast("long").alias("w"),
+    ).distinct()
+    coh = wk.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    return (
+        wk.join(coh, "user_id")
+        .join(cust, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            "segment",
+            (F.col("w") - F.col("cohort")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

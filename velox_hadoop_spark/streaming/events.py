@@ -426,3 +426,99 @@ def q_funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL streaming-trigger runners: a Structured Streaming job executes
+# end-to-end inside the registered query (file-stream source →
+# availableNow trigger → memory sink), and the drained sink is the
+# returned DataFrame. These close the one §7 surface that previously
+# had execution evidence only in pytest, never under the driver gate:
+# the oracle checks the STREAMING result, not a batch twin standing in
+# for it.
+# ---------------------------------------------------------------------------
+
+
+def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Spark's file-stream source rejects a bare file and the canonical
+    ``events.parquet`` is one — materialize a normalized copy into a
+    per-(session, sf_dir) cached temp directory. The copy is written
+    once and reused by both runners and later re-invocations (bench
+    runs every query in one session)."""
+    import tempfile
+
+    key = f"vhs.stream.srcdir.{sf_dir}"
+    cached = spark.conf.get(key, None)
+    import os
+
+    if cached and os.path.isdir(cached):
+        return cached
+    d = tempfile.mkdtemp(prefix="vhs_stream_src_")
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    spark.conf.set(key, d)
+    return d
+
+
+@register(
+    "streaming_tumbling_runner",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n,
+               ROUND(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "trigger", "end-to-end", "extension"),
+)
+def q_streaming_tumbling_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed as a REAL
+    Structured Streaming query: file-stream source over the events
+    parquet, ``withWatermark('ts', '2 hours')`` + 1-hour windows,
+    availableNow trigger drained to completion, complete-mode memory
+    sink. The returned frame IS the streaming sink's content, so the
+    DuckDB oracle verifies actual micro-batch execution (state store,
+    watermark bookkeeping, sink commit) — not a batch rewrite of the
+    same expression.
+
+    At scale this exact topology runs unbounded (kafka/file source,
+    append mode to a table sink, watermark evicting window state);
+    availableNow is Spark's sanctioned backfill/batch-drain trigger
+    for it, so the registered shape is the production job, pointed at
+    a finite source."""
+    import uuid
+
+    stream = read_event_stream(spark, _stream_source_dir(spark, sf_dir))
+    name = f"vhs_tumbling_{uuid.uuid4().hex[:8]}"
+    q = run_available_now(
+        stream_tumbling_counts(stream), name, output_mode="complete"
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "streaming_dedup_runner",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "trigger", "dedup", "end-to-end", "extension"),
+)
+def q_streaming_dedup_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication executed for real:
+    ``dropDuplicatesWithinWatermark`` over the file-stream source,
+    availableNow trigger, append-mode memory sink, then projected to
+    the (user_id, event_type) key set — the arrival-order-independent
+    part of the result (WHICH event survives per key follows
+    micro-batch arrival order; the KEY SET is exact and equals the
+    batch distinct, which is what the oracle pins). This is the
+    exactly-once ingest-dedup topology (sink-side state keyed on the
+    id within the watermark horizon) run end-to-end under the driver
+    gate."""
+    import uuid
+
+    stream = read_event_stream(spark, _stream_source_dir(spark, sf_dir))
+    name = f"vhs_dedup_{uuid.uuid4().hex[:8]}"
+    q = run_available_now(stream_dedup(stream), name, output_mode="append")
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "event_type").distinct()
