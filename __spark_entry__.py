@@ -52,29 +52,29 @@ _BOOST = ()
 # Driver-green rows whose underlying code or oracle changed AFTER the
 # green row was recorded. They re-enter the verification queue right
 # behind the never-verified boost group so the driver refreshes their
-# evidence. Round 9: the r8 tuple's 4 names re-greened in
-# CORRECTNESS_r08 and were dropped; repopulated with this round's
-# ADVICE fixes — cramers_v (double-cast margins, oracle + plan),
-# attribution_position_based (double-context oracle fold), and the
-# three contamination2 queries riding contamination_hits (the forced
-# benchmark broadcast hint was dropped; plan-only, results identical,
-# re-queued per the shared-kernel policy).
+# evidence. Round 9's 7 names all re-greened in CORRECTNESS_r09 and
+# were dropped; repopulated with round 10's semantic/oracle rewrites:
 _REVERIFY = (
-    "cramers_v_status_priority",
-    "attribution_position_based",
-    "decontam_13gram_hit_spans",
-    "decontam_span_coverage",
-    "decontam_removal_by_source",
-    # −0.0 normalization (+0.0 after ROUND in both engines; the
-    # degenerate-corpus sweep caught DuckDB preserving the sign of
-    # −0.0 where Spark normalizes it). Values at real SFs unchanged;
-    # re-queued per the rewritten-kernel policy.
-    "unigram_logprob_score",
-    # overflow-safe margin products (cast a factor to double before
-    # the BIGINT x BIGINT multiply — the Cramér's V class, found by
-    # sweeping the class across older modules). Values unchanged at
-    # any test SF; re-queued per the rewritten-kernel policy.
-    "cohens_kappa_lang_signals",
+    # deterministic-truncation caps on the last three uncapped dedup
+    # pair generators, each mirrored in its oracle (cap-binding
+    # fixtures in tests/test_round10_parity.py):
+    "incremental_lsh_near_dup",
+    "contained_doc_pairs",
+    "similarity_join_prefix",
+    # ANN_BUCKET_CAP neighbor truncation, mirrored in the oracle:
+    "ann_lsh_topk",
+    # hyperplane-bit oracles realigned from free-order GROUP BY sums
+    # to literal left-to-right folds (the Brown-EMA cancellation
+    # class, closed proactively) — values identical at test SFs:
+    "embedding_lsh_buckets",
+    "ann_lsh_recall_at_k",
+    "ann_multiprobe_recall",
+    # outlier ranking key rebuilt on exact 1e-12-grid BIGINT terms
+    # against a 1e-9-pinned centroid (both engines):
+    "embedding_outliers",
+    # money-exactness remainder: avg/sd over money from exact
+    # integer-cent moments (the Cohen's-d pattern):
+    "stats_per_segment",
 )
 
 
@@ -88,10 +88,10 @@ _REVERIFY = (
 # whatever the ~50-slot budget doesn't reach this round re-queues in
 # round 10.
 _REVERIFY_TAIL = (
-    "customer_rfm_segments",
-    "spend_quartile_migration",
-    "cohort_ltv_curve",
-    "inverted_index_tokens",
+    # round-9 riders not reached by the r09 sample (the 4 reached —
+    # customer_rfm_segments, spend_quartile_migration, cohort_ltv_curve,
+    # inverted_index_tokens — re-greened and were dropped; the four ANN
+    # names moved up to _REVERIFY with round-10 oracle changes):
     "embedding_random_projection",
     "cusum_changepoint_daily",
     "mann_whitney_u",
@@ -133,34 +133,41 @@ _REVERIFY_TAIL = (
     "embedding_near_dup",
     "ann_bruteforce_topk",
     "knn_top1_all",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
     "embedding_label_centroids",
     "centroid_separation_matrix",
-    "ann_lsh_recall_at_k",
-    "ann_multiprobe_recall",
     "ann_ivf_recall",
     "ann_hard_negatives",
     "weighted_sample_docs",
+    # round-10 value-neutral plan rewrites (staged windows, salted IVF
+    # cogroup, persist riders) — outputs byte-identical, re-gated at
+    # sf0.01 + sf0.1; queued BEHIND the older riders above (those have
+    # waited a round longer for fresh driver evidence):
+    "ann_ivf_topk",
+    "pack_sequences",
+    "pack_overflow_stats",
+    "context_window_budget",
+    "curation_pack_report",
+    "capped_docs_per_source",
+    "inverted_index_tokens",
+    "key_skew_salting_plan",
 )
 
 
 # Queries added in the current round: they go to the BACK of the
 # never-verified group so each new registration extends the burn-down
 # queue instead of displacing older queries out of the driver's
-# per-round verification budget. Round 9: empty — no backlog exists,
-# so registration order already queues this round's new modules
-# (spanremoval, llmops6, sketches, timeseries5, stats4, retrieval2,
-# graph2, sqlbreadth4, llmops7, llmops8, layout, skew additions)
-# behind nothing. Budget arithmetic: 37 new (36 oracled + hll
-# rows-only) + 7 front reverify (5 advice-fix riders + the −0.0
-# rider + the kappa margin-overflow rider) + 2 perpetual rows-only
-# = 46 front candidates vs ~50 driver slots, then the 44
-# _REVERIFY_TAIL hardening riders (value-neutral rewrites, each
-# re-gated at sf0.01 + sf0.1) fill whatever remains (≈4 this round,
-# the rest re-queue in round 10) — every query keeps a current
-# driver row; registration stops here for round 9 to preserve that
-# invariant.
+# per-round verification budget. Round 10: empty — registration order
+# already queues the 7 additions (llmops9's doremi_mixture_reweight /
+# retrieval_map_mrr_at_10 / kmeans_silhouette_lite /
+# compaction_bin_execution, the two REAL streaming-trigger runners
+# streaming_tumbling_runner / streaming_dedup_runner, and
+# retention_cohort_segment_matrix) last. Budget arithmetic: 9
+# _REVERIFY (semantic/oracle rewrites) + 7 new + 3 perpetual
+# rows-only = 19 front candidates vs ~50 driver slots, leaving ~31
+# for the 44-name _REVERIFY_TAIL (36 round-9 riders not reached by
+# the r09 sample + 8 round-10 value-neutral rewrites) — ~13 tail
+# names re-queue in round 11; registration stops at 7 this round to
+# maximize the tail drain the r9 verdict asked for.
 _DEFER = ()
 
 

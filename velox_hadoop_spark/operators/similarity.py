@@ -582,9 +582,18 @@ def _duck_plane_fold(weights: list[float], col: str = "embedding") -> str:
     engines agree bit-for-bit on the sign of a near-zero projection.
     The free-order GROUP-BY-sum oracle this replaces is the class the
     Brown-EMA flake came from: a ±1e-16 summation-order difference can
-    flip ``proj >= 0`` and move a vector's bucket."""
+    flip ``proj >= 0`` and move a vector's bucket.
+
+    Each term is length-guarded: Spark's fold zips the weight slice to
+    the ACTUAL vector length, so on shorter-than-64 vectors (the
+    degenerate-sweep corpus) the literal chain must contribute 0.0 —
+    not a NULL-poisoning out-of-bounds index — past the end. Trailing
+    ``+ 0.0`` terms cannot change the fold value or the ``>= 0`` sign
+    (±0.0 both satisfy it), so the guard is exact."""
     return "0.0 + " + " + ".join(
-        f"({'' if w > 0 else '-'}CAST({col}[{d + 1}] AS DOUBLE))"
+        f"(CASE WHEN len({col}) >= {d + 1} "
+        f"THEN {'' if w > 0 else '-'}CAST({col}[{d + 1}] AS DOUBLE) "
+        "ELSE 0.0 END)"
         for d, w in enumerate(weights)
     )
 
