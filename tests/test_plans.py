@@ -674,3 +674,34 @@ def test_runtime_bloom_filter_injected_on_join_key(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_capped_per_group_is_two_stage_topk(spark):
+    """capped_docs_per_source must rank in TWO window stages — per
+    (source, input-partition) first, then over the pruned survivors —
+    never one whole-group single-task sort: the physical plan carries
+    two Window nodes and a SPARK_PARTITION_ID marker in the first
+    stage's keys (the staged_topk_per_group contract)."""
+    import re
+
+    df = registry.queries()["capped_docs_per_source"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    n_windows = len(re.findall(r"^\(\d+\) (?:Window|WindowGroupLimit)", plan, re.M))
+    assert n_windows >= 2, f"expected a two-stage window plan, saw {n_windows}"
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+
+
+def test_pack_sequences_window_is_bucket_keyed(spark):
+    """The staged pack layout must key its cumulative window on
+    (source, __bkt), not source alone — the O(1)-cardinality single
+    task rewrite of round 10. The formatted plan's window partition
+    spec must mention the bucket column."""
+    df = registry.queries()["pack_sequences"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "__bkt" in plan
+    import re
+
+    # every Window node that partitions by source must also carry __bkt
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "source" in spec:
+            assert "__bkt" in spec, spec

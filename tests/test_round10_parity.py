@@ -209,7 +209,12 @@ def test_doremi_reweight_matches_python_recompute(spark):
         uq = {
             s: math.floor(
                 v["w"]
-                * (math.floor(math.exp(1.0 * max(v["l"] - b, 0.0)) * 1e6 + 0.5) / 1e6)
+                * (
+                    math.floor(
+                        math.exp(1.0 * min(max(v["l"] - b, 0.0), 10.0)) * 1e6 + 0.5
+                    )
+                    / 1e6
+                )
                 * 1e12
                 + 0.5
             )

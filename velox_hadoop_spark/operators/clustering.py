@@ -65,7 +65,7 @@ def _update(assigned: DataFrame) -> DataFrame:
 
 def kmeans(
     emb: DataFrame, k: int = K, iters: int = ITERS, return_centroids: bool = False
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Lloyd's k-means, deterministic init (k lowest vec_ids); returns
     the final (vec_id, cluster, dist) assignment. With
     ``return_centroids`` also returns the (cid, ce) centroid frame the

@@ -18,7 +18,7 @@ are pinned with the funcs2 _fix6 convention before reuse.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velox_hadoop_spark.operators.clustering import ITERS as KM_ITERS
@@ -35,17 +35,21 @@ from velox_hadoop_spark.plans.registry import register
 
 DOREMI_ETA = 1.0     # multiplicative-update step size
 DOREMI_ITERS = 2     # fixed unroll depth (oracle mirrors per-step CTEs)
+# Excess-loss clip (nats). DoReMi clips per-step updates; here the clip
+# also BOUNDS the integer grids: exp(η·excess) ≤ e^10 ≈ 2.2e4, so the
+# 1e-12-grid update mass floor(w·exp·1e12 + 0.5) stays ≤ ~2.2e16 —
+# far inside BIGINT for BOTH engines (unclipped, a globally-unique-token
+# source in a huge corpus reaches w·exp(20)·1e12 ≈ 1e19: Spark's
+# floor→long would saturate silently while DuckDB's CAST raises).
+DOREMI_MAX_EXCESS = 10.0
 MAP_K = 10
 _AP_LCM = 2520       # lcm(1..10): precision@i terms become exact integers
+
+from velox_hadoop_spark.operators.funcs2 import _fix6  # noqa: E402  (the ONE home of the transcendental pin)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _fix6(c: Column) -> Column:
-    """funcs2 transcendental pin: floor(x·1e6 + 0.5)/1e6."""
-    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
 # ---------------------------------------------------------------------------
@@ -90,7 +94,8 @@ def _fix6(c: Column) -> Column:
         u1 AS (
             SELECT source, n_tokens, lq, l,
                    CAST(floor((w * (floor(exp({DOREMI_ETA!r}
-                        * greatest(l - (SELECT b FROM b1), 0.0)) * 1e6 + 0.5)
+                        * least(greatest(l - (SELECT b FROM b1), 0.0),
+                                {DOREMI_MAX_EXCESS!r})) * 1e6 + 0.5)
                         / 1e6)) * 1e12 + 0.5) AS BIGINT) AS uq
             FROM s0
         ),
@@ -109,7 +114,8 @@ def _fix6(c: Column) -> Column:
         u2 AS (
             SELECT source, n_tokens, lq, l,
                    CAST(floor((w * (floor(exp({DOREMI_ETA!r}
-                        * greatest(l - (SELECT b FROM b2), 0.0)) * 1e6 + 0.5)
+                        * least(greatest(l - (SELECT b FROM b2), 0.0),
+                                {DOREMI_MAX_EXCESS!r})) * 1e6 + 0.5)
                         / 1e6)) * 1e12 + 0.5) AS BIGINT) AS uq
             FROM s1
         ),
@@ -135,27 +141,35 @@ def q_doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-shape domain reweighting: per-source mean token surprisal
     under the corpus unigram LM is the loss proxy; starting from the
     token-share mixture w0, two multiplicative updates
-    w ← normalize(w · exp(η · max(ℓ_s − Σ w·ℓ, 0))) raise the weight
-    of sources whose loss exceeds the current-mixture average (the
-    excess-loss rule of Xie et al. 2023, with the per-step
-    renormalization making step 2 genuinely depend on step 1's
-    mixture). Deterministic end to end: surprisal is summed as exact
-    1e-6-grid BIGINTs, mixture-average terms as 1e-9-grid BIGINTs,
-    update masses as 1e-12-grid BIGINTs, and exp() is pinned to the
-    1e-6 grid (funcs2 convention) — so the max(·,0) threshold and both
-    normalizations never ride a free-order double.
+    w ← normalize(w · exp(η · min(max(ℓ_s − Σ w·ℓ, 0), CLIP))) raise
+    the weight of sources whose loss exceeds the current-mixture
+    average (the excess-loss rule of Xie et al. 2023 with the standard
+    update clip — which here also bounds the integer grids, see
+    ``DOREMI_MAX_EXCESS``; both steps renormalize, so step 2 genuinely
+    depends on step 1's mixture). Deterministic end to end: surprisal
+    is summed as exact 1e-6-grid BIGINTs, mixture-average terms as
+    1e-9-grid BIGINTs, update masses as 1e-12-grid BIGINTs, and exp()
+    is pinned to the 1e-6 grid (funcs2 convention) — so the clipped
+    threshold and both normalizations never ride a free-order double.
 
     Scale shape: one token explode feeding a token-frequency join
     (1:1 per occurrence), one per-source grouped sum; the iteration
     runs on the |sources|-row frame with scalar aggregates AQE
     broadcasts — no window, no driver loop."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir)
+    # persist: the token explode feeds the frequency table, the
+    # surprisal join, AND the corpus total — one materialization
+    # instead of three corpus passes (the quality.py ADVICE class)
     t = (
         docs.select("source", F.explode(F.split("text", r"\s+")).alias("tok"))
         .where(F.col("tok") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = t.agg(F.count("*").cast("long").alias("n_total"))
     tc = t.groupBy("tok").agg(F.count("*").alias("c"))
+    # corpus total from the (small) frequency table, not a fourth scan
+    n = tc.agg(F.sum("c").cast("long").alias("n_total"))
     q = (
         t.join(tc, "tok")
         .crossJoin(n)
@@ -212,7 +226,10 @@ def q_doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * _fix6(
                         F.exp(
                             F.lit(DOREMI_ETA)
-                            * F.greatest(F.col("l") - F.col("b"), F.lit(0.0))
+                            * F.least(
+                                F.greatest(F.col("l") - F.col("b"), F.lit(0.0)),
+                                F.lit(DOREMI_MAX_EXCESS),
+                            )
                         )
                     )
                 )
@@ -346,6 +363,10 @@ def q_retrieval_map_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ql") == F.col("nl"), 1).otherwise(0).alias("rel"),
         )
     )
+    # persist: rtot and the top-10 cum pass both read the ranked frame
+    # (cosine join + per-query sort — the heaviest stage); one
+    # materialization instead of two
+    ranked = ranked.persist()
     rtot = ranked.groupBy("query_id").agg(F.sum("rel").alias("n_rel_total"))
     wcum = (
         Window.partitionBy("query_id")

@@ -459,13 +459,36 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def stream_tumbling_exact(stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling agg with the value total in EXACT integer
+    cents: the streaming state-store merge adds a THIRD summation
+    order on top of Spark-batch vs DuckDB scan order, so a
+    ``ROUND(sum(double), 2)`` total here would be the rounding-flip
+    class the round-9 money sweep closed — cents sums are associative
+    integers and merge identically in any order."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        stream.withWatermark("ts", watermark)
+        .withColumn("vc", cents)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("vc").alias("vc_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round(F.col("vc_sum").cast("double") / 100.0, 2).alias("total_value"),
+        )
+    )
+
+
 @register(
     "streaming_tumbling_runner",
     oracle="""
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type,
                count(*) AS n,
-               ROUND(sum(value), 2) AS total_value
+               ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0, 2) AS total_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -491,7 +514,7 @@ def q_streaming_tumbling_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, _stream_source_dir(spark, sf_dir))
     name = f"vhs_tumbling_{uuid.uuid4().hex[:8]}"
     q = run_available_now(
-        stream_tumbling_counts(stream), name, output_mode="complete"
+        stream_tumbling_exact(stream), name, output_mode="complete"
     )
     q.awaitTermination()
     return spark.table(name)
