@@ -157,16 +157,18 @@ _REVERIFY_TAIL = (
 # never-verified group so each new registration extends the burn-down
 # queue instead of displacing older queries out of the driver's
 # per-round verification budget. Round 10: empty — registration order
-# already queues the 7 additions (llmops9's doremi_mixture_reweight /
+# already queues the 10 additions (llmops9's doremi_mixture_reweight /
 # retrieval_map_mrr_at_10 / kmeans_silhouette_lite /
-# compaction_bin_execution, the two REAL streaming-trigger runners
-# streaming_tumbling_runner / streaming_dedup_runner, and
+# compaction_bin_execution / doremi_weighted_resample /
+# silhouette_worst_members, the three REAL streaming-trigger runners
+# streaming_tumbling_runner / streaming_dedup_runner /
+# streaming_stateful_totals_runner, and
 # retention_cohort_segment_matrix) last. Budget arithmetic: 9
-# _REVERIFY (semantic/oracle rewrites) + 7 new + 3 perpetual
-# rows-only = 19 front candidates vs ~50 driver slots, leaving ~31
+# _REVERIFY (semantic/oracle rewrites) + 10 new + 3 perpetual
+# rows-only = 22 front candidates vs ~50 driver slots, leaving ~28
 # for the 44-name _REVERIFY_TAIL (36 round-9 riders not reached by
-# the r09 sample + 8 round-10 value-neutral rewrites) — ~13 tail
-# names re-queue in round 11; registration stops at 7 this round to
+# the r09 sample + 8 round-10 value-neutral rewrites) — ~16 tail
+# names re-queue in round 11; registration stops at 10 this round to
 # maximize the tail drain the r9 verdict asked for.
 _DEFER = ()
 

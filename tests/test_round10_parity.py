@@ -229,6 +229,27 @@ def test_doremi_reweight_matches_python_recompute(spark):
         r.source: (r.n_tokens, r.mean_surprisal, r.w0, r.w1, r.w2)
         for r in queries()["doremi_mixture_reweight"](spark, d).collect()
     }
+    # resample composite on the same fixture: per-source caps from the
+    # recomputed w2, keep-set by the seeded 60-bit md5 order
+    import hashlib
+
+    def h60(doc_id):
+        return int(hashlib.md5(f"doremi|{doc_id}".encode()).hexdigest()[:15], 16)
+
+    want_keep = set()
+    for s2 in state:
+        cap = math.floor(500 * state[s2]["w"] + 0.5)
+        members = sorted(
+            (i for i, _, _, src, _ in rows if src == s2),
+            key=lambda i: (h60(i), i),
+        )
+        for rnk, i in enumerate(members[:cap], start=1):
+            want_keep.add((i, s2, rnk))
+    got_keep = {
+        (r.doc_id, r.source, r.rnk)
+        for r in queries()["doremi_weighted_resample"](spark, d).collect()
+    }
+    assert got_keep == want_keep and got_keep
     want = {
         s: (
             v["ns"],
@@ -340,6 +361,28 @@ def test_silhouette_lite_matches_numpy_recompute(spark):
     }
     assert got == want
     assert all(0.0 <= s <= 1.0 for _, _, _, s in got.values())
+    # drill-down: worst 3 per cluster by the exact integer grid key
+    per_member = {}
+    for vid, (cl, a) in arows.items():
+        others = [
+            float(round_half_away(((vrows[vid] - ce) ** 2).sum(), 6))
+            for cid, ce in crows.items()
+            if cid != cl
+        ]
+        b = min(others)
+        s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        per_member.setdefault(cl, []).append(
+            (math.floor(s * 1e6 + 0.5), vid, a, b)
+        )
+    want_worst = set()
+    for cl, ms in per_member.items():
+        for rnk, (sq, vid, a, b) in enumerate(sorted(ms)[:3], start=1):
+            want_worst.add((cl, vid, a, b, round(sq / 1e6, 6), rnk))
+    got_worst = {
+        (r.cluster, r.vec_id, r.a_dist, r.b_dist, r.silhouette, r.rnk)
+        for r in queries()["silhouette_worst_members"](spark, sf).collect()
+    }
+    assert got_worst == want_worst and len(got_worst) == 3 * len(per_member)
 
 
 def test_compaction_execution_twin_accounts_every_row(spark):

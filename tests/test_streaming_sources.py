@@ -36,6 +36,7 @@ PARITY_QUERIES = [
     # so this parity check verifies actual streaming execution
     "streaming_tumbling_runner",
     "streaming_dedup_runner",
+    "streaming_stateful_totals_runner",
 ]
 
 
@@ -387,3 +388,61 @@ def test_ts_nanos_probe_nested_schema_int96(tmp_path):
     pns = str(tmp_path / "fns.parquet")
     pq.write_table(t, pns)
     assert ts_stored_as_nanos(pns)  # true TIMESTAMP(NANOS) annotation
+
+
+def test_stateful_runner_multibatch_matches_batch(spark):
+    """Force ONE FILE PER MICRO-BATCH so the state store genuinely
+    merges across many batches, then check the end-of-stream state
+    (max_by over the update-mode emissions — n_events strictly
+    increases per emission) equals the batch aggregate. This pins the
+    multi-batch path the registered runner's default single-batch
+    drain doesn't exercise."""
+    from pyspark.sql import functions as F
+
+    from velox_hadoop_spark.streaming.events import EVENT_SCHEMA, run_available_now
+    from velox_hadoop_spark.streaming.stateful import (
+        stream_running_user_totals_cents,
+    )
+
+    # own 4-file source dir: the shared fixture writes one part file
+    # (single batch), which cannot exercise cross-batch state merges
+    d = tempfile.mkdtemp(prefix="vhs_events_mb_")
+    read_table(spark, SF_DIR, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select("user_id", "ts", "value")
+    )
+    q = run_available_now(
+        stream_running_user_totals_cents(stream),
+        "stateful_multibatch_test",
+        output_mode="update",
+    )
+    q.awaitTermination(300)
+    sink = spark.table("stateful_multibatch_test")
+    # several micro-batches => more emitted rows than users
+    n_users = sink.select("user_id").distinct().count()
+    assert sink.count() > n_users
+    got = {
+        (r.user_id, r.n_events, r.vc): None
+        for r in sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("vc_sum", "n_events").alias("vc"),
+        )
+        .collect()
+    }
+    ev = read_table(spark, SF_DIR, "events")
+    want = {
+        (r.user_id, r.n_events, r.vc): None
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -57,10 +57,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "doremi_mixture_reweight",
-    oracle=f"""
-        WITH tok AS (
+# Shared unrolled-CTE body for the DoReMi pipeline (ends at s2 with the
+# final 1e-9-grid weight `w`; `base` keeps n_tokens/lq/w0). Both the
+# reweight report and the resample composite mirror EXACTLY this chain.
+_DOREMI_CTES = f"""
+        tok AS (
             SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok
             FROM documents
         ),
@@ -126,6 +127,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * 1e9 + 0.5) / 1e9 AS w
             FROM u2
         )
+"""
+
+
+@register(
+    "doremi_mixture_reweight",
+    oracle=f"""
+        WITH {_DOREMI_CTES}
         SELECT base.source, base.n_tokens,
                ROUND(base.lq / 1e6, 6) AS mean_surprisal,
                ROUND(base.w0, 6) + 0.0 AS w0,
@@ -156,9 +164,29 @@ def q_doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1:1 per occurrence), one per-source grouped sum; the iteration
     runs on the |sources|-row frame with scalar aggregates AQE
     broadcasts — no window, no driver loop."""
+    base, w_hist = doremi_weight_frames(_docs(spark, sf_dir))
+    out = base.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("lq") / F.lit(1e6), 6).alias("mean_surprisal"),
+        (F.round(F.col("w0"), 6) + F.lit(0.0)).alias("w0"),
+    )
+    for i, wf in enumerate(w_hist, start=1):
+        out = out.join(
+            wf.select("source", (F.round(f"w{i}", 6) + F.lit(0.0)).alias(f"w{i}")),
+            "source",
+        )
+    return out
+
+
+def doremi_weight_frames(docs: DataFrame):
+    """The DoReMi pipeline as frames: returns (base, [w1f, w2f]) where
+    base carries (source, n_tokens, lq, w0) and each wi frame the
+    1e-9-grid post-iteration weight — the ONE home of the update rule,
+    shared by the reweight report and the resample composite (both
+    oracles mirror the same ``_DOREMI_CTES`` chain)."""
     from pyspark.storagelevel import StorageLevel
 
-    docs = _docs(spark, sf_dir)
     # persist: the token explode feeds the frequency table, the
     # surprisal join, AND the corpus total — one materialization
     # instead of three corpus passes (the quality.py ADVICE class)
@@ -252,18 +280,7 @@ def q_doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
         w_hist.append(s.select("source", F.col("w").alias(f"w{len(w_hist) + 1}")))
-    out = base.select(
-        "source",
-        "n_tokens",
-        F.round(F.col("lq") / F.lit(1e6), 6).alias("mean_surprisal"),
-        (F.round(F.col("w0"), 6) + F.lit(0.0)).alias("w0"),
-    )
-    for i, wf in enumerate(w_hist, start=1):
-        out = out.join(
-            wf.select("source", (F.round(f"w{i}", 6) + F.lit(0.0)).alias(f"w{i}")),
-            "source",
-        )
-    return out
+    return base, w_hist
 
 
 # ---------------------------------------------------------------------------
@@ -412,6 +429,41 @@ def q_retrieval_map_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _silhouette_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, a_dist, b_dist) per k-means member: own-centroid
+    distance from the assignment, nearest-OTHER-centroid distance via K
+    broadcast arrays with the kmeans kernel's exact ROUND-6 formula —
+    the ONE home shared by the per-cluster QA means and the worst-member
+    drill-down."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = kmeans(emb, return_centroids=True)
+    v = emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id", to_double(F.col("embedding")).alias("e")
+    )
+    o_dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    d2 = (
+        assigned.join(v, "vec_id")
+        .crossJoin(F.broadcast(cents))
+        .where(F.col("cid") != F.col("cluster"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dist").alias("a_dist"),
+            o_dist.alias("o_dist"),
+        )
+    )
+    return d2.groupBy("vec_id", "cluster", "a_dist").agg(
+        F.min("o_dist").alias("b_dist")
+    )
+
+
 @register(
     "kmeans_silhouette_lite",
     oracle=f"""
@@ -467,33 +519,7 @@ def q_kmeans_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: K broadcast centroid arrays against the streaming corpus
     (the assignment plan's own shape) and one grouped sum; nothing
     pairwise, nothing driver-side."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    assigned, cents = kmeans(emb, return_centroids=True)
-    v = emb.where(F.col("embedding").isNotNull()).select(
-        "vec_id", to_double(F.col("embedding")).alias("e")
-    )
-    o_dist = F.round(
-        F.aggregate(
-            F.zip_with(F.col("e"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    d2 = (
-        assigned.join(v, "vec_id")
-        .crossJoin(F.broadcast(cents))
-        .where(F.col("cid") != F.col("cluster"))
-        .select(
-            "vec_id",
-            "cluster",
-            F.col("dist").alias("a_dist"),
-            o_dist.alias("o_dist"),
-        )
-    )
-    member = d2.groupBy("vec_id", "cluster", "a_dist").agg(
-        F.min("o_dist").alias("b_dist")
-    )
+    member = _silhouette_members(spark, sf_dir)
     sil = F.when(
         F.greatest(F.col("a_dist"), F.col("b_dist")) > 0,
         (F.col("b_dist") - F.col("a_dist"))
@@ -592,4 +618,169 @@ def q_compaction_bin_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("planned_rows") == F.col("executed_rows").cast("long")).alias(
             "row_accounting_ok"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-weighted corpus resample (the composite that USES the weights)
+# ---------------------------------------------------------------------------
+
+DOREMI_RESAMPLE_K = 500  # target sample size in documents
+
+
+from velox_hadoop_spark.functions.hashing import (  # noqa: E402
+    duck_md5_int60,
+    seeded,
+    spark_md5_int60,
+)
+
+
+@register(
+    "doremi_weighted_resample",
+    oracle=f"""
+        WITH {{_DOREMI_CTES}},
+        caps AS (
+            SELECT source,
+                   CAST(floor({DOREMI_RESAMPLE_K} * w + 0.5) AS BIGINT) AS cap
+            FROM s2
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.source,
+                   CAST(row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY {duck_md5_int60(seeded('doc_id', 'doremi'))},
+                                d.doc_id
+                   ) AS BIGINT) AS rnk
+            FROM documents d
+        )
+        SELECT r.doc_id, r.source, r.rnk
+        FROM ranked r JOIN caps c USING (source)
+        WHERE r.rnk <= c.cap
+    """.format(_DOREMI_CTES=_DOREMI_CTES),
+    tags=("llm-pipeline", "doremi", "resample", "extension"),
+)
+def q_doremi_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to the DoReMi step-2 mixture: per source,
+    keep the first ⌊K·w2 + ½⌋ documents by seeded-hash order
+    (deterministic, unbiased within the source) — the composite that
+    turns the weight report into an actual training-mix sample, the
+    same weights→selection handoff as ``dsir_importance_resample``.
+
+    Determinism: w2 arrives on the 1e-9 grid from the shared
+    ``doremi_weight_frames`` pipeline (its oracle mirrors the same
+    ``_DOREMI_CTES`` chain), the per-source cap is one pinned
+    floor(K·w + ½), and the keep rank is the staged two-pass top-k
+    over the seeded 60-bit hash (no whole-source single-task sort;
+    stage caps at K ≥ every per-source cap). At 100 TB the weight
+    frame is |sources| rows joined broadcast-style onto the ranked
+    scan."""
+    from velox_hadoop_spark.functions.staged import staged_topk_per_group
+
+    docs = _docs(spark, sf_dir)
+    _, w_hist = doremi_weight_frames(docs)
+    caps = w_hist[-1].select(
+        "source",
+        F.floor(
+            F.lit(DOREMI_RESAMPLE_K) * F.col(f"w{DOREMI_ITERS}") + F.lit(0.5)
+        ).alias("cap"),
+    )
+    ranked = staged_topk_per_group(
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(spark_md5_int60(seeded("doc_id", "doremi"))).alias("__ord"),
+        ),
+        ["source"],
+        ["__ord", "doc_id"],
+        DOREMI_RESAMPLE_K,
+        rank_name="rnk",
+    )
+    return (
+        ranked.join(caps, "source")
+        .where(F.col("rnk") <= F.col("cap"))
+        .select("doc_id", "source", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Silhouette drill-down: the worst members per cluster
+# ---------------------------------------------------------------------------
+
+SIL_WORST_K = 3
+
+
+@register(
+    "silhouette_worst_members",
+    oracle=f"""
+        WITH {_duck_kmeans_ctes(KM_K, KM_ITERS)},
+        d2 AS (
+            SELECT a.vec_id, a.cid AS cluster, a.dist AS a_dist,
+                   ROUND(list_sum(list_transform(list_zip(v.e, c.ce),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS o_dist
+            FROM a{KM_ITERS} a
+            JOIN v ON v.vec_id = a.vec_id
+            CROSS JOIN c{KM_ITERS - 1} c
+            WHERE c.cid <> a.cid
+        ),
+        member AS (
+            SELECT vec_id, cluster, a_dist, min(o_dist) AS b_dist
+            FROM d2 GROUP BY vec_id, cluster, a_dist
+        ),
+        scored AS (
+            SELECT vec_id, cluster, a_dist, b_dist,
+                   CAST(floor((CASE WHEN greatest(a_dist, b_dist) > 0
+                                    THEN (b_dist - a_dist)
+                                         / greatest(a_dist, b_dist)
+                                    ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT)
+                       AS sq
+            FROM member
+        ),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY cluster ORDER BY sq ASC, vec_id ASC
+            ) AS BIGINT) AS rnk
+            FROM scored
+        )
+        SELECT cluster, vec_id, a_dist, b_dist,
+               ROUND(CAST(sq AS DOUBLE) / 1e6, 6) + 0.0 AS silhouette,
+               rnk
+        FROM ranked WHERE rnk <= {SIL_WORST_K}
+    """,
+    tags=("clustering", "quality", "silhouette", "extension"),
+)
+def q_silhouette_worst_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drill-down after ``kmeans_silhouette_lite``'s per-cluster
+    means: the {SIL_WORST_K} members of each cell with the LOWEST
+    simplified silhouette — the borderline points a curator inspects
+    first (candidates for re-clustering or near-duplicate spill across
+    cell boundaries).
+
+    Ranking key is the exact 1e-6-grid silhouette INTEGER (ties by
+    vec_id), so the top-k membership is engine-order-free, and the
+    rank runs as the staged two-pass top-k — no whole-cell
+    single-task sort. Same centroids, distances, and guards as the
+    per-cluster QA kernel."""
+    from velox_hadoop_spark.functions.staged import staged_topk_per_group
+
+    member = _silhouette_members(spark, sf_dir)
+    sil = F.when(
+        F.greatest(F.col("a_dist"), F.col("b_dist")) > 0,
+        (F.col("b_dist") - F.col("a_dist"))
+        / F.greatest(F.col("a_dist"), F.col("b_dist")),
+    ).otherwise(F.lit(0.0))
+    scored = member.withColumn(
+        "sq", F.floor(sil * F.lit(1e6) + F.lit(0.5))
+    )
+    ranked = staged_topk_per_group(
+        scored, ["cluster"], ["sq", "vec_id"], SIL_WORST_K, rank_name="rnk"
+    )
+    return ranked.select(
+        "cluster",
+        "vec_id",
+        "a_dist",
+        "b_dist",
+        (F.round(F.col("sq").cast("double") / F.lit(1e6), 6) + F.lit(0.0)).alias(
+            "silhouette"
+        ),
+        F.col("rnk").cast("long").alias("rnk"),
     )
