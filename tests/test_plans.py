@@ -236,14 +236,23 @@ def test_tfidf_scalar_broadcast_and_equi_join_idf(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_pack_sequences_single_exchange(spark):
-    """Window on source and the (source, seq_id) aggregate share one
-    hash partitioning: exactly one shuffle of the corpus."""
+def test_pack_sequences_staged_exchanges(spark):
+    """The round-10 STAGED layout replaced the single source-keyed
+    window (one exchange, but a whole source through one task at data
+    scale) with the three-stage prefix sum. The plan's exchange budget
+    is now exactly five, and only bucket-LEVEL frames may funnel to a
+    single partition: (1) per-(source, bucket) partial-sum shuffle of
+    narrow rows, (2) the cross-bucket prefix window's ordering exchange
+    over |buckets| rows (bounded: 1M docs per bucket), (3) a broadcast
+    of the prior-bucket table, (4) the (source, bucket)-KEYED
+    within-bucket window shuffle — partition-parallel, never
+    per-source, and (5) the final (source, seq_id) aggregate whose
+    partial aggregation collapses volume before the wire."""
     df = registry.queries()["pack_sequences"](spark, SF_DIR)
     plan = _formatted_plan(df)
-    # count Exchange operator headings in the detail section
     n = sum(1 for line in plan.splitlines() if line.startswith("(") and "Exchange" in line)
-    assert n == 1, plan
+    assert n == 5, plan
+    assert "__bkt" in plan
 
 
 def _n_exchanges(plan: str) -> int:

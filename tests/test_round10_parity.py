@@ -382,7 +382,8 @@ def test_silhouette_lite_matches_numpy_recompute(spark):
         (r.cluster, r.vec_id, r.a_dist, r.b_dist, r.silhouette, r.rnk)
         for r in queries()["silhouette_worst_members"](spark, sf).collect()
     }
-    assert got_worst == want_worst and len(got_worst) == 3 * len(per_member)
+    assert got_worst == want_worst
+    assert len(got_worst) == sum(min(3, len(ms)) for ms in per_member.values())
 
 
 def test_compaction_execution_twin_accounts_every_row(spark):

@@ -421,7 +421,7 @@ def test_stateful_runner_multibatch_matches_batch(spark):
         "stateful_multibatch_test",
         output_mode="update",
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain did not finish in 300s"
     sink = spark.table("stateful_multibatch_test")
     # several micro-batches => more emitted rows than users
     n_users = sink.select("user_id").distinct().count()
@@ -445,4 +445,43 @@ def test_stateful_runner_multibatch_matches_batch(spark):
         )
         .collect()
     }
+    assert got == want
+
+
+def test_stateful_runner_all_null_value_user_reports_null_total(spark):
+    """SQL sum semantics through the state store: a user whose event
+    values are ALL NULL must report total_value = NULL (not 0.00) —
+    the divergence the round-10 review's adversarial oracle check
+    found before any driver corpus could."""
+    from datetime import datetime
+
+    from velox_hadoop_spark.plans.registry import queries
+    import duckdb as _duckdb
+
+    d = tempfile.mkdtemp(prefix="vhs_nulluser_")
+    rows = [
+        (1, 7, "view", datetime(2024, 1, 1, 10, 0, 0), None, "{}"),
+        (2, 7, "view", datetime(2024, 1, 1, 11, 0, 0), None, "{}"),
+        (3, 8, "view", datetime(2024, 1, 1, 10, 30, 0), 5.005, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double, properties string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in queries()["streaming_stateful_totals_runner"](spark, d).collect()
+    }
+    assert got[7] == (2, None)
+    assert got[8][0] == 1 and abs(got[8][1] - 5.01) < 1e-9  # half-away cent
+    from velox_hadoop_spark.plans.registry import oracles
+
+    con = _duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    want = {
+        u: (n, t)
+        for u, n, t in con.sql(oracles()["streaming_stateful_totals_runner"]).fetchall()
+    }
+    con.close()
     assert got == want

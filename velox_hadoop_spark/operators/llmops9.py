@@ -184,7 +184,13 @@ def doremi_weight_frames(docs: DataFrame):
     base carries (source, n_tokens, lq, w0) and each wi frame the
     1e-9-grid post-iteration weight — the ONE home of the update rule,
     shared by the reweight report and the resample composite (both
-    oracles mirror the same ``_DOREMI_CTES`` chain)."""
+    oracles mirror the same ``_DOREMI_CTES`` chain).
+
+    Cache lifetime: the three persisted intermediates (token explode,
+    vocab counts, base) follow the dedup.py contract — a lazy-returning
+    helper cannot unpersist before the caller consumes the result, so
+    the CALLER owns the cache (bench and the driver gate clearCache
+    per query)."""
     from pyspark.storagelevel import StorageLevel
 
     # persist: the token explode feeds the frequency table, the
@@ -195,7 +201,12 @@ def doremi_weight_frames(docs: DataFrame):
         .where(F.col("tok") != "")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tc = t.groupBy("tok").agg(F.count("*").alias("c"))
+    # persist: the frequency table feeds the corpus total (twice, via
+    # base's crossJoin) and the surprisal join — |vocab| rows, one
+    # grouped shuffle instead of three
+    tc = t.groupBy("tok").agg(F.count("*").alias("c")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # corpus total from the (small) frequency table, not a fourth scan
     n = tc.agg(F.sum("c").cast("long").alias("n_total"))
     q = (
@@ -750,7 +761,7 @@ SIL_WORST_K = 3
 )
 def q_silhouette_worst_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drill-down after ``kmeans_silhouette_lite``'s per-cluster
-    means: the {SIL_WORST_K} members of each cell with the LOWEST
+    means: the 3 (``SIL_WORST_K``) members of each cell with the LOWEST
     simplified silhouette — the borderline points a curator inspects
     first (candidates for re-clustering or near-duplicate spill across
     cell boundaries).

@@ -17,7 +17,10 @@ is bounded on unbounded key domains.
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from velox_hadoop_spark.plans.registry import register
 
 RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total double"
@@ -350,26 +353,33 @@ def stream_user_extremes_tws(events: DataFrame) -> DataFrame:
 # surface whose execution evidence was pytest-only.
 # ---------------------------------------------------------------------------
 
-_CENTS_TOTALS_SCHEMA = "user_id long, n_events long, vc_sum long"
-_CENTS_STATE_SCHEMA = "n long, vc long"
+_CENTS_TOTALS_SCHEMA = "user_id long, n_events long, nv long, vc_sum long"
+_CENTS_STATE_SCHEMA = "n long, nv long, vc long"
 
 
 def _update_running_totals_cents(key, pdfs, state: GroupState):
-    """Per-user lifetime (count, Σ value in integer cents) — integer
-    state so the streaming accumulation is EXACTLY associative: the
-    state-store merge order across micro-batches cannot move a
-    half-cent boundary (the double-state kernel above is fine for its
-    batch-twin contract; the driver-verified runner rides cents)."""
+    """Per-user lifetime (count, non-null count, Σ value in integer
+    cents) — integer state so the streaming accumulation is EXACTLY
+    associative: the state-store merge order across micro-batches
+    cannot move a half-cent boundary (the double-state kernel above is
+    fine for its batch-twin contract; the driver-verified runner rides
+    cents). ``nv`` tracks non-null values so the final projection can
+    reproduce SQL sum semantics — a user whose values are ALL NULL
+    must report a NULL total, not 0.00 (an all-NULL user diverged the
+    oracle in the round-10 review's adversarial check)."""
     from velox_hadoop_spark.functions.vectors import round_half_away
 
-    (n, vc) = state.get if state.exists else (0, 0)
+    (n, nv, vc) = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
         v = pdf["value"].dropna()
         if len(v):
+            nv += len(v)
             vc += int(round_half_away(v.to_numpy() * 100.0, 0).sum())
-    state.update((n, vc))
-    yield pd.DataFrame([{"user_id": key[0], "n_events": n, "vc_sum": vc}])
+    state.update((n, nv, vc))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "nv": nv, "vc_sum": vc}]
+    )
 
 
 def stream_running_user_totals_cents(events: DataFrame) -> DataFrame:
@@ -382,62 +392,60 @@ def stream_running_user_totals_cents(events: DataFrame) -> DataFrame:
     )
 
 
-def _register_runner():
-    from pyspark.sql import functions as F
+@register(
+    "streaming_stateful_totals_runner",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "trigger", "end-to-end", "extension"),
+)
+def q_streaming_stateful_totals_runner(spark, sf_dir):
+    """The custom stateful operator executed FOR REAL: file-stream
+    source → groupBy(user).applyInPandasWithState (integer-cents
+    state, update mode) → availableNow trigger → memory sink. The
+    sink holds one emitted row per (user, micro-batch that touched
+    it); the final state per user is the row with the highest
+    running count (n_events strictly increases on every emission),
+    selected with max_by — so the returned frame is the
+    deterministic end-of-stream state no matter how the source
+    split into micro-batches, and the DuckDB oracle verifies the
+    actual state-store execution path (shuffle to state, Arrow
+    group iteration, per-batch emission, sink commit). A user whose
+    values are ALL NULL reports a NULL total like SQL sum (the nv
+    state column carries that distinction through the sink)."""
+    import uuid
 
-    from velox_hadoop_spark.plans.registry import register
-
-    @register(
-        "streaming_stateful_totals_runner",
-        oracle="""
-            SELECT user_id, count(*) AS n_events,
-                   ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT))
-                              AS DOUBLE) / 100.0, 2) AS total_value
-            FROM events GROUP BY user_id
-        """,
-        tags=("streaming", "stateful", "trigger", "end-to-end", "extension"),
+    from velox_hadoop_spark.streaming.events import (
+        _stream_source_dir,
+        read_event_stream,
+        run_available_now,
     )
-    def q_streaming_stateful_totals_runner(spark, sf_dir):
-        """The custom stateful operator executed FOR REAL: file-stream
-        source → groupBy(user).applyInPandasWithState (integer-cents
-        state, update mode) → availableNow trigger → memory sink. The
-        sink holds one emitted row per (user, micro-batch that touched
-        it); the final state per user is the row with the highest
-        running count (n_events strictly increases on every emission),
-        selected with max_by — so the returned frame is the
-        deterministic end-of-stream state no matter how the source
-        split into micro-batches, and the DuckDB oracle verifies the
-        actual state-store execution path (shuffle to state, Arrow
-        group iteration, per-batch emission, sink commit)."""
-        import uuid
 
-        from velox_hadoop_spark.streaming.events import (
-            _stream_source_dir,
-            read_event_stream,
-            run_available_now,
+    stream = read_event_stream(
+        spark, _stream_source_dir(spark, sf_dir)
+    ).select("user_id", "ts", "value")
+    name = f"vhs_stateful_{uuid.uuid4().hex[:8]}"
+    q = run_available_now(
+        stream_running_user_totals_cents(stream), name, output_mode="update"
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("nv").alias("nv"),
+            F.max_by("vc_sum", "n_events").alias("vc"),
         )
-
-        stream = read_event_stream(
-            spark, _stream_source_dir(spark, sf_dir)
-        ).select("user_id", "ts", "value")
-        name = f"vhs_stateful_{uuid.uuid4().hex[:8]}"
-        q = run_available_now(
-            stream_running_user_totals_cents(stream), name, output_mode="update"
-        )
-        q.awaitTermination()
-        final = (
-            spark.table(name)
-            .groupBy("user_id")
-            .agg(
-                F.max("n_events").alias("n_events"),
-                F.max_by("vc_sum", "n_events").alias("vc"),
-            )
-        )
-        return final.select(
-            "user_id",
-            "n_events",
-            F.round(F.col("vc").cast("double") / 100.0, 2).alias("total_value"),
-        )
-
-
-_register_runner()
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        F.when(
+            F.col("nv") > 0,
+            F.round(F.col("vc").cast("double") / 100.0, 2),
+        ).alias("total_value"),
+    )
