@@ -75,6 +75,17 @@ _REVERIFY = (
     # money-exactness remainder: avg/sd over money from exact
     # integer-cent moments (the Cohen's-d pattern):
     "stats_per_segment",
+    # the last ROUND(sum(double)) money totals in the registry — the
+    # streaming-family batch aggregates and the stateful batch twin —
+    # converted to exact integer-cent sums (lossless on the 2-dp value
+    # column, associative under any accumulation order incl. a
+    # streaming state-store merge), with SQL-sum NULL semantics in the
+    # pandas twin (an all-NULL-value user now reports NULL, not 0.00 —
+    # the round-10 review's adversarial find, fixed in kernel + oracle):
+    "events_tumbling_1h",
+    "events_sliding_10m5m",
+    "events_session_10m",
+    "stateful_totals_batch_twin",
 )
 
 
@@ -163,13 +174,15 @@ _REVERIFY_TAIL = (
 # silhouette_worst_members, the three REAL streaming-trigger runners
 # streaming_tumbling_runner / streaming_dedup_runner /
 # streaming_stateful_totals_runner, and
-# retention_cohort_segment_matrix) last. Budget arithmetic: 9
-# _REVERIFY (semantic/oracle rewrites) + 10 new + 3 perpetual
-# rows-only = 22 front candidates vs ~50 driver slots, leaving ~28
-# for the 44-name _REVERIFY_TAIL (36 round-9 riders not reached by
-# the r09 sample + 8 round-10 value-neutral rewrites) — ~16 tail
-# names re-queue in round 11; registration stops at 10 this round to
-# maximize the tail drain the r9 verdict asked for.
+# retention_cohort_segment_matrix) last. Budget arithmetic: 13
+# _REVERIFY (9 semantic/oracle rewrites + the 4 late money/NULL
+# conversions) + 10 new + 3 perpetual rows-only = 26 front candidates
+# vs ~50 driver slots, leaving ~24 for the 44-name _REVERIFY_TAIL
+# (36 round-9 riders not reached by the r09 sample + 8 round-10
+# value-neutral rewrites) — ~20 tail names re-queue in round 11;
+# registration stops at 10 this round to protect the tail drain the
+# r9 verdict asked for while still closing every member of the
+# money-sum flake class in-round.
 _DEFER = ()
 
 

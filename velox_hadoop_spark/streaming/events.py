@@ -38,12 +38,22 @@ EVENT_SCHEMA = T.StructType(
 # --------------------------- batch/stream transforms ---------------------------
 
 
+def _sum_value_cents():
+    """Exact integer-cents value total (the round-10 money rule): the
+    per-row cent quantization is lossless on 2-dp money, the LONG sum
+    is associative in ANY accumulation order — Spark partial aggs,
+    DuckDB scan order, AND a streaming state-store merge — and SQL-sum
+    NULL semantics ride through (sum of no non-null rows is NULL)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return F.round(F.sum(cents).cast("double") / 100.0, 2)
+
+
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     return (
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _sum_value_cents().alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -57,7 +67,7 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
 def sliding_agg(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
     return (
         events.groupBy(F.window("ts", width, slide).alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), _sum_value_cents().alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
 
@@ -71,7 +81,7 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _sum_value_cents().alias("total_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )
@@ -155,7 +165,7 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type,
                count(*) AS n,
-               ROUND(sum(value), 2) AS total_value
+               ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -175,7 +185,8 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
             CROSS JOIN UNNEST([0, 1]) AS t(k)
         )
-        SELECT window_start, count(*) AS n, ROUND(sum(value), 2) AS total_value
+        SELECT window_start, count(*) AS n,
+               ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
         FROM expanded
         GROUP BY window_start
     """,
@@ -211,7 +222,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(ts) AS session_start,
                max(ts) AS session_end,
                count(*) AS n_events,
-               ROUND(sum(value), 2) AS total_value
+               ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
         FROM numbered
         GROUP BY user_id, session_id
     """,

@@ -69,18 +69,32 @@ def batch_user_totals(events: DataFrame) -> DataFrame:
     pandas kernel run through grouped-map applyInPandas. Streaming's
     final emitted state MUST equal this (asserted in tests); registering
     it makes the stateful surface hash-verifiable against a SQL oracle.
-    """
+
+    Round-10 money/NULL hardening (ported from the cents runner): the
+    total folds EXACT integer cents (associative in any order — the
+    double sum was the rounding-flip class) and a user whose values
+    are ALL NULL reports a NULL total like SQL sum, not 0.00 (pandas
+    ``sum`` silently skips NaN — the divergence the adversarial oracle
+    check found on the runner applies here identically)."""
     from velox_hadoop_spark.functions.vectors import round_half_away
 
     def totals(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].dropna()
+        total = (
+            float(
+                round_half_away(
+                    int(round_half_away(v.to_numpy() * 100.0, 0).sum()) / 100.0, 2
+                )
+            )
+            if len(v)
+            else None
+        )
         return pd.DataFrame(
             [
                 {
                     "user_id": int(pdf["user_id"].iloc[0]),
                     "n_events": len(pdf),
-                    "total_value": float(
-                        round_half_away(float(pdf["value"].sum()), 2)
-                    ),
+                    "total_value": total,
                 }
             ]
         )
@@ -97,7 +111,8 @@ def _register():
         "stateful_totals_batch_twin",
         oracle="""
             SELECT user_id, count(*) AS n_events,
-                   ROUND(sum(value), 2) AS total_value
+                   ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS total_value
             FROM events GROUP BY user_id
         """,
         tags=("streaming", "stateful", "applyInPandasWithState", "extension"),
