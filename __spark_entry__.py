@@ -161,6 +161,23 @@ _REVERIFY_TAIL = (
     "capped_docs_per_source",
     "inverted_index_tokens",
     "key_skew_salting_plan",
+    # money-exactness COMPLETION batch (the round-10 review found the
+    # r9 "completed" claim had missed the streaming-family, sources,
+    # and reshape modules): every remaining ROUND(sum(double)) money
+    # total converted to the functions/money.py exact-cents/1e4 form,
+    # mirrored in each oracle, value-identical at sf0.01 + sf0.1
+    # (re-gated), now enforced registry-wide by lint_oracles class 3:
+    "events_json_props",
+    "events_segment_enriched",
+    "events_gap_fill_daily",
+    "jsonl_roundtrip_orders",
+    "orc_roundtrip_customer",
+    "partitioned_parquet_prune",
+    "dynamic_partition_prune_join",
+    "federated_format_union",
+    "grouping_sets_revenue",
+    "time_rollup_revenue",
+    "sql_q8_market_share",
 )
 
 
@@ -175,14 +192,15 @@ _REVERIFY_TAIL = (
 # streaming_tumbling_runner / streaming_dedup_runner /
 # streaming_stateful_totals_runner, and
 # retention_cohort_segment_matrix) last. Budget arithmetic: 13
-# _REVERIFY (9 semantic/oracle rewrites + the 4 late money/NULL
-# conversions) + 10 new + 3 perpetual rows-only = 26 front candidates
-# vs ~50 driver slots, leaving ~24 for the 44-name _REVERIFY_TAIL
-# (36 round-9 riders not reached by the r09 sample + 8 round-10
-# value-neutral rewrites) — ~20 tail names re-queue in round 11;
-# registration stops at 10 this round to protect the tail drain the
-# r9 verdict asked for while still closing every member of the
-# money-sum flake class in-round.
+# _REVERIFY (9 semantic/oracle rewrites + the 4 money/NULL
+# conversions with a semantic NULL change) + 10 new + 3 perpetual
+# rows-only = 26 front candidates vs ~50 driver slots, leaving ~24
+# for the 55-name _REVERIFY_TAIL (36 round-9 riders + 8 round-10
+# value-neutral plan rewrites + the 11-query money-exactness
+# COMPLETION batch, all value-identical at test SFs) — ~31 tail
+# names re-queue in round 11; registration stops at 10 this round.
+# The tail's money batch is enforced going forward by lint_oracles
+# class 3 (no free-order money sum can re-enter any oracle).
 _DEFER = ()
 
 

@@ -44,6 +44,25 @@ BAD_TYPES = ("hugeint", "int128", "decimal128(38, 0)", "decimal128(38,0)")
 # ARRAY) and large_list spellings — match anywhere in the type string.
 NESTED_TYPES = ("list", "struct", "map")
 
+# Class 3 (round 10): a DIRECT double sum of a money column inside the
+# oracle — `ROUND(sum(<money col or money expr>), n)` — is the
+# free-order rounding-flip class the money-exactness program closed
+# (functions/money.py is the canonical form: per-row cent/1e4
+# quantization to BIGINT, associative integer sum, one final divide).
+# The regex requires `sum(` to open DIRECTLY on a money column or a
+# money-column product, which only the unconverted form does (the
+# exact form opens with `sum(CAST(round(...`).
+import re  # noqa: E402
+
+MONEY_COLS = (
+    "value|o_totalprice|c_acctbal|s_acctbal|l_extendedprice"
+    "|l_totalprice|ps_supplycost"
+)
+MONEY_DOUBLE_SUM = re.compile(
+    rf"ROUND\(\s*sum\(\s*(?:[a-z]+\.)?(?:{MONEY_COLS})\b",
+    re.IGNORECASE,
+)
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -80,7 +99,15 @@ def main() -> int:
             )
         if bad or nested:
             n_bad += 1  # count OFFENDING ORACLES once, not per class
-    print(f"{'OK' if n_bad == 0 else 'BAD'}: {n_bad} oracles with HUGEINT-class or nested outputs")
+    n_money = 0
+    for name, spec in registry.specs().items():
+        if spec.oracle and MONEY_DOUBLE_SUM.search(spec.oracle):
+            print(f"FAIL  {name}: free-order double sum of a money column"
+                  " in the oracle — use the functions/money.py exact form")
+            n_money += 1
+    n_bad += n_money
+    print(f"{'OK' if n_bad == 0 else 'BAD'}: {n_bad} oracles with "
+          "HUGEINT-class, nested, or free-order-money-sum outputs")
     return 1 if n_bad else 0
 
 

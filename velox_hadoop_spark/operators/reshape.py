@@ -103,7 +103,9 @@ def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GROUPING_SETS_SQL = """
     SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
            COALESCE(l_linestatus, 'ALL') AS lstatus,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                              * 10000) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -139,7 +141,8 @@ _TIME_ROLLUP_SQL = """
     SELECT CAST(COALESCE(y, -1) AS INTEGER) AS y,
            CAST(COALESCE(q, -1) AS INTEGER) AS q,
            CAST(COALESCE(m, -1) AS INTEGER) AS m,
-           ROUND(sum(o_totalprice), 2) AS revenue,
+           ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS revenue,
            count(*) AS n_orders
     FROM d
     GROUP BY ROLLUP (y, q, m)

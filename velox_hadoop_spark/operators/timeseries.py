@@ -27,11 +27,13 @@ from velox_hadoop_spark.plans.registry import register
 
 def daily_rollup(events: DataFrame) -> DataFrame:
     """Events → one row per (user, day) with count and rounded value sum."""
+    from velox_hadoop_spark.functions.money import sum_money_cents
+
     return events.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("day_value"),
+        sum_money_cents("value").alias("day_value"),
     )
 
 
@@ -83,7 +85,9 @@ def gap_fill_daily(events: DataFrame) -> DataFrame:
         ),
         daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   count(*) AS n_events, ROUND(sum(value), 2) AS day_value
+                   count(*) AS n_events,
+                   ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS day_value
             FROM events GROUP BY user_id, day
         )
         SELECT s.user_id, s.day,

@@ -376,11 +376,16 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # just the DataFrame API.
 _Q8_SQL = """
     SELECT o_year,
-           ROUND(sum(CASE WHEN nation = 'NATION_5' THEN revenue ELSE 0 END)
-                 / sum(revenue), 4) AS mkt_share
+           -- exact 1e4-fixed-point revenue sums in BOTH the numerator
+           -- and denominator (associative integers; the double-sum
+           -- ratio was the last free-order money fold in this module)
+           ROUND(CAST(sum(CASE WHEN nation = 'NATION_5' THEN rev_fp
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev_fp) AS DOUBLE), 4) AS mkt_share
     FROM (
         SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount) AS revenue,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT) AS rev_fp,
                n.n_name AS nation
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey

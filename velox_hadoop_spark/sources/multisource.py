@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from velox_hadoop_spark.operators.setops import _snap_bucket_duck
+from velox_hadoop_spark.functions.money import sum_money_cents
 from velox_hadoop_spark.plans.registry import register
 
 
@@ -102,7 +103,7 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     oracle="""
         SELECT o_orderstatus,
                count(*) AS n,
-               ROUND(sum(o_totalprice), 2) AS sum_price
+               ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -132,7 +133,7 @@ def q_jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_jsonl(spark, path, schema)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        sum_money_cents("o_totalprice").alias("sum_price"),
     )
 
 
@@ -150,7 +151,7 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     oracle="""
         SELECT c_mktsegment,
                count(*) AS n,
-               ROUND(sum(c_acctbal), 2) AS sum_bal
+               ROUND(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_bal
         FROM customer
         GROUP BY c_mktsegment
     """,
@@ -174,7 +175,7 @@ def q_orc_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_orc(spark, path)
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        sum_money_cents("c_acctbal").alias("sum_bal"),
     )
 
 
@@ -221,7 +222,7 @@ def write_partitioned_parquet(
     oracle="""
         SELECT o_orderstatus,
                count(*) AS n,
-               ROUND(sum(o_totalprice), 2) AS sum_price
+               ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
         FROM orders
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY o_orderstatus
@@ -254,7 +255,7 @@ def q_partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        sum_money_cents("o_totalprice").alias("sum_price"),
     )
 
 
@@ -300,7 +301,7 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                count(*) AS n,
-               ROUND(sum(o_totalprice), 2) AS sum_price
+               ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
         FROM orders
         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         GROUP BY o_orderpriority
@@ -343,7 +344,7 @@ def q_dynamic_partition_prune_join(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            sum_money_cents("o_totalprice").alias("sum_price"),
         )
     )
 
@@ -353,7 +354,7 @@ def q_dynamic_partition_prune_join(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
         SELECT o_orderstatus,
                count(*) AS n,
-               ROUND(sum(o_totalprice), 2) AS sum_price
+               ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -392,5 +393,5 @@ def q_federated_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_legs = parquet_leg.unionByName(tsv_leg).unionByName(jsonl_leg)
     return all_legs.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        sum_money_cents("o_totalprice").alias("sum_price"),
     )

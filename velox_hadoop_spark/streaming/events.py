@@ -39,13 +39,11 @@ EVENT_SCHEMA = T.StructType(
 
 
 def _sum_value_cents():
-    """Exact integer-cents value total (the round-10 money rule): the
-    per-row cent quantization is lossless on 2-dp money, the LONG sum
-    is associative in ANY accumulation order — Spark partial aggs,
-    DuckDB scan order, AND a streaming state-store merge — and SQL-sum
-    NULL semantics ride through (sum of no non-null rows is NULL)."""
-    cents = F.round(F.col("value") * 100).cast("long")
-    return F.round(F.sum(cents).cast("double") / 100.0, 2)
+    """Exact integer-cents value total — see functions/money.py (the
+    ONE home of the rule both engines' forms interpolate from)."""
+    from velox_hadoop_spark.functions.money import sum_money_cents
+
+    return sum_money_cents("value")
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -279,7 +277,7 @@ def q_events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
                count(*) AS n,
-               ROUND(sum(value), 2) AS total_value,
+               ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value,
                max(value) AS max_value
         FROM events
         GROUP BY 1
@@ -296,9 +294,10 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count("*").alias("n"),
-            # sum/min/max of 2-dp doubles round-trip exactly; avg at 4 dp
-            # can land on a half-boundary where engines' rounding diverges
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # min/max of 2-dp doubles are exact SELECTIONS; the total is
+            # an exact integer-cent fold (a double SUM does not
+            # round-trip — the round-10 money rule)
+            _sum_value_cents().alias("total_value"),
             F.max("value").alias("max_value"),
         )
     )
@@ -321,7 +320,7 @@ def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _sum_value_cents().alias("total_value"),
         )
     )
 
@@ -331,7 +330,8 @@ def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
     oracle="""
         SELECT c.c_mktsegment,
                count(*) AS n_events,
-               ROUND(sum(e.value), 2) AS total_value
+               ROUND(CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS total_value
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
@@ -470,28 +470,6 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-def stream_tumbling_exact(stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
-    """Watermarked tumbling agg with the value total in EXACT integer
-    cents: the streaming state-store merge adds a THIRD summation
-    order on top of Spark-batch vs DuckDB scan order, so a
-    ``ROUND(sum(double), 2)`` total here would be the rounding-flip
-    class the round-9 money sweep closed — cents sums are associative
-    integers and merge identically in any order."""
-    cents = F.round(F.col("value") * 100).cast("long")
-    return (
-        stream.withWatermark("ts", watermark)
-        .withColumn("vc", cents)
-        .groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("vc").alias("vc_sum"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n",
-            F.round(F.col("vc_sum").cast("double") / 100.0, 2).alias("total_value"),
-        )
-    )
-
-
 @register(
     "streaming_tumbling_runner",
     oracle="""
@@ -524,8 +502,10 @@ def q_streaming_tumbling_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, _stream_source_dir(spark, sf_dir))
     name = f"vhs_tumbling_{uuid.uuid4().hex[:8]}"
+    # stream_tumbling_counts == watermark + the SHARED exact-cents
+    # tumbling_agg, so the runner and the batch query cannot drift
     q = run_available_now(
-        stream_tumbling_exact(stream), name, output_mode="complete"
+        stream_tumbling_counts(stream), name, output_mode="complete"
     )
     q.awaitTermination()
     return spark.table(name)

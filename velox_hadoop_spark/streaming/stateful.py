@@ -65,10 +65,13 @@ def stream_running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def batch_user_totals(events: DataFrame) -> DataFrame:
-    """Batch twin of ``stream_running_user_totals``: the same per-key
-    pandas kernel run through grouped-map applyInPandas. Streaming's
-    final emitted state MUST equal this (asserted in tests); registering
-    it makes the stateful surface hash-verifiable against a SQL oracle.
+    """Batch form of the per-user lifetime totals through grouped-map
+    applyInPandas; registering it makes the stateful surface
+    hash-verifiable against a SQL oracle. (The DEMONSTRATION streaming
+    kernel above keeps double accumulation and 0.0-on-all-NULL — its
+    test deliberately compares it against the raw double sum; the
+    DRIVER-VERIFIED streaming path is the cents runner below, whose
+    end state matches this twin's exact-cents contract.)
 
     Round-10 money/NULL hardening (ported from the cents runner): the
     total folds EXACT integer cents (associative in any order — the
