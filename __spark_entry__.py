@@ -52,95 +52,49 @@ _BOOST = ()
 # Driver-green rows whose underlying code or oracle changed AFTER the
 # green row was recorded. They re-enter the verification queue right
 # behind the never-verified boost group so the driver refreshes their
-# evidence. Round 9's 7 names all re-greened in CORRECTNESS_r09 and
-# were dropped; repopulated with round 10's semantic/oracle rewrites:
+# evidence. Round 10's 13 names all re-greened in CORRECTNESS_r10 and
+# were dropped; repopulated with round 11's semantic/oracle rewrites:
 _REVERIFY = (
-    # deterministic-truncation caps on the last three uncapped dedup
-    # pair generators, each mirrored in its oracle (cap-binding
-    # fixtures in tests/test_round10_parity.py):
-    "incremental_lsh_near_dup",
-    "contained_doc_pairs",
-    "similarity_join_prefix",
-    # ANN_BUCKET_CAP neighbor truncation, mirrored in the oracle:
-    "ann_lsh_topk",
-    # hyperplane-bit oracles realigned from free-order GROUP BY sums
-    # to literal left-to-right folds (the Brown-EMA cancellation
-    # class, closed proactively) — values identical at test SFs:
-    "embedding_lsh_buckets",
-    "ann_lsh_recall_at_k",
-    "ann_multiprobe_recall",
-    # outlier ranking key rebuilt on exact 1e-12-grid BIGINT terms
-    # against a 1e-9-pinned centroid (both engines):
-    "embedding_outliers",
-    # money-exactness remainder: avg/sd over money from exact
-    # integer-cent moments (the Cohen's-d pattern):
-    "stats_per_segment",
-    # the last ROUND(sum(double)) money totals in the registry — the
-    # streaming-family batch aggregates and the stateful batch twin —
-    # converted to exact integer-cent sums (lossless on the 2-dp value
-    # column, associative under any accumulation order incl. a
-    # streaming state-store merge), with SQL-sum NULL semantics in the
-    # pandas twin (an all-NULL-value user now reports NULL, not 0.00 —
-    # the round-10 review's adversarial find, fixed in kernel + oracle):
-    "events_tumbling_1h",
-    "events_sliding_10m5m",
-    "events_session_10m",
-    "stateful_totals_batch_twin",
+    # streaming dedup runner now emits per-key SINK ROW COUNTS (oracle
+    # pins n_rows = 1 per key) instead of a post-sink distinct, so a
+    # dropDuplicatesWithinWatermark regression that emits duplicates
+    # fails the driver gate too (round-10 ADVICE item):
+    "streaming_dedup_runner",
+    # the broadened lint_oracles class 3 (CAST wrappers, avg, un-ROUNDed
+    # money sums — round-10 ADVICE) caught 7 stragglers; all converted
+    # to exact integer-cent / 1e4-grid / exact-moment folds, mirrored in
+    # each oracle, value-identical at sf0.01 + sf0.1 (re-gated). The
+    # 8th hit (window_customer_orders, a bounded 3-row frame) is
+    # whitelisted with rationale in scripts/lint_oracles.py:
+    "tpch_q14_promo_revenue",
+    "stateful_sessions_batch_twin",
+    "event_value_outliers",
+    "winsorized_mean_value",
+    "welch_z_by_event_type",
+    "grouped_locf_daily_fill",
+    "weekday_hour_heatmap",
 )
 
 
-# Green rows whose kernels were HARDENED this round with provably
-# value-neutral rewrites (decimal/HUGEINT widening of overflow-at-scale
-# products, integer-cents ranking keys, −0.0 pins, the bounded
-# posting-list top-k) — all re-gated at sf0.01 AND sf0.1 with identical
-# results. They re-enter the queue BEHIND the never-verified group:
-# fresh driver evidence is desirable but must not displace a
-# new registration's FIRST row (the every-query-has-a-row invariant);
-# whatever the ~50-slot budget doesn't reach this round re-queues in
-# round 10.
+# Green rows whose kernels were HARDENED with provably value-neutral
+# rewrites — all re-gated at sf0.01 AND sf0.1 with identical results.
+# They re-enter the queue BEHIND the never-verified group: fresh driver
+# evidence is desirable but must not displace a new registration's
+# FIRST row (the every-query-has-a-row invariant). Round-11 state: the
+# r09 sample reached 24 of the 55 round-10 tail names (re-greened,
+# dropped); the 31 names below re-queue at the FRONT of the tail, in
+# the same wait-order. Round 11 registers few new queries so the
+# ~50-slot budget reaches ALL of them (restoring the r8 invariant
+# "every registry query has a current green row").
 _REVERIFY_TAIL = (
-    # round-9 riders not reached by the r09 sample (the 4 reached —
-    # customer_rfm_segments, spend_quartile_migration, cohort_ltv_curve,
-    # inverted_index_tokens — re-greened and were dropped; the four ANN
-    # names moved up to _REVERIFY with round-10 oracle changes):
-    "embedding_random_projection",
-    "cusum_changepoint_daily",
-    "mann_whitney_u",
-    "auc_quality_en_classifier",
-    "ks_statistic_order_values",
-    # money-exactness batch: exact fixed-point sums replace
-    # ROUND(SUM(double)) where the double sum loses cent resolution or
-    # feeds a ranking key at 100 TB scale (same re-gate evidence).
-    # sqlbreadth2's _t -> read_table change is NOT re-queued: it only
-    # alters the events read path under TIMESTAMP(NANOS) storage and
-    # is a byte-identical no-op on every driver-visible corpus.
-    "damped_rank_formula",
-    "conditional_agg_flags",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "monthly_revenue_mom",
-    "window_rank_in_nation",
-    "nation_revenue_share",
-    "time_weighted_avg_value",
-    # money-exactness sweep part 2 (same class, same evidence):
-    "broadcast_region_rollup",
-    "range_join_ship_window",
-    "override_join_balances",
-    "cube_priority_status",
-    "orders_by_weekday",
-    "salted_join_lineitem_orders",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q10_returned_revenue",
-    "tpch_q7_nation_volume",
+    # round-9/10 riders not reached by the r10 sample, oldest first —
+    # money-exactness conversions (exact integer-cent sums replacing
+    # ROUND(SUM(double))), −0.0 pins on the shared cosine/centroid
+    # kernels, and the A-ES zero-weight guard:
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_rich_customers",
     "window_customer_orders",
     "window_trailing_30d_spend",
-    # −0.0 pins on the shared cosine/centroid kernels (similarity.py)
-    # and the A-ES zero-weight guard (sampling.py): results identical
-    # on every driver corpus, re-gated green at sf0.01 + sf0.1.
     "embedding_near_dup",
     "ann_bruteforce_topk",
     "knn_top1_all",
@@ -151,8 +105,7 @@ _REVERIFY_TAIL = (
     "weighted_sample_docs",
     # round-10 value-neutral plan rewrites (staged windows, salted IVF
     # cogroup, persist riders) — outputs byte-identical, re-gated at
-    # sf0.01 + sf0.1; queued BEHIND the older riders above (those have
-    # waited a round longer for fresh driver evidence):
+    # sf0.01 + sf0.1:
     "ann_ivf_topk",
     "pack_sequences",
     "pack_overflow_stats",
@@ -161,12 +114,9 @@ _REVERIFY_TAIL = (
     "capped_docs_per_source",
     "inverted_index_tokens",
     "key_skew_salting_plan",
-    # money-exactness COMPLETION batch (the round-10 review found the
-    # r9 "completed" claim had missed the streaming-family, sources,
-    # and reshape modules): every remaining ROUND(sum(double)) money
-    # total converted to the functions/money.py exact-cents/1e4 form,
-    # mirrored in each oracle, value-identical at sf0.01 + sf0.1
-    # (re-gated), now enforced registry-wide by lint_oracles class 3:
+    # money-exactness COMPLETION batch (streaming-family, sources, and
+    # reshape modules), value-identical at sf0.01 + sf0.1 (re-gated),
+    # enforced registry-wide by lint_oracles class 3:
     "events_json_props",
     "events_segment_enriched",
     "events_gap_fill_daily",
@@ -178,29 +128,71 @@ _REVERIFY_TAIL = (
     "grouping_sets_revenue",
     "time_rollup_revenue",
     "sql_q8_market_share",
+    # round-11 value-neutral plan rewrites: the grouped-array hot-bucket
+    # OOM class closed at ALL FIVE sites (lsh_candidate_pairs,
+    # jaccard_pairs, incremental_lsh_near_dup, simhash_near_dup_pairs,
+    # fuzzy_pairs_blocked) with drop_hot_keys — a count pre-pass +
+    # broadcast anti-join BEFORE the grouped collect_list; dropped
+    # buckets unchanged, every oracle unchanged. The 22 names below are
+    # the transitive riders of those shared helpers (AST call-graph
+    # audit), re-gated value-identical at sf0.01 + sf0.1. They queue
+    # BEHIND the 31 older riders above: the round-11 budget drains all
+    # 31 old names first; riders the sample does not reach re-queue in
+    # round 12 (the OOM-close brief item created more riders than the
+    # ~50-slot budget holds alongside the old drain — resolved in favor
+    # of closing the whole class, arithmetic in plans/ROUND12_NOTES.md).
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "incremental_lsh_near_dup",
+    "simhash_near_dup_pairs",
+    "fuzzy_part_name_pairs",
+    "entity_resolution_parts",
+    "minhash_jaccard_estimate",
+    "minhash_containment_pairs",
+    "minhash_estimate_error_audit",
+    "minhash_band_tuning_report",
+    "near_dup_verified_pairs",
+    "near_dup_cluster_size_histogram",
+    "lsh_dedup_recall_gate",
+    "dedup_clusters",
+    "dedup_cluster_source_span",
+    "dedup_threshold_sweep",
+    "dedup_survivorship_golden",
+    "intra_cluster_jaccard_audit",
+    "cluster_split_assign",
+    "cross_source_neardup_matrix",
+    "cross_snapshot_dedup_decay",
+    "snapshot_novelty_rate",
+    # round-11 streaming-runner hygiene (round-10 ADVICE): deterministic
+    # per-sf stream-source dir + stale memory-sink drop via
+    # drain_to_memory_sink — sink contents and oracles unchanged for
+    # these two (the dedup runner's oracle DID change; it rides
+    # _REVERIFY above):
+    "streaming_tumbling_runner",
+    "streaming_stateful_totals_runner",
+    # round-11 shared recall ground truth (VERDICT item 4): the exact
+    # baseline computes once per (session, sf_dir) and replays as a
+    # ~3k-row local relation — values identical (re-gated sf0.01 +
+    # sf0.1); ann_ivf_recall already rides the older batch above:
+    "ann_lsh_recall_at_k",
+    "ann_multiprobe_recall",
+    "ann_recall_budget_curve",
 )
 
 
 # Queries added in the current round: they go to the BACK of the
 # never-verified group so each new registration extends the burn-down
 # queue instead of displacing older queries out of the driver's
-# per-round verification budget. Round 10: empty — registration order
-# already queues the 10 additions (llmops9's doremi_mixture_reweight /
-# retrieval_map_mrr_at_10 / kmeans_silhouette_lite /
-# compaction_bin_execution / doremi_weighted_resample /
-# silhouette_worst_members, the three REAL streaming-trigger runners
-# streaming_tumbling_runner / streaming_dedup_runner /
-# streaming_stateful_totals_runner, and
-# retention_cohort_segment_matrix) last. Budget arithmetic: 13
-# _REVERIFY (9 semantic/oracle rewrites + the 4 money/NULL
-# conversions with a semantic NULL change) + 10 new + 3 perpetual
-# rows-only = 26 front candidates vs ~50 driver slots, leaving ~24
-# for the 55-name _REVERIFY_TAIL (36 round-9 riders + 8 round-10
-# value-neutral plan rewrites + the 11-query money-exactness
-# COMPLETION batch, all value-identical at test SFs) — ~31 tail
-# names re-queue in round 11; registration stops at 10 this round.
-# The tail's money batch is enforced going forward by lint_oracles
-# class 3 (no free-order money sum can re-enter any oracle).
+# per-round verification budget. Round 11: empty — registration order
+# queues the few additions last. Budget arithmetic: the 3 sketch
+# queries converted from rows-only to hash-oracled bounds-audits are
+# never-hash-green, so they sort into the never-verified front
+# automatically; front = 3 sketch conversions + new registrations +
+# 1 _REVERIFY (streaming_dedup_runner oracle change) ≈ 8 vs ~50 driver
+# slots, leaving ~42 for the tail — ALL 31 old riders drain (the r8
+# "every query has a current green row" invariant restored for the
+# inherited debt), then ~11 of the 22 round-11 OOM-fix riders; the
+# remainder re-queues in round 12.
 _DEFER = ()
 
 

@@ -58,10 +58,28 @@ MONEY_COLS = (
     "value|o_totalprice|c_acctbal|s_acctbal|l_extendedprice"
     "|l_totalprice|ps_supplycost"
 )
+# Broadened (round-10 ADVICE): also catch equivalent free-order forms —
+# a CAST wrapper (`sum(CAST(value AS DOUBLE))`), `avg` over money, and
+# un-ROUNDed money sums. The exact functions/money.py form never
+# matches: it opens `sum(CAST(round(` — per-row quantization BEFORE the
+# aggregate — whereas every free-order form opens the aggregate
+# directly on the money column (optionally through a bare CAST).
 MONEY_DOUBLE_SUM = re.compile(
-    rf"ROUND\(\s*sum\(\s*(?:[a-z]+\.)?(?:{MONEY_COLS})\b",
+    rf"\b(?:sum|avg)\(\s*(?:CAST\(\s*)?(?:[a-z]+\d?\.)?(?:{MONEY_COLS})\b",
     re.IGNORECASE,
 )
+
+# Per-query exceptions, each with a boundedness rationale (the
+# lint_plans WHITELIST discipline): the class targets SF-PROPORTIONAL
+# free-order accumulation; a fixed-width window frame is not in it.
+MONEY_SUM_WHITELIST = {
+    "window_customer_orders": (
+        "avg(o_totalprice) OVER a 3-ROW moving-average frame: term count"
+        " is bounded at 3 (max fold error ~1e-12 on 2-dp money <= 1e6,"
+        " eight orders under the 1e-4 output grid) and never grows with"
+        " SF — not the free-order-accumulation class"
+    ),
+}
 
 
 def main() -> int:
@@ -101,9 +119,14 @@ def main() -> int:
             n_bad += 1  # count OFFENDING ORACLES once, not per class
     n_money = 0
     for name, spec in registry.specs().items():
-        if spec.oracle and MONEY_DOUBLE_SUM.search(spec.oracle):
-            print(f"FAIL  {name}: free-order double sum of a money column"
-                  " in the oracle — use the functions/money.py exact form")
+        if (
+            spec.oracle
+            and name not in MONEY_SUM_WHITELIST
+            and MONEY_DOUBLE_SUM.search(spec.oracle)
+        ):
+            print(f"FAIL  {name}: free-order double sum/avg of a money"
+                  " column in the oracle — use the functions/money.py"
+                  " exact form (or whitelist with a boundedness rationale)")
             n_money += 1
     n_bad += n_money
     print(f"{'OK' if n_bad == 0 else 'BAD'}: {n_bad} oracles with "

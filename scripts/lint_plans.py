@@ -57,6 +57,7 @@ WHITELIST = {
     ("operators/contamination.py", "sb"): (1, "per-language shingle stats; lang domain is enum-bounded"),
     ("operators/contamination.py", "bench_sh"): (1, "API contract: contamination_scan's `benchmark` arg is a fixed eval suite by contract (the registered query's src0 STAND-IN scales with SF; production eval sets do not)"),
     ("operators/dedup.py", "slens"): (1, "distinct sub-block doc lengths, < shingle width (40) rows"),
+    ("operators/dedup.py", "hot"): (1, "over-cap hot keys: bounded by |rows| / cap (< 0.2% of key rows at cap = 512); the drop_hot_keys OOM guard"),
     ("operators/graph.py", "df"): (1, "probe-guarded: broadcast only when n_rows <= BFS_BROADCAST_NODES"),
     ("operators/join.py", "dim"): (1, "API contract: caller declares the frame a broadcast dimension"),
     ("operators/join2.py", "mins"): (1, "per-nationkey min: bounded by the 25-row nation domain"),
@@ -95,6 +96,7 @@ WHITELIST = {
     ("operators/retrieval.py", "idf"): (1, "one row per QUERY term (constant query bag), not per corpus term"),
     ("operators/retrieval.py", "active"): (1, "top_k-capped user set (active_cap rows)"),
     ("operators/llmops9.py", "cents"): (1, "k centroid rows (k is a parameter)"),
+    ("operators/llmops9.py", "tot"): (1, "one scalar total-kept row (doremi_resample_report)"),
     ("operators/similarity.py", "q"): (1, "fixed-count md5-ordered query sample"),
     ("operators/similarity.py", "cents"): (1, "k centroid rows"),
     ("operators/similarity.py", "cent"): (1, "k centroid rows"),

@@ -42,6 +42,7 @@ WHITELIST = {
     "operators/llmops2.py": (1, "funnel stage spine: 5 rows"),
     "operators/llmops3.py": (2, "quality-score grid + distinct-cent AUC grid: value-domain bounded, 10x-probed (Spearman/KW discipline, round-8 verdict)"),
     "operators/llmops4.py": (3, "decile / token-bucket / context-budget grids: fixed bucket counts"),
+    "operators/llmops9.py": (1, "re-assignment rank AFTER limit(REASSIGN_N): literal-bounded 25-row frame"),
     "operators/mining.py": (1, "hour-of-day spine: 24 rows"),
     "operators/retrieval2.py": (1, "vocab-domain token rank; the r <= ZIPF_TOP filter compiles to WindowGroupLimit top-N; 10x-probed at 1.0x"),
     "operators/skyline.py": (1, "partition-id offsets: one row per partition"),

@@ -284,11 +284,10 @@ def test_stateful_sessions_stream_matches_batch(spark, event_stream_dir):
                     pd.Timestamp(s, unit="us").to_pydatetime(),
                     pd.Timestamp(e, unit="us").to_pydatetime(),
                     n,
-                    # repo-wide half-away convention, NOT Python round():
-                    # using round() on both sides would mask a streaming
-                    # kernel that diverged from the batch twin at
-                    # half-cent totals.
-                    round_half_away(t, 2),
+                    # the kernel accumulates EXACT integer cents
+                    # (round-11 money completion): one divide, no
+                    # rounding needed — lossless at 2 dp
+                    t / 100.0,
                 )
             )
     assert streamed == expected

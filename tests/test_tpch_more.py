@@ -77,13 +77,16 @@ def test_stateful_running_totals_matches_batch(spark):
 
 
 def test_approx_distinct_within_tolerance(spark, duck):
-    """The production plan is sketch-ONLY (the exact distinct shuffle
+    """The PRODUCTION plan is sketch-ONLY (the exact distinct shuffle
     it replaces must not appear in it); the |approx−exact|/exact ≤ 10%
     accuracy contract is asserted here by computing the exact side out
-    of band in DuckDB."""
-    from velox_hadoop_spark.plans import registry
+    of band in DuckDB. (The registered query is the bounds-AUDIT twin
+    since round 11 — it carries the exact side by design.)"""
+    from velox_hadoop_spark.operators.tpch_more import approx_distinct_parts
 
-    df = registry.queries()["approx_distinct_parts_per_supplier"](spark, SF_DIR)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    df = approx_distinct_parts(li, supp)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "approx_count_distinct" in plan
     assert "Expand" not in plan  # the exact-distinct shape never returns
@@ -104,12 +107,16 @@ def test_approx_distinct_within_tolerance(spark, duck):
 
 
 def test_approx_percentiles_close_to_exact(spark, duck):
-    """The production plan is sketch-ONLY; the 1%-of-exact accuracy
+    """The PRODUCTION plan is sketch-ONLY; the 1%-of-exact accuracy
     contract is asserted here with the exact quantiles computed out of
-    band in DuckDB (quantile_cont = Spark's interpolated percentile)."""
-    from velox_hadoop_spark.plans import registry
+    band in DuckDB (quantile_cont = Spark's interpolated percentile).
+    (The registered query is the bounds-AUDIT twin since round 11.)"""
+    from velox_hadoop_spark.operators.tpch_more import (
+        approx_percentiles_production,
+    )
 
-    rows = registry.queries()["approx_percentiles_price"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rows = approx_percentiles_production(li).collect()
     assert rows
     exact = {
         r[0]: (r[1], r[2], r[3])

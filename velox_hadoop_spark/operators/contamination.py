@@ -188,7 +188,10 @@ def pack_sequences(
         F.col(id_col),
         F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("n_tok"),
     )
-    base = toks.withColumn("__bkt", (F.col(id_col) / 1_000_000).cast("long"))
+    # integer DIV, not double division: no float detour, exact at any
+    # id magnitude (doc ids are non-negative by contract, so DIV's
+    # truncation and floor agree) — round-10 ADVICE
+    base = toks.withColumn("__bkt", F.expr(f"{id_col} DIV 1000000"))
     bsum = base.groupBy(part_col, "__bkt").agg(F.sum("n_tok").alias("__bsum"))
     wb = (
         Window.partitionBy(part_col)

@@ -170,10 +170,42 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS, r: int = _R) 
 
 
 # Hot-key capping convention: every banded/blocked self-join in this
-# module groups its key table into per-key arrays and drops buckets
-# larger than the cap with a size filter — one shuffle, no hot-key
-# count pre-pass, no anti-join, per-bucket memory bounded by the cap.
-# Each oracle mirrors the cap with `HAVING count(*) <= cap`.
+# module drops keys carried by more than the cap's row count, then
+# groups the survivors into per-key arrays for in-row pair generation.
+# Each oracle mirrors the cap with `HAVING count(*) <= cap`. The drop
+# happens BEFORE the grouped collect_list (``drop_hot_keys`` below), so
+# no aggregation buffer ever materializes a hot bucket's id array.
+
+
+def drop_hot_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Remove every row whose key carries more than ``cap`` rows —
+    BEFORE any grouped ``collect_list`` materializes per-key arrays.
+
+    Count pre-pass + broadcast anti-join: the per-key counts
+    partial-aggregate map-side (the extra shuffle moves at most one
+    (key, count) row per distinct key per input partition — never the
+    wide table), the over-cap key frame is bounded by |rows| / cap keys
+    (< 0.2% of the row count at cap = 512) so it broadcasts, and the
+    anti-join is a broadcast probe with no shuffle of ``df``. The
+    round-5..10 shape instead filtered ``size(ids) <= cap`` AFTER the
+    grouped collect — output identical, but the aggregation buffer held
+    a hot key's FULL id array first: ~8 MB per key at f = 1e6 duplicate
+    signatures (survivable), a task OOM at an adversarial f = 1e8
+    universal-boilerplate signature in a raw 100 TB crawl. This form is
+    memory-bounded at ANY key skew. Cost: one extra linear pass over
+    ``df`` (the counts aggregation) — recomputing the upstream
+    band/shingle derivation is vectorized JVM hashing, cheaper at
+    100 TB than persisting an SF-sized table for the second read.
+    Value-identical to the old shape: both drop exactly the keys with
+    more than ``cap`` rows.
+    """
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("_hk_cnt"))
+        .where(F.col("_hk_cnt") > cap)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), list(key_cols), "left_anti")
 
 
 def lsh_candidate_pairs(
@@ -184,17 +216,17 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct id pairs (a < b) sharing at least one band bucket.
 
-    Shape: ONE groupBy shuffle of the band table into per-bucket id
-    arrays, a size filter (2 ≤ size ≤ ``max_bucket``) that enforces the
-    hot-bucket cap for free, then in-row pair generation (sorted array
-    → upper-triangle combinations, pure JVM ``transform``/``flatten``)
-    and a distinct over emitted pairs. This replaces the earlier
-    [hot-key count shuffle + broadcast anti-join + two-sided self-join
-    shuffle] plan — three passes over the expensive minhash pipeline's
-    output and two extra shuffles — with a single pass needing no
-    persist at all. Per-bucket memory is bounded by the cap (≤ 512
-    ids), and the cap drops exactly the buckets with > cap members, so
-    the oracle's ``HAVING count(*) <= cap`` mirror is unchanged.
+    Shape: ``drop_hot_keys`` (count pre-pass + broadcast anti-join)
+    removes over-cap buckets BEFORE the grouped collect, then ONE
+    groupBy shuffle builds per-bucket id arrays — the aggregation
+    buffer is bounded by the cap at ANY key skew — followed by in-row
+    pair generation (sorted array → upper-triangle combinations, pure
+    JVM ``transform``/``flatten``) and a distinct over emitted pairs.
+    The cap drops exactly the buckets with > cap members, so the
+    oracle's ``HAVING count(*) <= cap`` mirror is unchanged. (The
+    round-10 form enforced the cap with a size filter AFTER the
+    collect — same output, but a hot bucket's full id array transited
+    the aggregation buffer first; see ``drop_hot_keys``.)
 
     ``extra_group_cols`` scopes the bucketing (and the resulting pair
     sets) by additional columns — e.g. a band-layout config label, so a
@@ -204,10 +236,12 @@ def lsh_candidate_pairs(
     the output, still one shuffle + one distinct.
     """
     extras = list(extra_group_cols)
+    keys = [*extras, "band_id", "band_key"]
     grouped = (
-        bands_df.groupBy(*extras, "band_id", "band_key")
+        drop_hot_keys(bands_df, keys, max_bucket)
+        .groupBy(*keys)
         .agg(F.collect_list(id_col).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .where(F.size("ids") >= 2)
         .select(*extras, F.sort_array("ids").alias("ids"))
     )
     pair_structs = id_pairs(F.col("ids"), "id_a", "id_b")
@@ -232,17 +266,17 @@ def jaccard_pairs(
     exceeds the cap — which includes the sf0.001/sf0.01 verification
     corpora).
 
-    Shape: ONE groupBy of (id, shingle) into per-shingle id arrays with
-    the cap as a size filter — replacing the earlier hot-key count
-    shuffle + broadcast anti-join + two-sided self-join (three passes
-    over the shingle table, a persist, and two extra shuffles). The
-    per-doc sizes and the pair counts both derive from the capped
-    grouped table.
+    Shape: ``drop_hot_keys`` removes over-cap shingles BEFORE the
+    grouped collect (count pre-pass + broadcast anti-join — the
+    aggregation buffer never holds a boilerplate shingle's full doc
+    list), then ONE groupBy builds per-shingle id arrays. The per-doc
+    sizes and the pair counts both derive from the capped grouped
+    table, persisted because both branches read it.
     """
     grouped = (
-        shingles.groupBy("shingle")
+        drop_hot_keys(shingles, ["shingle"], max_doc_freq)
+        .groupBy("shingle")
         .agg(F.collect_list(id_col).alias("ids"))
-        .where(F.size("ids") <= max_doc_freq)
         .select(F.sort_array("ids").alias("ids"))
         .persist()
     )
@@ -1021,13 +1055,13 @@ def simhash_near_dup_pairs(
     signatures within hamming ≤ n_bands − 1 MUST agree on at least one
     whole band (pigeonhole), so candidates come from per-bucket pair
     generation — never an all-pairs scan — then the exact popcount(xor)
-    filter keeps pairs within ``max_hamming``. Same single-shuffle
-    bucket-grouping shape as ``lsh_candidate_pairs``: ONE groupBy of
-    the band table into (id, simhash) arrays, the hot-bucket cap as a
-    size filter (an all-zero band is this scheme's stop-phrase), then
-    in-row upper-triangle pairs — no hot-key count shuffle, no
-    two-sided self-join, no persist. Per-bucket memory bounded by the
-    cap (≤ 512 structs)."""
+    filter keeps pairs within ``max_hamming``. Same guarded
+    bucket-grouping shape as ``lsh_candidate_pairs``: ``drop_hot_keys``
+    removes over-cap buckets (an all-zero band is this scheme's
+    stop-phrase) BEFORE one groupBy of the band table into
+    (id, simhash) arrays, then in-row upper-triangle pairs — the
+    aggregation buffer is bounded by the cap (≤ 512 structs) at any
+    key skew."""
     width = 60 // n_bands
     bands = signatures.select(
         F.col(id_col),
@@ -1042,13 +1076,14 @@ def simhash_near_dup_pairs(
         ).alias("band_id", "band_key"),
     )
     grouped = (
-        bands.groupBy("band_id", "band_key")
+        drop_hot_keys(bands, ["band_id", "band_key"], max_bucket)
+        .groupBy("band_id", "band_key")
         .agg(
             F.collect_list(
                 F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
             ).alias("ms")
         )
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .where(F.size("ms") >= 2)
         .select(F.sort_array("ms").alias("ms"))  # struct sort: id first
     )
     pair_structs = upper_triangle_pairs(
@@ -1118,24 +1153,26 @@ def fuzzy_pairs_blocked(
     same hot-key cap as the LSH paths; at 100 TB you add more blocking
     keys (phonetic, prefix), never widen a block.
 
-    Same single-shuffle bucket-grouping shape as the LSH/SimHash paths:
-    ONE groupBy of (id, name) into per-block arrays with the cap as a
-    size filter, then in-row upper-triangle pairs scored by levenshtein
-    during generation — no hot-key count shuffle, no two-sided
-    self-join, no persist."""
+    Same guarded bucket-grouping shape as the LSH/SimHash paths:
+    ``drop_hot_keys`` removes over-cap blocks BEFORE one groupBy of
+    (id, name) into per-block arrays, then in-row upper-triangle pairs
+    scored by levenshtein during generation — the aggregation buffer
+    (which here holds NAME strings, not just ids) is bounded by the
+    cap at any block skew."""
     keyed = df.select(
         F.col(id_col).alias("rec_id"),
         F.col(name_col).alias("name"),
         F.element_at(F.split(F.col(name_col), r"\s+"), -1).alias("blk"),
     )
     grouped = (
-        keyed.groupBy("blk")
+        drop_hot_keys(keyed, ["blk"], max_block)
+        .groupBy("blk")
         .agg(
             F.collect_list(
                 F.struct(F.col("rec_id").alias("i"), F.col("name").alias("nm"))
             ).alias("ms")
         )
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_block))
+        .where(F.size("ms") >= 2)
         .select(F.sort_array("ms").alias("ms"))  # struct sort: id first
     )
     pair_structs = upper_triangle_pairs(
@@ -1532,22 +1569,22 @@ def q_incremental_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hot-key cap (module convention): a band bucket holding more than
     ``MAX_KEY_DOC_FREQ`` signatures — f identical boilerplate docs emit
-    ~f² join rows from one key — is dropped by the same size filter
-    every other band join in this module applies, mirrored in the
-    oracle's ``HAVING count(*) <= cap``. The grouped-array shape
-    replaces the earlier persist + two-branch band equi-join: one
-    groupBy shuffle builds per-bucket id arrays, the batch/corpus
-    split happens IN-ROW with JVM array ``filter`` (no second pass
-    over the minhash pipeline, no persist), and per-bucket fanout is
-    bounded by cap² before the final per-doc distinct count.
+    ~f² join rows from one key — is dropped by ``drop_hot_keys`` (count
+    pre-pass + broadcast anti-join) BEFORE the grouped collect, the
+    same guard every other band join in this module applies, mirrored
+    in the oracle's ``HAVING count(*) <= cap``. After the guard one
+    groupBy shuffle builds per-bucket id arrays (buffer bounded by the
+    cap at any skew), the batch/corpus split happens IN-ROW with JVM
+    array ``filter``, and per-bucket fanout is bounded by cap² before
+    the final per-doc distinct count.
     """
     docs = _docs_par(spark, sf_dir)
     sig = minhash_signature_inline(docs, "doc_id", "text")
     bands = lsh_bands(sig, "doc_id")
     grouped = (
-        bands.groupBy("band_id", "band_key")
+        drop_hot_keys(bands, ["band_id", "band_key"], MAX_KEY_DOC_FREQ)
+        .groupBy("band_id", "band_key")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") <= MAX_KEY_DOC_FREQ)
         .select(
             F.filter(F.col("ids"), lambda x: x % 10 == 0).alias("batch_ids"),
             F.filter(F.col("ids"), lambda x: x % 10 != 0).alias("corpus_ids"),

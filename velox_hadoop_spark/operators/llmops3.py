@@ -267,11 +267,9 @@ def q_ann_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from velox_hadoop_spark.operators.similarity import (
         _RECALL_K,
-        DRIVER_BROADCAST_ROWS,
-        broadcast_normalized_corpus,
         ivf_assign,
         ivf_assign_probes,
-        knn_exact,
+        recall_ground_truth,
         recall_query_sample,
         score_pairs_exact,
         topk_per_query,
@@ -293,19 +291,19 @@ def q_ann_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "probe_rank")
     )
-    # One size probe + (below budget) one normalized-corpus broadcast
-    # shared by the candidate re-rank and the exact baseline — the same
-    # seam _recall_vs_exact uses for the single-width gates.
-    n = emb.count()
-    bc = broadcast_normalized_corpus(emb) if n <= DRIVER_BROADCAST_ROWS else None
+    # The session-cached ground truth (recall_ground_truth) supplies the
+    # size probe, the (below-budget) normalized-corpus broadcast, AND
+    # the exact baseline as a local relation; the curve's narrower
+    # sample is a prefix of the shared gate sample (subset property of
+    # per-query top-k), carved out with one semi-join.
+    n, bc, gt_full, sample_ids = recall_ground_truth(spark, sf_dir, emb)
+    curve_ids = spark.createDataFrame(
+        [(i,) for i in sample_ids[:_CURVE_SAMPLE_N]], "query_id long"
+    )
     scored = score_pairs_exact(
         emb, cand.select("query_id", "neighbor_id"), n=n, bc=bc
     ).join(cand, ["query_id", "neighbor_id"]).persist(StorageLevel.MEMORY_AND_DISK)
-    exact_top = (
-        knn_exact(emb, _RECALL_K, queries=sample, n_query_blocks=1, n=n, bc=bc)
-        .select("query_id", "neighbor_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    exact_top = gt_full.join(curve_ids, "query_id", "left_semi")
     stats = exact_top.agg(
         F.countDistinct("query_id").alias("n_queries"),
         F.count("*").alias("n_exact"),

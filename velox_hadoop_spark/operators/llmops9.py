@@ -440,12 +440,13 @@ def q_retrieval_map_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _silhouette_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster, a_dist, b_dist) per k-means member: own-centroid
-    distance from the assignment, nearest-OTHER-centroid distance via K
-    broadcast arrays with the kmeans kernel's exact ROUND-6 formula —
-    the ONE home shared by the per-cluster QA means and the worst-member
-    drill-down."""
+def _silhouette_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, a_dist, other_cid, o_dist) per (member, other
+    centroid): own-centroid distance from the assignment, every
+    OTHER-centroid distance via K broadcast arrays with the kmeans
+    kernel's exact ROUND-6 formula — the ONE home the per-cluster QA
+    means, the worst-member drill-down, AND the round-11 re-assignment
+    suggestions (llmops10) all derive from."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assigned, cents = kmeans(emb, return_centroids=True)
     v = emb.where(F.col("embedding").isNotNull()).select(
@@ -459,7 +460,7 @@ def _silhouette_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    d2 = (
+    return (
         assigned.join(v, "vec_id")
         .crossJoin(F.broadcast(cents))
         .where(F.col("cid") != F.col("cluster"))
@@ -467,11 +468,19 @@ def _silhouette_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cluster",
             F.col("dist").alias("a_dist"),
+            F.col("cid").alias("other_cid"),
             o_dist.alias("o_dist"),
         )
     )
-    return d2.groupBy("vec_id", "cluster", "a_dist").agg(
-        F.min("o_dist").alias("b_dist")
+
+
+def _silhouette_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, a_dist, b_dist) per k-means member — the
+    grouped min over ``_silhouette_pairs``."""
+    return (
+        _silhouette_pairs(spark, sf_dir)
+        .groupBy("vec_id", "cluster", "a_dist")
+        .agg(F.min("o_dist").alias("b_dist"))
     )
 
 
@@ -648,8 +657,11 @@ from velox_hadoop_spark.functions.hashing import (  # noqa: E402
 
 @register(
     "doremi_weighted_resample",
+    # plain f-string interpolating _DOREMI_CTES directly (round-10
+    # ADVICE: the f-string + trailing .format mix breaks module import
+    # with a KeyError if the SQL ever grows a literal brace)
     oracle=f"""
-        WITH {{_DOREMI_CTES}},
+        WITH {_DOREMI_CTES},
         caps AS (
             SELECT source,
                    CAST(floor({DOREMI_RESAMPLE_K} * w + 0.5) AS BIGINT) AS cap
@@ -667,7 +679,7 @@ from velox_hadoop_spark.functions.hashing import (  # noqa: E402
         SELECT r.doc_id, r.source, r.rnk
         FROM ranked r JOIN caps c USING (source)
         WHERE r.rnk <= c.cap
-    """.format(_DOREMI_CTES=_DOREMI_CTES),
+    """,
     tags=("llm-pipeline", "doremi", "resample", "extension"),
 )
 def q_doremi_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,6 +800,217 @@ def q_silhouette_worst_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "cluster",
         "vec_id",
+        "a_dist",
+        "b_dist",
+        (F.round(F.col("sq").cast("double") / F.lit(1e6), 6) + F.lit(0.0)).alias(
+            "silhouette"
+        ),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 follow-ons (kept in this module: they build directly on the
+# _DOREMI_CTES / _silhouette_pairs homes above, and a separate module
+# importing them at module level re-enters this module's import through
+# the registry's full load — the llmops10 cycle found in round 11)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# DoReMi resample report: realized vs target mixture share per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doremi_resample_report",
+    oracle=f"""
+        WITH {_DOREMI_CTES},
+        caps AS (
+            SELECT source,
+                   CAST(floor({DOREMI_RESAMPLE_K} * w + 0.5) AS BIGINT) AS cap,
+                   w
+            FROM s2
+        ),
+        nd AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        k AS (
+            SELECT nd.source, nd.n_docs, c.cap, c.w,
+                   CAST(least(c.cap, nd.n_docs) AS BIGINT) AS n_kept
+            FROM nd JOIN caps c USING (source)
+        ),
+        tot AS (SELECT CAST(sum(n_kept) AS BIGINT) AS t FROM k)
+        SELECT source, n_docs, cap AS target_cap, n_kept,
+               floor(CAST(n_kept AS DOUBLE)
+                     / (SELECT CAST(t AS DOUBLE) FROM tot) * 1e6 + 0.5) / 1e6
+                   + 0.0 AS kept_share,
+               ROUND(w, 6) + 0.0 AS target_share,
+               ROUND(floor(CAST(n_kept AS DOUBLE)
+                           / (SELECT CAST(t AS DOUBLE) FROM tot) * 1e6 + 0.5)
+                     / 1e6 - ROUND(w, 6), 6) + 0.0 AS share_gap
+        FROM k
+    """,
+    tags=("llm-pipeline", "doremi", "resample", "report", "extension"),
+)
+def q_doremi_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source realized-vs-target mixture audit of the DoReMi
+    resample: n_docs, the ⌊K·w2+½⌋ target cap, the count actually kept
+    (min(cap, n_docs) — the resample cannot keep documents a small
+    source does not have), the realized share of the kept corpus, the
+    DoReMi target share w2, and the gap. A large positive gap on one
+    source means the sampled mix over-represents it because OTHER
+    sources ran out of documents — the drift a training run checks
+    before trusting the sample.
+
+    Determinism: w2 arrives on the 1e-9 grid from the shared
+    ``doremi_weight_frames`` pipeline (oracle mirrors the same
+    ``_DOREMI_CTES`` chain); kept_share is an exact integer ratio
+    floor-pinned on the 1e-6 grid; the gap subtracts two 6-dp-pinned
+    doubles and re-rounds. Scale: everything after the shared token
+    pass is |sources| rows; the doc counts are one grouped count."""
+    docs = _docs(spark, sf_dir)
+    _, w_hist = doremi_weight_frames(docs)
+    caps = w_hist[-1].select(
+        "source",
+        F.floor(
+            F.lit(DOREMI_RESAMPLE_K) * F.col(f"w{DOREMI_ITERS}") + F.lit(0.5)
+        ).cast("long").alias("cap"),
+        F.col(f"w{DOREMI_ITERS}").alias("w"),
+    )
+    nd = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    k = nd.join(caps, "source").select(
+        "source",
+        "n_docs",
+        "cap",
+        "w",
+        F.least(F.col("cap"), F.col("n_docs")).cast("long").alias("n_kept"),
+    )
+    tot = k.agg(F.sum("n_kept").cast("long").alias("t"))
+    kept_share = (
+        F.floor(
+            F.col("n_kept").cast("double") / F.col("t").cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return k.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.col("cap").alias("target_cap"),
+        "n_kept",
+        (kept_share + F.lit(0.0)).alias("kept_share"),
+        (F.round(F.col("w"), 6) + F.lit(0.0)).alias("target_share"),
+        (F.round(kept_share - F.round(F.col("w"), 6), 6) + F.lit(0.0)).alias(
+            "share_gap"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster re-assignment suggestions from the silhouette drill-down
+# ---------------------------------------------------------------------------
+
+REASSIGN_N = 25  # globally most ambiguous members to surface
+
+
+@register(
+    "cluster_reassign_suggestions",
+    oracle=f"""
+        WITH {_duck_kmeans_ctes(KM_K, KM_ITERS)},
+        d2 AS (
+            SELECT a.vec_id, a.cid AS cluster, a.dist AS a_dist,
+                   c.cid AS other_cid,
+                   ROUND(list_sum(list_transform(list_zip(v.e, c.ce),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS o_dist
+            FROM a{KM_ITERS} a
+            JOIN v ON v.vec_id = a.vec_id
+            CROSS JOIN c{KM_ITERS - 1} c
+            WHERE c.cid <> a.cid
+        ),
+        member AS (
+            SELECT vec_id, cluster, a_dist, min(o_dist) AS b_dist
+            FROM d2 GROUP BY vec_id, cluster, a_dist
+        ),
+        alt AS (
+            SELECT d2.vec_id, CAST(min(d2.other_cid) AS BIGINT) AS alt_cluster
+            FROM d2 JOIN member USING (vec_id)
+            WHERE d2.o_dist = member.b_dist
+            GROUP BY d2.vec_id
+        ),
+        scored AS (
+            SELECT m.cluster, m.vec_id, alt.alt_cluster, m.a_dist, m.b_dist,
+                   CAST(floor((CASE WHEN greatest(m.a_dist, m.b_dist) > 0
+                                    THEN (m.b_dist - m.a_dist)
+                                         / greatest(m.a_dist, m.b_dist)
+                                    ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT)
+                       AS sq
+            FROM member m JOIN alt USING (vec_id)
+        ),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                ORDER BY sq ASC, vec_id ASC
+            ) AS BIGINT) AS rnk
+            FROM scored
+        )
+        SELECT cluster, vec_id, alt_cluster, a_dist, b_dist,
+               ROUND(CAST(sq AS DOUBLE) / 1e6, 6) + 0.0 AS silhouette,
+               rnk
+        FROM ranked WHERE rnk <= {REASSIGN_N}
+    """,
+    tags=("clustering", "quality", "silhouette", "reassign", "extension"),
+)
+def q_cluster_reassign_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION list after ``silhouette_worst_members``: the
+    ``REASSIGN_N`` globally most ambiguous members (lowest simplified
+    silhouette) with the nearest OTHER centroid as the re-assignment
+    candidate and both distances as the margin. The assignment is the
+    argmin, so nobody strictly improves by moving — a near-zero
+    silhouette flags a boundary point whose cell membership is
+    arbitrary (re-cluster, or treat as a cross-cell near-duplicate in
+    the SemDeDup pipeline).
+
+    Determinism: distances reuse the kmeans kernel's exact ROUND-6
+    formula through the shared ``_silhouette_pairs`` home; the
+    suggestion is the MIN other_cid among b-distance ties; the global
+    rank orders by the exact 1e-6-grid silhouette integer with vec_id
+    ties. Scale: K broadcast centroids against the streaming corpus,
+    one grouped min, and a global top-``REASSIGN_N``
+    (TakeOrderedAndProject — never a full sort)."""
+    pairs = _silhouette_pairs(spark, sf_dir)
+    member = pairs.groupBy("vec_id", "cluster", "a_dist").agg(
+        F.min("o_dist").alias("b_dist")
+    )
+    alt = (
+        pairs.join(member.select("vec_id", "b_dist"), "vec_id")
+        .where(F.col("o_dist") == F.col("b_dist"))
+        .groupBy("vec_id")
+        .agg(F.min("other_cid").cast("long").alias("alt_cluster"))
+    )
+    sil = F.when(
+        F.greatest(F.col("a_dist"), F.col("b_dist")) > 0,
+        (F.col("b_dist") - F.col("a_dist"))
+        / F.greatest(F.col("a_dist"), F.col("b_dist")),
+    ).otherwise(F.lit(0.0))
+    scored = member.join(alt, "vec_id").withColumn(
+        "sq", F.floor(sil * F.lit(1e6) + F.lit(0.5))
+    )
+    # the unpartitioned rank runs AFTER limit(REASSIGN_N): its input is
+    # a literal-bounded 25-row frame (whitelisted in lint_windows)
+    top = (
+        scored.orderBy(F.asc("sq"), F.asc("vec_id"))
+        .limit(REASSIGN_N)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.asc("sq"), F.asc("vec_id")))
+            .cast("long"),
+        )
+    )
+    return top.select(
+        "cluster",
+        "vec_id",
+        "alt_cluster",
         "a_dist",
         "b_dist",
         (F.round(F.col("sq").cast("double") / F.lit(1e6), 6) + F.lit(0.0)).alias(

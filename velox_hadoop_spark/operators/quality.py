@@ -232,9 +232,23 @@ def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_value_outliers",
     oracle="""
-        WITH stats AS (
-            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        WITH raw AS (
+            SELECT event_type,
+                   count(value) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                   sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(value * 100) AS BIGINT)) AS q
             FROM events GROUP BY event_type
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(s AS DOUBLE) / n / 100.0 AS mu,
+                   CASE WHEN n > 1 THEN
+                       sqrt(CAST(CAST(n AS HUGEINT) * q
+                                 - CAST(s AS HUGEINT) * s AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * (n - 1))) / 100.0
+                   END AS sd
+            FROM raw
         )
         SELECT e.event_id, e.event_type,
                round(e.value, 6) AS value,
@@ -256,13 +270,33 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from velox_hadoop_spark.catalog import read_table
 
     events = read_table(spark, sf_dir, "events")
-    stats = events.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    # round-11 money completion: (mu, sd) from EXACT integer-cent
+    # moments (Sx BIGINT, Sx2 decimal-38/HUGEINT, one pinned double
+    # sequence — the stats_per_segment pattern), so both engines derive
+    # bit-identical thresholds at any accumulation order
+    cents = F.round(F.col("value") * 100).cast("long")
+    raw = events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("q"),
+    )
+    m = (
+        F.col("n").cast("decimal(38,0)") * F.col("q")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    stats = raw.select(
+        "event_type",
+        (F.col("s").cast("double") / F.col("n") / 100.0).alias("mu"),
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(m.cast("double") / (F.col("n").cast("double") * (F.col("n") - 1)))
+            / 100.0,
+        ).alias("sd"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     # membership on the 4-dp grid (floor form, identical IEEE math in
-    # both engines): avg/stddev accumulation order differs across
-    # engines, so a z within ulps of 3.0 must not decide row membership
+    # both engines) — kept as a belt even though the exact-moment
+    # thresholds are now engine-identical
     return (
         events.join(F.broadcast(stats), "event_type")
         .where(F.floor(F.abs(z) * 10000 + F.lit(0.5)) / 10000 > 3)
@@ -636,10 +670,14 @@ def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT e.event_type,
                count(*) AS n,
-               round(avg(e.value), 6) AS raw_mean,
-               round(avg(CASE WHEN e.value < c.lo THEN c.lo
-                              WHEN e.value > c.hi THEN c.hi
-                              ELSE e.value END), 6) AS winsorized_mean,
+               round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0 / count(e.value), 6) AS raw_mean,
+               round(CAST(sum(CAST(floor(
+                          (CASE WHEN e.value < c.lo THEN c.lo
+                                WHEN e.value > c.hi THEN c.hi
+                                ELSE e.value END) * 1000000 + 0.5)
+                          AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / count(e.value), 6) AS winsorized_mean,
                count(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 END)
                    AS n_clipped
         FROM events e JOIN cuts c USING (event_type)
@@ -664,13 +702,28 @@ def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v, lo, hi = F.col("value"), F.col("lo"), F.col("hi")
     clipped = F.when(v < lo, lo).when(v > hi, hi).otherwise(v)
+    # round-11 money completion: raw mean on the exact cent grid; the
+    # winsorized mean's terms are NOT 2-dp (clip boundaries are
+    # interpolated percentiles), so each term quantizes to the 1e-6
+    # micro-grid BEFORE the sum (the playbook cross-group-sum rule) —
+    # both folds associative, both mirrored textually in the oracle
+    raw_cents = F.round(v * 100).cast("long")
+    win_micro = F.floor(clipped * 1000000 + F.lit(0.5)).cast("long")
     return (
         events.join(F.broadcast(cuts), "event_type")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 6).alias("raw_mean"),
-            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.round(
+                F.sum(raw_cents).cast("double") / F.lit(100.0) / F.count("value"),
+                6,
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(win_micro).cast("double")
+                / F.lit(1000000.0)
+                / F.count("value"),
+                6,
+            ).alias("winsorized_mean"),
             F.sum(((v < lo) | (v > hi)).cast("long")).alias("n_clipped"),
         )
     )
@@ -737,29 +790,52 @@ def q_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "welch_z_by_event_type",
+    # round-11 money completion: every moment is an EXACT integer-cent
+    # fold (Sx BIGINT, Sx2 HUGEINT/decimal-38); z is computed entirely
+    # in cents space (scale cancels), with ONE pinned double sequence
+    # mirrored textually below and in the Spark kernel.
     oracle="""
         WITH g AS (
             SELECT event_type,
                    count(*) AS n1,
-                   avg(value) AS m1,
-                   var_samp(value) AS v1,
-                   sum(value) AS s1,
-                   sum(value * value) AS q1
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+                   sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(value * 100) AS BIGINT)) AS q1
             FROM events GROUP BY event_type
         ),
         tot AS (
-            SELECT count(*) AS nt, sum(value) AS st, sum(value * value) AS qt
+            SELECT count(*) AS nt,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS st,
+                   sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(value * 100) AS BIGINT)) AS qt
             FROM events
+        ),
+        d AS (
+            SELECT g.event_type, g.n1,
+                   CAST(g.s1 AS DOUBLE) / g.n1 AS m1c,
+                   CASE WHEN tot.nt - g.n1 > 0 THEN
+                       CAST(tot.st - g.s1 AS DOUBLE) / (tot.nt - g.n1)
+                   END AS mrc,
+                   CASE WHEN g.n1 > 1 THEN
+                       CAST(CAST(g.n1 AS HUGEINT) * g.q1
+                            - CAST(g.s1 AS HUGEINT) * g.s1 AS DOUBLE)
+                           / (CAST(g.n1 AS DOUBLE) * (g.n1 - 1))
+                   END AS v1c,
+                   CASE WHEN tot.nt - g.n1 > 1 THEN
+                       CAST(CAST(tot.nt - g.n1 AS HUGEINT) * (tot.qt - g.q1)
+                            - CAST(tot.st - g.s1 AS HUGEINT) * (tot.st - g.s1)
+                            AS DOUBLE)
+                           / (CAST(tot.nt - g.n1 AS DOUBLE)
+                              * (tot.nt - g.n1 - 1))
+                   END AS vrc,
+                   tot.nt
+            FROM g CROSS JOIN tot
         )
-        SELECT g.event_type, g.n1,
-               round(g.m1, 6) AS mean_g,
-               round((tot.st - g.s1) / (tot.nt - g.n1), 6) AS mean_rest,
-               round((g.m1 - (tot.st - g.s1) / (tot.nt - g.n1))
-                     / sqrt(g.v1 / g.n1 +
-                            (((tot.qt - g.q1) - (tot.st - g.s1) * (tot.st - g.s1)
-                              / (tot.nt - g.n1)) / (tot.nt - g.n1 - 1))
-                            / (tot.nt - g.n1)), 4) + 0 AS z
-        FROM g CROSS JOIN tot
+        SELECT event_type, n1,
+               round(m1c / 100.0, 6) AS mean_g,
+               round(mrc / 100.0, 6) AS mean_rest,
+               round((m1c - mrc) / sqrt(v1c / n1 + vrc / (nt - n1)), 4) + 0 AS z
+        FROM d
     """,
     tags=("events", "statistics", "hypothesis-test", "extension"),
 )
@@ -775,29 +851,47 @@ def q_welch_z_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from velox_hadoop_spark.catalog import read_table
 
     events = read_table(spark, sf_dir, "events")
+    # round-11 money completion: exact integer-cent moments; z in
+    # cents space (scale-invariant), pinned double sequence mirrored
+    # textually in the oracle
+    cents = F.round(F.col("value") * 100).cast("long")
+    dec = "decimal(38,0)"
     g = events.groupBy("event_type").agg(
         F.count("*").alias("n1"),
-        F.avg("value").alias("m1"),
-        F.var_samp("value").alias("v1"),
-        F.sum("value").alias("s1"),
-        F.sum(F.col("value") * F.col("value")).alias("q1"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents.cast(dec) * cents).alias("q1"),
     )
     tot = events.agg(
         F.count("*").alias("nt"),
-        F.sum("value").alias("st"),
-        F.sum(F.col("value") * F.col("value")).alias("qt"),
+        F.sum(cents).alias("st"),
+        F.sum(cents.cast(dec) * cents).alias("qt"),
     )
-    n1, m1, v1, s1, q1 = (F.col(c) for c in ("n1", "m1", "v1", "s1", "q1"))
+    n1, s1, q1 = (F.col(c) for c in ("n1", "s1", "q1"))
     nt, st, qt = (F.col(c) for c in ("nt", "st", "qt"))
     nr = nt - n1
-    mr = (st - s1) / nr
-    vr = ((qt - q1) - (st - s1) * (st - s1) / nr) / (nr - 1)
-    z = (m1 - mr) / F.sqrt(v1 / n1 + vr / nr)
+    m1c = s1.cast("double") / n1
+    # CASE guards mirror the old var_samp NULL-at-n<=1 semantics (and
+    # keep ANSI division-by-zero out of the one-event-type degenerate
+    # corpus — the round-11 degenerate sweep's catch)
+    mrc = F.when(nr > 0, (st - s1).cast("double") / nr)
+    v1c = F.when(
+        n1 > 1,
+        (n1.cast(dec) * q1 - s1.cast(dec) * s1).cast("double")
+        / (n1.cast("double") * (n1 - 1)),
+    )
+    vrc = F.when(
+        nr > 1,
+        (nr.cast(dec) * (qt - q1) - (st - s1).cast(dec) * (st - s1)).cast(
+            "double"
+        )
+        / (nr.cast("double") * (nr - 1)),
+    )
+    z = (m1c - mrc) / F.sqrt(v1c / n1 + vrc / nr)
     return g.crossJoin(F.broadcast(tot)).select(
         "event_type",
         "n1",
-        F.round(m1, 6).alias("mean_g"),
-        F.round(mr, 6).alias("mean_rest"),
+        F.round(m1c / 100.0, 6).alias("mean_g"),
+        F.round(mrc / 100.0, 6).alias("mean_rest"),
         (F.round(z, 4) + F.lit(0.0)).alias("z"),  # +0 folds -0.0 to 0.0
     )
 

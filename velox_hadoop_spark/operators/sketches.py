@@ -60,18 +60,34 @@ def weekly_rollup(day_sketches: DataFrame) -> DataFrame:
     )
 
 
+HLL_AUDIT_TOL = 0.05  # |est − exact| / exact bound: ~3× the lgK=12 RSE
+
+
 @register(
     "hll_weekly_merge_rollup",
-    oracle=None,  # rows-only by contract: sketch estimates are
-    # implementation-defined; tolerance + merge-associativity are
-    # asserted in tests/test_round9_parity.py
-    tags=("sketch", "hll", "mergeable", "rows-only", "extension"),
+    # Round-11 conversion from rows-only to a hash-green BOUNDS AUDIT:
+    # the DataSketches estimate itself is implementation-defined (no
+    # DuckDB twin), so the hashed output carries the EXACT weekly
+    # distinct count (oracle-recomputed) plus a within_tol flag pinned
+    # to literal TRUE — an estimate drifting past HLL_AUDIT_TOL flips
+    # the flag and fails the driver hash gate. The tighter 2% check,
+    # merge-associativity, and determinism stay in
+    # tests/test_round9_parity.py.
+    oracle=f"""
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_tol
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("sketch", "hll", "mergeable", "bounds-audit", "extension"),
 )
 def q_hll_weekly_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly distinct-user rollup computed by MERGING stored per-day
-    HLL sketches (partial+final over sketch bytes), scored against the
-    exact weekly distinct count: (week_start, n_days, est_users,
-    exact_users, rel_err)."""
+    HLL sketches (partial+final over sketch bytes), audited against
+    the exact weekly distinct count: (week_start, n_days, exact_users,
+    within_tol)."""
     events = read_table(spark, sf_dir, "events")
     weekly = weekly_rollup(daily_user_sketches(events))
     exact = events.groupBy(
@@ -82,12 +98,10 @@ def q_hll_weekly_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "week_start",
             "n_days",
-            "est_users",
             "exact_users",
-            F.round(
+            (
                 F.abs(F.col("est_users") - F.col("exact_users"))
-                / F.col("exact_users").cast("double"),
-                6,
-            ).alias("rel_err"),
+                <= F.lit(HLL_AUDIT_TOL) * F.col("exact_users")
+            ).alias("within_tol"),
         )
     )

@@ -610,7 +610,8 @@ def q_pareto_80_20_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(isodow(ts) AS BIGINT) AS dow,
                CAST(hour(ts) AS BIGINT) AS hr,
                count(*) AS n,
-               round(avg(value), 4) AS avg_value
+               round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0 / count(value), 4) AS avg_value
         FROM events GROUP BY 1, 2
     """,
     tags=("timeseries", "calendar", "heatmap", "extension"),
@@ -628,7 +629,17 @@ def q_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .groupBy("dow", "hr")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # round-11 money completion: exact-cents mean, one pinned
+            # double divide chain mirrored in the oracle
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+                / F.count("value"),
+                4,
+            ).alias("avg_value"),
+        )
     )
 
 

@@ -208,7 +208,8 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH obs AS (
             SELECT event_type, CAST(ts AS DATE) AS d,
-                   ROUND(avg(value), 6) AS day_avg
+                   ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                         / 100.0 / count(value), 6) AS day_avg
             FROM events GROUP BY event_type, CAST(ts AS DATE)
         ),
         spine AS (
@@ -248,9 +249,19 @@ def q_grouped_locf_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Leading days before a group's first observation are dropped (no
     value to carry), exactly as the oracle's IS NOT NULL does."""
     ev = _events(spark, sf_dir)
+    # round-11 money completion: the daily mean folds exact integer
+    # cents (free-order-safe), one pinned double divide chain mirrored
+    # in the oracle
     obs = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
-    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
+            / F.count("value"),
+            6,
+        ).alias("day_avg")
+    )
     types = ev.select("event_type").distinct()
     days = ev.select(F.col("ts").cast("date").alias("d")).distinct()
     spine = types.crossJoin(days)

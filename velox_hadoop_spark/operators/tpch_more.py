@@ -136,32 +136,52 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q14_promo_revenue",
+    # round-11 money completion: both revenue sums fold the exact 1e4
+    # grid (price 2dp × (1−disc) 2dp — lossless), the ratio is one
+    # pinned double division (same as the tpch_q5/q6 conversions; the
+    # broadened lint_oracles class 3 caught this straggler)
     oracle="""
         SELECT ROUND(
-                 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+                 100.0
+                 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(round(l.l_extendedprice
+                                                 * (1 - l.l_discount)
+                                                 * 10000) AS BIGINT)
+                                 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount)
+                                       * 10000) AS BIGINT)) AS DOUBLE),
+                 4) AS promo_pct,
                count(*) AS n_rows
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     """,
     tags=("tpch", "ratio"),
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 analog: promo revenue share (ratio of conditional sums)."""
+    """TPC-H Q14 analog: promo revenue share (ratio of conditional sums
+    over the exact 1e4 revenue grid)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev4 = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+    ).cast("long")
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))
+            ).alias("p4"),
+            F.sum(rev4).alias("t4"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.lit(100.0)
+                * F.col("p4").cast("double")
+                / F.col("t4").cast("double"),
                 4,
             ).alias("promo_pct"),
-            F.count("*").alias("n_rows"),
+            "n_rows",
         )
     )
 
@@ -297,31 +317,17 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "approx_distinct_parts_per_supplier",
-    # HLL sketch VALUES are engine-specific, so this is a rows-only
-    # query by design: a DuckDB oracle could only be satisfied by ALSO
-    # computing the exact distinct count in the production plan, and
-    # that exact (nation, partkey) distinct shuffle is precisely the
-    # cost the sketch exists to avoid — at 100 TB the "verifiable"
-    # variant is more expensive than not having the sketch at all.
-    # The |approx − exact|/exact ≤ 10% accuracy contract is asserted
-    # by the local test (tests/test_tpch_more.py), which computes the
-    # exact side OUT of band.
-    oracle=None,
-    tags=("sketch", "approx", "extension"),
-)
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-part estimate per supplier nation —
-    sketch ONLY in the production plan.
+def approx_distinct_parts(li: DataFrame, supp: DataFrame) -> DataFrame:
+    """PRODUCTION plan: HyperLogLog++ distinct-part estimate per
+    supplier nation — sketch ONLY, no exact side.
 
     The sketch aggregate is partial+final like any Tungsten agg — at
     100 TB this replaces a shuffle of (nation, partkey) pairs with
     fixed-size sketch merges (no Expand, no exact-distinct shuffle).
     rsd=0.015 leaves the 10% accuracy contract ~6 sigma of margin (the
-    default 0.05 sketch missed 10% on one nation at sf0.1)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    default 0.05 sketch missed 10% on one nation at sf0.1). Covered by
+    tests/test_tpch_more.py (accuracy vs an out-of-band exact side);
+    the REGISTERED query below is the bounds-AUDIT twin."""
     return (
         li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_nationkey")
@@ -332,29 +338,59 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "approx_percentiles_price",
-    # Rows-only by design, like the HLL query: sketch values are
-    # engine-specific, and the only way to make them hash-verifiable
-    # in-plan was to ALSO compute exact `percentile` — a full
-    # sort-based aggregate of the value column per group, which is
-    # precisely the cost the GK sketch exists to avoid at 100 TB. The
-    # 1% accuracy contract is asserted by the local test
-    # (tests/test_tpch_more.py) with the exact side computed out of
-    # band; exact percentile VALUES are verified by the
-    # `exact_percentiles` query on a tie-free column instead.
-    oracle=None,
-    tags=("sketch", "approx", "percentile", "extension"),
+    "approx_distinct_parts_per_supplier",
+    # Round-11 conversion from rows-only to a hash-green BOUNDS AUDIT:
+    # sketch VALUES are engine-specific (DuckDB's HLL differs), so the
+    # hashed output carries the EXACT side (which DuckDB recomputes)
+    # plus a within_tol flag the oracle pins to literal TRUE — a sketch
+    # regression past the 10% contract flips the flag and fails the
+    # driver hash gate. The exact side exists only to score the sketch;
+    # the production plan (approx_distinct_parts above, pytest-covered)
+    # stays sketch-only because the exact (nation, partkey) distinct
+    # shuffle is precisely the cost the sketch avoids at 100 TB.
+    oracle="""
+        SELECT s_nationkey,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS within_tol
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """,
+    tags=("sketch", "approx", "bounds-audit", "extension"),
 )
-def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate p50/p95/p99 of extended price per return flag via
-    Spark's GK-sketch ``approx_percentile`` (accuracy 10_000 ≈ 0.01%
-    rank error) — sketch ONLY in the production plan.
-
-    Like the HLL query, the sketch is a partial+final aggregate: at
-    100 TB each partition condenses to a fixed-size summary and only
-    sketches merge at the shuffle — exact percentiles would instead
-    sort-shuffle the full value column per group."""
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds audit of the HLL++ distinct-part sketch: per supplier
+    nation, the exact distinct count (oracle-verified) and a boolean
+    asserting the sketch estimate landed within the 10% contract."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.015).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "s_nationkey",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.lit(0.10) * F.col("exact_parts")
+            ).alias("within_tol"),
+        )
+    )
+
+
+def approx_percentiles_production(li: DataFrame) -> DataFrame:
+    """PRODUCTION plan: approximate p50/p95/p99 of extended price per
+    return flag via Spark's GK-sketch ``approx_percentile`` (accuracy
+    10_000 ≈ 0.01% rank error) — sketch ONLY, no exact side.
+
+    The sketch is a partial+final aggregate: at 100 TB each partition
+    condenses to a fixed-size summary and only sketches merge at the
+    shuffle — exact percentiles would instead sort-shuffle the full
+    value column per group. Covered by tests/test_tpch_more.py; the
+    REGISTERED query below is the bounds-AUDIT twin."""
     apcts = F.expr(
         "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
     )
@@ -367,6 +403,56 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ap").getItem(0).alias("p50_approx"),
         F.col("ap").getItem(1).alias("p95_approx"),
         F.col("ap").getItem(2).alias("p99_approx"),
+    )
+
+
+@register(
+    "approx_percentiles_price",
+    # Round-11 conversion from rows-only to a hash-green BOUNDS AUDIT
+    # (same contract as approx_distinct_parts_per_supplier): the hashed
+    # output carries the EXACT percentiles (Spark `percentile` vs
+    # DuckDB `quantile_cont`, ROUND 4 — the mining.py ship-days parity
+    # precedent) plus within-1%-of-exact flags the oracle pins to
+    # literal TRUE. The production plan stays sketch-only
+    # (approx_percentiles_production above, pytest-covered).
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+               TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("sketch", "approx", "percentile", "bounds-audit", "extension"),
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds audit of the GK percentile sketch: per return flag, the
+    exact p50/p95/p99 (oracle-verified) and booleans asserting each
+    sketch estimate landed within 1% of exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    apcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+    )
+    epcts = F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+    per_flag = li.groupBy("l_returnflag").agg(
+        apcts.alias("ap"), epcts.alias("ep"), F.count("*").alias("n_rows")
+    )
+    ok = [
+        (
+            F.abs(F.col("ap").getItem(i) - F.col("ep").getItem(i))
+            <= F.lit(0.01) * F.col("ep").getItem(i)
+        ).alias(f"p{p}_ok")
+        for i, p in enumerate((50, 95, 99))
+    ]
+    return per_flag.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(F.col("ep").getItem(0), 4).alias("p50_exact"),
+        F.round(F.col("ep").getItem(1), 4).alias("p95_exact"),
+        F.round(F.col("ep").getItem(2), 4).alias("p99_exact"),
+        *ok,
     )
 
 

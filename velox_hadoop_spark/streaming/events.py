@@ -453,21 +453,49 @@ def q_funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     """Spark's file-stream source rejects a bare file and the canonical
     ``events.parquet`` is one — materialize a normalized copy into a
-    per-(session, sf_dir) cached temp directory. The copy is written
-    once and reused by both runners and later re-invocations (bench
-    runs every query in one session)."""
+    DETERMINISTIC per-sf_dir temp directory (md5 of the source path),
+    written once and reused by every runner, later re-invocation, AND
+    later process: repeated bench/driver runs converge on one copy per
+    sf instead of accumulating mkdtemp dirs (round-10 ADVICE). The
+    ``_SUCCESS`` marker gates reuse so a half-written dir from a killed
+    run is rewritten, and the session conf still caches the resolved
+    path so the probe is one os.path check per invocation."""
+    import hashlib
+    import os
     import tempfile
 
     key = f"vhs.stream.srcdir.{sf_dir}"
     cached = spark.conf.get(key, None)
-    import os
-
-    if cached and os.path.isdir(cached):
+    if cached and os.path.isfile(os.path.join(cached, "_SUCCESS")):
         return cached
-    d = tempfile.mkdtemp(prefix="vhs_stream_src_")
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    tok = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"vhs_stream_src_{tok}")
+    if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+        read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
     spark.conf.set(key, d)
     return d
+
+
+def drain_to_memory_sink(
+    spark: SparkSession, stream_df: DataFrame, prefix: str, output_mode: str
+) -> DataFrame:
+    """Start → drain (availableNow) → return the memory-sink table,
+    dropping any STALE sink temp view left by a previous invocation of
+    the same runner first: memory-sink tables live in driver memory
+    for the session's life, so without the drop a bench/driver sweep
+    that re-invokes a runner N times holds N sink copies (round-10
+    ADVICE). The per-invocation uuid suffix keeps the returned frame
+    decoupled from any still-unconsumed older result a caller holds —
+    the drop only reclaims OUR prior prefix-mates."""
+    import uuid
+
+    for tbl in spark.catalog.listTables():
+        if tbl.isTemporary and tbl.name.startswith(prefix):
+            spark.catalog.dropTempView(tbl.name)
+    name = f"{prefix}{uuid.uuid4().hex[:8]}"
+    q = run_available_now(stream_df, name, output_mode=output_mode)
+    q.awaitTermination()
+    return spark.table(name)
 
 
 @register(
@@ -498,41 +526,38 @@ def q_streaming_tumbling_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow is Spark's sanctioned backfill/batch-drain trigger
     for it, so the registered shape is the production job, pointed at
     a finite source."""
-    import uuid
-
     stream = read_event_stream(spark, _stream_source_dir(spark, sf_dir))
-    name = f"vhs_tumbling_{uuid.uuid4().hex[:8]}"
     # stream_tumbling_counts == watermark + the SHARED exact-cents
     # tumbling_agg, so the runner and the batch query cannot drift
-    q = run_available_now(
-        stream_tumbling_counts(stream), name, output_mode="complete"
+    return drain_to_memory_sink(
+        spark, stream_tumbling_counts(stream), "vhs_tumbling_", "complete"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @register(
     "streaming_dedup_runner",
     oracle="""
-        SELECT DISTINCT user_id, event_type FROM events
+        SELECT DISTINCT user_id, event_type, CAST(1 AS BIGINT) AS n_rows
+        FROM events
     """,
     tags=("streaming", "trigger", "dedup", "end-to-end", "extension"),
 )
 def q_streaming_dedup_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication executed for real:
     ``dropDuplicatesWithinWatermark`` over the file-stream source,
-    availableNow trigger, append-mode memory sink, then projected to
-    the (user_id, event_type) key set — the arrival-order-independent
-    part of the result (WHICH event survives per key follows
-    micro-batch arrival order; the KEY SET is exact and equals the
-    batch distinct, which is what the oracle pins). This is the
+    availableNow trigger, append-mode memory sink, then aggregated to
+    per-key SINK ROW COUNTS. The key set is arrival-order-independent
+    and equals the batch distinct (WHICH event survives per key
+    follows micro-batch arrival order, so event columns stay out of
+    the hashed output); the oracle pins n_rows = 1 per key, so a
+    dedup regression that EMITS DUPLICATE KEYS fails the driver hash
+    gate — the round-10 shape collapsed the sink with distinct() and
+    could only catch missing keys (round-10 ADVICE). This is the
     exactly-once ingest-dedup topology (sink-side state keyed on the
     id within the watermark horizon) run end-to-end under the driver
     gate."""
-    import uuid
-
     stream = read_event_stream(spark, _stream_source_dir(spark, sf_dir))
-    name = f"vhs_dedup_{uuid.uuid4().hex[:8]}"
-    q = run_available_now(stream_dedup(stream), name, output_mode="append")
-    q.awaitTermination()
-    return spark.table(name).select("user_id", "event_type").distinct()
+    sink = drain_to_memory_sink(spark, stream_dedup(stream), "vhs_dedup_", "append")
+    return sink.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_rows")
+    )

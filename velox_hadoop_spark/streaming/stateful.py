@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from velox_hadoop_spark.functions.vectors import round_half_away
 from velox_hadoop_spark.plans.registry import register
 
 RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
@@ -150,24 +151,29 @@ SESSION_SUMMARY_SCHEMA = (
 # and microseconds match the timestamp precision the SQL oracle compares
 # at — flooring to millis could flip a gap decision within 1ms of the
 # 30-minute boundary)
-_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total_cents long"
 
 
 def _walk_sessions(ts_list, val_list, open_state):
     """Shared sessionization kernel: fold (ts, value) pairs (sorted by
-    caller) into (start, last, n, total) sessions split on >= 30-minute
-    gaps. ``open_state`` seeds the walk; returns (closed, open)."""
+    caller) into (start, last, n, total_cents) sessions split on
+    >= 30-minute gaps. ``open_state`` seeds the walk; returns
+    (closed, open). The running total is EXACT INTEGER CENTS (round-11
+    money completion — the 2-dp value column quantizes losslessly, the
+    integer sum is associative under any batch split, and the oracle
+    folds the same grid), not a double accumulation."""
     gap_us = SESSION_GAP_MINUTES * 60_000_000
     closed = []
-    cur = open_state  # (start_us, last_us, n, total) or None
+    cur = open_state  # (start_us, last_us, n, total_cents) or None
     for ts_us, v in zip(ts_list, val_list):
+        cents = int(round_half_away(float(v) * 100.0, 0))
         if cur is not None and ts_us - cur[1] >= gap_us:
             closed.append(cur)
             cur = None
         if cur is None:
-            cur = (ts_us, ts_us, 1, float(v))
+            cur = (ts_us, ts_us, 1, cents)
         else:
-            cur = (cur[0], ts_us, cur[2] + 1, cur[3] + float(v))
+            cur = (cur[0], ts_us, cur[2] + 1, cur[3] + cents)
     return closed, cur
 
 
@@ -181,11 +187,9 @@ def _update_sessions(key, pdfs, state: GroupState):
     """Streaming form: emit sessions CLOSED by this batch's events; the
     still-open session stays in state for the next micro-batch.
 
-    total_value uses the repo-wide half-away rounding (NOT Python's
-    banker's round()) so the streamed totals match the oracle-verified
-    batch-twin convention at half-cent values."""
-    from velox_hadoop_spark.functions.vectors import round_half_away
-
+    total_value is the session's exact integer-cent total divided once
+    by 100 — lossless at 2 dp, identical under any micro-batch split,
+    and matching the batch twin and oracle grid."""
     pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     open_state = tuple(state.get) if state.exists else None
     closed, cur = _walk_sessions(_us(pdf["ts"]), pdf["value"].tolist(), open_state)
@@ -199,7 +203,7 @@ def _update_sessions(key, pdfs, state: GroupState):
                     "session_start": pd.Timestamp(s, unit="us"),
                     "session_end": pd.Timestamp(e, unit="us"),
                     "n_events": n,
-                    "total_value": round_half_away(t, 2),
+                    "total_value": t / 100.0,
                 }
                 for (s, e, n, t) in closed
             ]
@@ -247,9 +251,7 @@ def batch_user_session_summary(events: DataFrame) -> DataFrame:
                     "max_session_secs": max(
                         s[1] // 1_000_000 - s[0] // 1_000_000 for s in sessions
                     ),
-                    "total_value": float(
-                        round_half_away(sum(s[3] for s in sessions), 2)
-                    ),
+                    "total_value": sum(s[3] for s in sessions) / 100.0,
                 }
             ]
         )
@@ -282,14 +284,14 @@ def _register_sessions():
             sessions AS (
                 SELECT user_id, sid, count(*) AS n,
                        date_diff('second', min(ts), max(ts)) AS secs,
-                       SUM(value) AS v
+                       SUM(CAST(round(value * 100) AS BIGINT)) AS vc
                 FROM numbered GROUP BY user_id, sid
             )
             SELECT user_id,
                    count(*) AS n_sessions,
                    max(n) AS max_session_events,
                    CAST(max(secs) AS BIGINT) AS max_session_secs,
-                   ROUND(SUM(v), 2) AS total_value
+                   CAST(SUM(vc) AS DOUBLE) / 100.0 AS total_value
             FROM sessions GROUP BY user_id
         """,
         tags=("streaming", "stateful", "sessionization", "extension"),
@@ -434,25 +436,23 @@ def q_streaming_stateful_totals_runner(spark, sf_dir):
     group iteration, per-batch emission, sink commit). A user whose
     values are ALL NULL reports a NULL total like SQL sum (the nv
     state column carries that distinction through the sink)."""
-    import uuid
-
     from velox_hadoop_spark.streaming.events import (
         _stream_source_dir,
+        drain_to_memory_sink,
         read_event_stream,
-        run_available_now,
     )
 
     stream = read_event_stream(
         spark, _stream_source_dir(spark, sf_dir)
     ).select("user_id", "ts", "value")
-    name = f"vhs_stateful_{uuid.uuid4().hex[:8]}"
-    q = run_available_now(
-        stream_running_user_totals_cents(stream), name, output_mode="update"
+    sink = drain_to_memory_sink(
+        spark,
+        stream_running_user_totals_cents(stream),
+        "vhs_stateful_",
+        "update",
     )
-    q.awaitTermination()
     final = (
-        spark.table(name)
-        .groupBy("user_id")
+        sink.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
             F.max("nv").alias("nv"),
