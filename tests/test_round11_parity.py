@@ -206,3 +206,33 @@ def test_cluster_reassign_suggestions_match_numpy_recompute(spark):
     }
     assert got == want
     assert len(got) == min(REASSIGN_N, len(scored))
+
+
+def test_drop_hot_keys_null_keys_grouped_and_dropped(spark):
+    """SQL GROUP BY groups NULL keys: a hot all-NULL bucket must drop
+    exactly like the oracles' HAVING mirror (null-safe anti-join — the
+    round-11 review's catch), while a cool NULL bucket survives."""
+    rows = [(None, i) for i in range(7)] + [("k", 1), ("k", 2)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        (r["k"], r["count"])
+        for r in drop_hot_keys(df, ["k"], 5).groupBy("k").count().collect()
+    }
+    assert got == {("k", 2)}
+    cool = drop_hot_keys(df.where(F.col("v") < 3), ["k"], 5)
+    got2 = {
+        (r["k"], r["count"]) for r in cool.groupBy("k").count().collect()
+    }
+    assert got2 == {(None, 3), ("k", 2)}
+
+
+def test_session_kernel_null_values_sql_sum_semantics(spark):
+    """NULL event values contribute nothing; an all-NULL session totals
+    NULL (not 0, not a crash) — matching the oracle's SUM."""
+    from velox_hadoop_spark.streaming.stateful import _walk_sessions
+
+    closed, cur = _walk_sessions([0, 1, 2], [None, 1.25, float("nan")], None)
+    assert closed == []
+    assert cur == (0, 2, 3, 125)
+    closed, cur = _walk_sessions([0, 1], [None, None], None)
+    assert cur == (0, 1, 2, None)

@@ -203,9 +203,19 @@ def drop_hot_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
         df.groupBy(*key_cols)
         .agg(F.count("*").alias("_hk_cnt"))
         .where(F.col("_hk_cnt") > cap)
-        .select(*key_cols)
+        .select([F.col(k).alias(f"_hk_{k}") for k in key_cols])
     )
-    return df.join(F.broadcast(hot), list(key_cols), "left_anti")
+    # NULL-SAFE anti-join (the round-11 review's catch): SQL GROUP BY
+    # groups NULL keys — a hot all-NULL block (e.g. NULL names in
+    # fuzzy_pairs_blocked) must drop exactly like the oracles'
+    # HAVING count(*) <= cap mirror; a plain equi-anti-join never
+    # matches NULL = NULL and would keep the one bucket shape this
+    # guard exists to drop.
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"_hk_{k}"))
+        cond = c if cond is None else cond & c
+    return df.join(F.broadcast(hot), cond, "left_anti")
 
 
 def lsh_candidate_pairs(

@@ -929,23 +929,23 @@ REASSIGN_N = 25  # globally most ambiguous members to surface
             WHERE c.cid <> a.cid
         ),
         member AS (
-            SELECT vec_id, cluster, a_dist, min(o_dist) AS b_dist
-            FROM d2 GROUP BY vec_id, cluster, a_dist
-        ),
-        alt AS (
-            SELECT d2.vec_id, CAST(min(d2.other_cid) AS BIGINT) AS alt_cluster
-            FROM d2 JOIN member USING (vec_id)
-            WHERE d2.o_dist = member.b_dist
-            GROUP BY d2.vec_id
+            SELECT vec_id, cluster, a_dist,
+                   o_dist AS b_dist,
+                   CAST(other_cid AS BIGINT) AS alt_cluster
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY o_dist ASC, other_cid ASC
+                ) AS rn FROM d2
+            ) WHERE rn = 1
         ),
         scored AS (
-            SELECT m.cluster, m.vec_id, alt.alt_cluster, m.a_dist, m.b_dist,
+            SELECT m.cluster, m.vec_id, m.alt_cluster, m.a_dist, m.b_dist,
                    CAST(floor((CASE WHEN greatest(m.a_dist, m.b_dist) > 0
                                     THEN (m.b_dist - m.a_dist)
                                          / greatest(m.a_dist, m.b_dist)
                                     ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT)
                        AS sq
-            FROM member m JOIN alt USING (vec_id)
+            FROM member m
         ),
         ranked AS (
             SELECT *, CAST(row_number() OVER (
@@ -977,22 +977,30 @@ def q_cluster_reassign_suggestions(spark: SparkSession, sf_dir: str) -> DataFram
     ties. Scale: K broadcast centroids against the streaming corpus,
     one grouped min, and a global top-``REASSIGN_N``
     (TakeOrderedAndProject — never a full sort)."""
+    # ONE pass over the pairs frame: rn = 1 per vec_id by
+    # (o_dist, other_cid) yields b_dist AND the min-cid tie-broken
+    # suggestion together — no rounded-double equality self-join, no
+    # second execution of the kmeans lineage (round-11 review). The
+    # window partitions by vec_id (K-1 rows per partition).
     pairs = _silhouette_pairs(spark, sf_dir)
-    member = pairs.groupBy("vec_id", "cluster", "a_dist").agg(
-        F.min("o_dist").alias("b_dist")
-    )
-    alt = (
-        pairs.join(member.select("vec_id", "b_dist"), "vec_id")
-        .where(F.col("o_dist") == F.col("b_dist"))
-        .groupBy("vec_id")
-        .agg(F.min("other_cid").cast("long").alias("alt_cluster"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("o_dist"), F.asc("other_cid"))
+    member = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cluster",
+            "a_dist",
+            F.col("o_dist").alias("b_dist"),
+            F.col("other_cid").cast("long").alias("alt_cluster"),
+        )
     )
     sil = F.when(
         F.greatest(F.col("a_dist"), F.col("b_dist")) > 0,
         (F.col("b_dist") - F.col("a_dist"))
         / F.greatest(F.col("a_dist"), F.col("b_dist")),
     ).otherwise(F.lit(0.0))
-    scored = member.join(alt, "vec_id").withColumn(
+    scored = member.withColumn(
         "sq", F.floor(sil * F.lit(1e6) + F.lit(0.5))
     )
     # the unpartitioned rank runs AFTER limit(REASSIGN_N): its input is

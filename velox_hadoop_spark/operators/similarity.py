@@ -1320,7 +1320,7 @@ def score_pairs_exact(
     )
 
 
-def _recall_vs_exact(emb, sample, cand, gt=None):
+def _recall_vs_exact(emb, cand, gt):
     """(n_queries, n_exact, n_hits, recall) of an approximate
     candidate-pair frame against the exact sample top-k — the shared
     tail of every recall gate. Recall is a ratio of integer counts,
@@ -1331,22 +1331,11 @@ def _recall_vs_exact(emb, sample, cand, gt=None):
     (session, sf_dir) and arrives here as a ~3k-row LOCAL relation, so
     the candidate re-rank shares the cached size probe and (below the
     driver budget) the ONE normalized-corpus broadcast, and the recall
-    join is a broadcast probe. Without ``gt`` (legacy path) the
-    baseline is ``knn_exact`` with the fixed-count sample as the query
-    frame — past the broadcast budget it streams the corpus through
-    the cogroup un-replicated; NOTHING SF-proportional is ever
-    broadcast or collected either way, so the audit stays exact at any
-    scale."""
-    if gt is not None:
-        n, bc, exact_top, _ids = gt
-    else:
-        n = emb.count()
-        bc = broadcast_normalized_corpus(emb) if n <= DRIVER_BROADCAST_ROWS else None
-        exact_top = (
-            knn_exact(emb, _RECALL_K, queries=sample, n_query_blocks=1, n=n, bc=bc)
-            .select("query_id", "neighbor_id")
-            .persist()
-        )
+    join is a broadcast probe. Past the broadcast budget the baseline
+    streams the corpus through the cogroup un-replicated inside
+    ``recall_ground_truth`` — NOTHING SF-proportional is ever broadcast
+    or collected, so the audit stays exact at any scale."""
+    n, bc, exact_top, _ids = gt
     approx_top = topk_per_query(
         score_pairs_exact(emb, cand, n=n, bc=bc), _RECALL_K
     ).select("query_id", "neighbor_id")
@@ -1455,7 +1444,7 @@ def q_ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
     cand = qb.join(nb, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
     return _recall_vs_exact(
-        emb, sample, cand, gt=recall_ground_truth(spark, sf_dir, emb)
+        emb, cand, recall_ground_truth(spark, sf_dir, emb)
     )
 
 
@@ -1566,6 +1555,9 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, n_planes=_AMP_PLANES, plane_offset=t * _AMP_STRIDE
         ).withColumn("tbl", F.lit(t))
         tbuckets = b if tbuckets is None else tbuckets.unionByName(b)
+    # (measured round 11: persisting tbuckets here reads 3.4 -> 4.5 s
+    # warm — the materialization barrier costs more than re-evaluating
+    # the plane folds, which pipeline freely in both branches)
     qb = tbuckets.join(sample.select("vec_id"), "vec_id", "left_semi").select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
@@ -1577,7 +1569,7 @@ def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _recall_vs_exact(
-        emb, sample, cand, gt=recall_ground_truth(spark, sf_dir, emb)
+        emb, cand, recall_ground_truth(spark, sf_dir, emb)
     )
 
 
@@ -1661,7 +1653,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return _recall_vs_exact(
-        emb, sample, cand, gt=recall_ground_truth(spark, sf_dir, emb)
+        emb, cand, recall_ground_truth(spark, sf_dir, emb)
     )
 
 

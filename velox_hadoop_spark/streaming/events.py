@@ -453,25 +453,45 @@ def q_funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     """Spark's file-stream source rejects a bare file and the canonical
     ``events.parquet`` is one — materialize a normalized copy into a
-    DETERMINISTIC per-sf_dir temp directory (md5 of the source path),
-    written once and reused by every runner, later re-invocation, AND
-    later process: repeated bench/driver runs converge on one copy per
-    sf instead of accumulating mkdtemp dirs (round-10 ADVICE). The
-    ``_SUCCESS`` marker gates reuse so a half-written dir from a killed
-    run is rewritten, and the session conf still caches the resolved
-    path so the probe is one os.path check per invocation."""
+    DETERMINISTIC temp directory keyed on the source's CONTENT
+    fingerprint (path + per-file size/mtime), written once and reused
+    by every runner, later re-invocation, AND later process: repeated
+    bench/driver runs converge on one copy per corpus state instead of
+    accumulating mkdtemp dirs (round-10 ADVICE). Keying on content, not
+    just the path, means a rebuilt corpus at the same path (the
+    degenerate/empty sweeps rewrite fixed paths every run) gets a fresh
+    copy — the round-11 review's staleness catch. Publication is
+    atomic: the copy lands in a per-PID scratch dir and os.rename()s
+    into place, so two concurrent processes never interleave writes —
+    whoever renames second just discards its scratch."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
-    key = f"vhs.stream.srcdir.{sf_dir}"
+    src = os.path.join(sf_dir, "events.parquet")
+    sig_parts = [sf_dir]
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, f))
+            sig_parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    tok = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
+    key = f"vhs.stream.srcdir.{tok}"
     cached = spark.conf.get(key, None)
     if cached and os.path.isfile(os.path.join(cached, "_SUCCESS")):
         return cached
-    tok = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"vhs_stream_src_{tok}")
     if not os.path.isfile(os.path.join(d, "_SUCCESS")):
-        read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+        scratch = f"{d}.tmp.{os.getpid()}"
+        read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(scratch)
+        try:
+            os.rename(scratch, d)
+        except OSError:
+            # another process published first; use theirs
+            shutil.rmtree(scratch, ignore_errors=True)
     spark.conf.set(key, d)
     return d
 

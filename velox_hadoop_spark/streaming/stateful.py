@@ -164,16 +164,23 @@ def _walk_sessions(ts_list, val_list, open_state):
     folds the same grid), not a double accumulation."""
     gap_us = SESSION_GAP_MINUTES * 60_000_000
     closed = []
-    cur = open_state  # (start_us, last_us, n, total_cents) or None
+    cur = open_state  # (start_us, last_us, n, total_cents-or-None) or None
     for ts_us, v in zip(ts_list, val_list):
-        cents = int(round_half_away(float(v) * 100.0, 0))
+        # SQL-sum NULL semantics (the round-11 review's catch): a NULL /
+        # NaN value contributes nothing and an all-NULL session totals
+        # None, exactly like the oracle's SUM — int(NaN) would raise
+        # inside the Arrow worker where the old double fold silently
+        # went NaN
+        f = float(v) if v is not None else float("nan")
+        cents = None if f != f else int(round_half_away(f * 100.0, 0))
         if cur is not None and ts_us - cur[1] >= gap_us:
             closed.append(cur)
             cur = None
         if cur is None:
             cur = (ts_us, ts_us, 1, cents)
         else:
-            cur = (cur[0], ts_us, cur[2] + 1, cur[3] + cents)
+            t = cur[3] if cents is None else (cents if cur[3] is None else cur[3] + cents)
+            cur = (cur[0], ts_us, cur[2] + 1, t)
     return closed, cur
 
 
@@ -203,7 +210,7 @@ def _update_sessions(key, pdfs, state: GroupState):
                     "session_start": pd.Timestamp(s, unit="us"),
                     "session_end": pd.Timestamp(e, unit="us"),
                     "n_events": n,
-                    "total_value": t / 100.0,
+                    "total_value": t / 100.0 if t is not None else None,
                 }
                 for (s, e, n, t) in closed
             ]
@@ -234,7 +241,6 @@ def batch_user_session_summary(events: DataFrame) -> DataFrame:
     grouped-map applyInPandas, rolled up to a per-user session summary
     (registered with a SQL islands oracle — the Python kernel is
     hash-verified against pure SQL)."""
-    from velox_hadoop_spark.functions.vectors import round_half_away
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
@@ -251,7 +257,13 @@ def batch_user_session_summary(events: DataFrame) -> DataFrame:
                     "max_session_secs": max(
                         s[1] // 1_000_000 - s[0] // 1_000_000 for s in sessions
                     ),
-                    "total_value": sum(s[3] for s in sessions) / 100.0,
+                    # SQL-sum over session totals: NULL sessions skip,
+                    # all-NULL user reports NULL
+                    "total_value": (
+                        sum(vals) / 100.0
+                        if (vals := [s[3] for s in sessions if s[3] is not None])
+                        else None
+                    ),
                 }
             ]
         )
