@@ -208,10 +208,13 @@ def test_cluster_reassign_suggestions_match_numpy_recompute(spark):
     assert len(got) == min(REASSIGN_N, len(scored))
 
 
-def test_drop_hot_keys_null_keys_grouped_and_dropped(spark):
-    """SQL GROUP BY groups NULL keys: a hot all-NULL bucket must drop
-    exactly like the oracles' HAVING mirror (null-safe anti-join — the
-    round-11 review's catch), while a cool NULL bucket survives."""
+def test_drop_hot_keys_null_keys_dropped_entirely(spark):
+    """NULL-keyed rows participate in NO bucket, hot or cool — the
+    oracles mirror the cap as [GROUP BY key HAVING count <= cap]
+    REJOINED with an equi-join, which never matches a NULL key (the
+    round-11 review's catch, both passes): a hot all-NULL block must
+    not reach the collect buffer AND a cool NULL block must not emit
+    pairs the oracle cannot."""
     rows = [(None, i) for i in range(7)] + [("k", 1), ("k", 2)]
     df = spark.createDataFrame(rows, "k string, v long")
     got = {
@@ -223,7 +226,7 @@ def test_drop_hot_keys_null_keys_grouped_and_dropped(spark):
     got2 = {
         (r["k"], r["count"]) for r in cool.groupBy("k").count().collect()
     }
-    assert got2 == {(None, 3), ("k", 2)}
+    assert got2 == {("k", 2)}
 
 
 def test_session_kernel_null_values_sql_sum_semantics(spark):

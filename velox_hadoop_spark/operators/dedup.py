@@ -199,23 +199,25 @@ def drop_hot_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     Value-identical to the old shape: both drop exactly the keys with
     more than ``cap`` rows.
     """
+    # NULL keys drop ENTIRELY (the round-11 review's catch, second
+    # pass): the oracles mirror the cap as [cool = GROUP BY key HAVING
+    # count <= cap] REJOINED with an equi-join — which never matches a
+    # NULL key — so a NULL-keyed row (e.g. a NULL name's block in
+    # fuzzy_pairs_blocked) participates in NO bucket on the oracle
+    # side, hot or cool. Dropping them here mirrors that exactly AND
+    # keeps the hot-bucket guarantee (a hot all-NULL block never
+    # reaches the collect buffer), with a plain equi anti-join.
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & F.col(k).isNotNull()
+    keyed = df.where(cond)
     hot = (
-        df.groupBy(*key_cols)
+        keyed.groupBy(*key_cols)
         .agg(F.count("*").alias("_hk_cnt"))
         .where(F.col("_hk_cnt") > cap)
-        .select([F.col(k).alias(f"_hk_{k}") for k in key_cols])
+        .select(*key_cols)
     )
-    # NULL-SAFE anti-join (the round-11 review's catch): SQL GROUP BY
-    # groups NULL keys — a hot all-NULL block (e.g. NULL names in
-    # fuzzy_pairs_blocked) must drop exactly like the oracles'
-    # HAVING count(*) <= cap mirror; a plain equi-anti-join never
-    # matches NULL = NULL and would keep the one bucket shape this
-    # guard exists to drop.
-    cond = None
-    for k in key_cols:
-        c = F.col(k).eqNullSafe(F.col(f"_hk_{k}"))
-        cond = c if cond is None else cond & c
-    return df.join(F.broadcast(hot), cond, "left_anti")
+    return keyed.join(F.broadcast(hot), list(key_cols), "left_anti")
 
 
 def lsh_candidate_pairs(

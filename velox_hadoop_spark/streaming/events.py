@@ -469,30 +469,72 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
+    # RECURSIVE content fingerprint (review pass 2): a partitioned
+    # directory source rewrites nested part files without changing the
+    # top-level listing, so the walk covers every file at any depth.
     src = os.path.join(sf_dir, "events.parquet")
     sig_parts = [sf_dir]
     if os.path.isdir(src):
-        for f in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, f))
-            sig_parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        for root, dirs, files in os.walk(src):
+            dirs.sort()
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), src)
+                sig_parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.exists(src):
         st = os.stat(src)
         sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
     tok = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
-    key = f"vhs.stream.srcdir.{tok}"
-    cached = spark.conf.get(key, None)
-    if cached and os.path.isfile(os.path.join(cached, "_SUCCESS")):
-        return cached
-    d = os.path.join(tempfile.gettempdir(), f"vhs_stream_src_{tok}")
+    tmp = tempfile.gettempdir()
+    d = os.path.join(tmp, f"vhs_stream_src_{tok}")
     if not os.path.isfile(os.path.join(d, "_SUCCESS")):
         scratch = f"{d}.tmp.{os.getpid()}"
         read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(scratch)
         try:
             os.rename(scratch, d)
         except OSError:
-            # another process published first; use theirs
             shutil.rmtree(scratch, ignore_errors=True)
-    spark.conf.set(key, d)
+            if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+                # a broken/foreign dir squats at d (rename needs the
+                # target absent): repair in place — the pre-round-11
+                # behavior — instead of returning a half-written dir
+                read_table(spark, sf_dir, "events").write.mode(
+                    "overwrite"
+                ).parquet(d)
+    # GC superseded corpus states so repeated sweep/bench runs do not
+    # re-accumulate one events copy per rewrite (the round-10 ADVICE
+    # this function exists to fix): keep the 8 most-recently-used
+    # published dirs (concurrent sf_dirs in one test session stay
+    # live), drop older ones and any orphaned rename scratch.
+    try:
+        import time
+
+        sibs = [
+            p
+            for f in os.listdir(tmp)
+            if f.startswith("vhs_stream_src_")
+            and os.path.isdir(p := os.path.join(tmp, f))
+            and p != d
+        ]
+        # orphaned rename scratches: only if old enough that no live
+        # writer can still own them
+        hour_ago_ns = (time.time() - 3600) * 1e9
+        stale = [
+            p
+            for p in sibs
+            if ".tmp." in os.path.basename(p)
+            and os.stat(p).st_mtime_ns < hour_ago_ns
+        ]
+        published = sorted(
+            (p for p in sibs if ".tmp." not in os.path.basename(p)),
+            key=lambda p: os.stat(p).st_mtime_ns,
+            reverse=True,
+        )
+        for p in stale + published[7:]:
+            shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    os.utime(d)
     return d
 
 
