@@ -286,10 +286,12 @@ def test_lsh_candidate_pairs_guarded_bucket_group(spark):
     df = registry.queries()["lsh_candidate_pairs"](spark, SF_DIR)
     plan = _formatted_plan(df)
     _assert_guarded_bucket_group(df)
-    # both guard sides recompute the _docs_par input repartition (2) +
-    # hot-count groupBy + broadcast exchange of the hot keys + bucket
-    # groupBy + pair distinct
-    assert _n_exchanges(plan) == 6, plan
+    # the guard persists its keyed input, so the _docs_par repartition
+    # appears once (inside the cached relation) + hot-count groupBy +
+    # broadcast exchange of the hot keys + bucket groupBy + pair
+    # distinct; both guard sides read the SAME InMemoryTableScan
+    assert _n_exchanges(plan) == 5, plan
+    assert "InMemoryTableScan" in plan, plan
 
 
 def test_simhash_pairs_guarded_bucket_group(spark):
@@ -297,10 +299,11 @@ def test_simhash_pairs_guarded_bucket_group(spark):
     df = registry.queries()["simhash_near_dup_pairs"](spark, SF_DIR)
     plan = _formatted_plan(df)
     _assert_guarded_bucket_group(df)
-    # both guard sides recompute the _docs_par repartition and the
-    # per-doc simhash aggregate (2 + 2) + hot-count groupBy + broadcast
+    # _docs_par repartition + per-doc simhash aggregate (once each,
+    # inside the cached relation) + hot-count groupBy + broadcast
     # exchange + bucket groupBy + pair distinct
-    assert _n_exchanges(plan) == 8, plan
+    assert _n_exchanges(plan) == 6, plan
+    assert "InMemoryTableScan" in plan, plan
 
 
 def test_fuzzy_blocking_guarded_single_shuffle(spark):

@@ -177,7 +177,9 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS, r: int = _R) 
 # no aggregation buffer ever materializes a hot bucket's id array.
 
 
-def drop_hot_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+def drop_hot_keys(
+    df: DataFrame, key_cols: list[str], cap: int, persist_input: bool = True
+) -> DataFrame:
     """Remove every row whose key carries more than ``cap`` rows —
     BEFORE any grouped ``collect_list`` materializes per-key arrays.
 
@@ -207,10 +209,24 @@ def drop_hot_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     # side, hot or cool. Dropping them here mirrors that exactly AND
     # keeps the hot-bucket guarantee (a hot all-NULL block never
     # reaches the collect buffer), with a plain equi anti-join.
+    from pyspark.storagelevel import StorageLevel
+
     cond = F.lit(True)
     for k in key_cols:
         cond = cond & F.col(k).isNotNull()
     keyed = df.where(cond)
+    # persist (memory-and-disk): the count pre-pass and the downstream
+    # grouped collect are the guard's two readers, and the upstream
+    # band/shingle derivation is the expensive part of every caller —
+    # unpersisted, each composite re-hashes the corpus once per side
+    # (measured round 11: dedup_threshold_sweep 4.0 -> 9.7 s warm
+    # unpersisted vs 5.7 s persisted). At 100 TB this materializes a
+    # corpus-sized key table to executor disk — the standard trade for
+    # a frame two aggregates must read; a caller that cannot afford the
+    # materialization passes persist_input=False for the 2x-recompute
+    # form.
+    if persist_input:
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     hot = (
         keyed.groupBy(*key_cols)
         .agg(F.count("*").alias("_hk_cnt"))
