@@ -239,3 +239,19 @@ def test_session_kernel_null_values_sql_sum_semantics(spark):
     assert cur == (0, 2, 3, 125)
     closed, cur = _walk_sessions([0, 1], [None, None], None)
     assert cur == (0, 1, 2, None)
+
+
+def test_sketch_bounds_audits_oracle_parity(spark, duck):
+    """The three converted bounds-audit queries (round 11: rows-only →
+    hash-oracled) get the standard oracle-parity check so CI covers
+    them between driver rounds — the registered query is now the audit
+    twin, the sketch-only production plans are tested in
+    test_tpch_more.py / test_round9_parity.py."""
+    from tests.conftest import assert_parity
+
+    for name in (
+        "approx_distinct_parts_per_supplier",
+        "approx_percentiles_price",
+        "hll_weekly_merge_rollup",
+    ):
+        assert_parity(spark, duck, name)
