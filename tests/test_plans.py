@@ -661,9 +661,11 @@ def test_band_tuning_single_documents_scan(spark):
     # count scan NODES (the details header "(n) Scan parquet"), not raw
     # substring hits — the formatted plan prints each node twice
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
-    # <= 2, not 3: one scan per drop_hot_keys side (hot-count pre-pass
-    # + main pipeline), never one per band-layout config
-    assert n_scans <= 2, f"expected <=2 parquet scans, saw {n_scans}"
+    # exactly one: the guard persists its keyed input, so both guard
+    # sides read the cached relation and the documents scan happens
+    # once — never per band-layout config, never per guard side
+    assert n_scans <= 1, f"expected 1 parquet scan, saw {n_scans}"
+    assert "InMemoryTableScan" in plan, plan
 
 
 def test_runtime_bloom_filter_injected_on_join_key(spark):

@@ -255,3 +255,20 @@ def test_sketch_bounds_audits_oracle_parity(spark, duck):
         "hll_weekly_merge_rollup",
     ):
         assert_parity(spark, duck, name)
+
+
+def test_drop_hot_keys_unpersisted_form_value_identical(spark):
+    """persist_input=False (the escape hatch for callers that cannot
+    afford the materialization) yields the same rows through the same
+    guarded plan, just without the InMemoryRelation."""
+    rows = [("hot", i) for i in range(9)] + [("a", 1), ("a", 2), ("b", 3)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    on = {(r["k"], r["v"]) for r in drop_hot_keys(df, ["k"], 5).collect()}
+    # the True call above cached the keyed frame; Spark's cache manager
+    # would substitute it into ANY matching later plan, so clear before
+    # asserting the uncached shape
+    spark.catalog.clearCache()
+    off = drop_hot_keys(df, ["k"], 5, persist_input=False)
+    assert {(r["k"], r["v"]) for r in off.collect()} == on
+    tree = off._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in tree and "InMemoryTableScan" not in tree

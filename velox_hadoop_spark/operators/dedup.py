@@ -194,12 +194,22 @@ def drop_hot_keys(
     a hot key's FULL id array first: ~8 MB per key at f = 1e6 duplicate
     signatures (survivable), a task OOM at an adversarial f = 1e8
     universal-boilerplate signature in a raw 100 TB crawl. This form is
-    memory-bounded at ANY key skew. Cost: one extra linear pass over
-    ``df`` (the counts aggregation) — recomputing the upstream
-    band/shingle derivation is vectorized JVM hashing, cheaper at
-    100 TB than persisting an SF-sized table for the second read.
-    Value-identical to the old shape: both drop exactly the keys with
-    more than ``cap`` rows.
+    memory-bounded at ANY key skew. Value-identical to the old shape:
+    both drop exactly the keys with more than ``cap`` rows.
+
+    Cost and ``persist_input``: the guard has TWO readers of the keyed
+    table (the count pre-pass and the downstream grouped collect), so
+    by default the NULL-filtered input persists spillably
+    (memory-and-disk) — one evaluation of the upstream band/shingle
+    derivation instead of two (measured round 11 at sf0.1:
+    dedup_threshold_sweep 9.7 s warm unpersisted vs 4.76 s persisted).
+    The cache is session-scoped like every internal materialization in
+    this module (the caller-owns-the-cache contract: bench and the
+    driver gate clearCache per query); a caller that cannot afford a
+    corpus-sized spillable materialization — or that holds several
+    such caches at once — passes ``persist_input=False`` for the
+    2x-recompute form, which is the same rows through the same plan
+    minus the InMemoryRelation.
     """
     # NULL keys drop ENTIRELY (the round-11 review's catch, second
     # pass): the oracles mirror the cap as [cool = GROUP BY key HAVING
@@ -215,16 +225,6 @@ def drop_hot_keys(
     for k in key_cols:
         cond = cond & F.col(k).isNotNull()
     keyed = df.where(cond)
-    # persist (memory-and-disk): the count pre-pass and the downstream
-    # grouped collect are the guard's two readers, and the upstream
-    # band/shingle derivation is the expensive part of every caller —
-    # unpersisted, each composite re-hashes the corpus once per side
-    # (measured round 11: dedup_threshold_sweep 4.0 -> 9.7 s warm
-    # unpersisted vs 5.7 s persisted). At 100 TB this materializes a
-    # corpus-sized key table to executor disk — the standard trade for
-    # a frame two aggregates must read; a caller that cannot afford the
-    # materialization passes persist_input=False for the 2x-recompute
-    # form.
     if persist_input:
         keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     hot = (
