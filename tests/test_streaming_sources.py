@@ -484,3 +484,44 @@ def test_stateful_runner_all_null_value_user_reports_null_total(spark):
     }
     con.close()
     assert got == want
+
+
+def test_stream_source_dir_tracks_corpus_rewrites(spark, tmp_path):
+    """The content-fingerprinted stream-source copy must go STALE-PROOF
+    (round-11 review): rewriting the corpus at the SAME sf_dir path
+    (the sweeps do this every run) must mint a fresh copy, while an
+    unchanged corpus reuses the previous one."""
+    import pyspark.sql.functions as SF
+
+    from velox_hadoop_spark.streaming.events import _stream_source_dir
+
+    sf_dir = str(tmp_path)
+    ev = read_table(spark, SF_DIR, "events")
+    ev.limit(10).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    d1 = _stream_source_dir(spark, sf_dir)
+    n1 = spark.read.parquet(d1).count()
+    assert n1 == 10
+    # unchanged corpus -> same copy
+    assert _stream_source_dir(spark, sf_dir) == d1
+    # REWRITE the corpus at the same path -> new token, fresh copy
+    ev.limit(25).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    d2 = _stream_source_dir(spark, sf_dir)
+    assert d2 != d1
+    assert spark.read.parquet(d2).count() == 25
+    # the runners read the fresh data end-to-end
+    from velox_hadoop_spark.streaming.events import (
+        drain_to_memory_sink,
+        read_event_stream,
+        stream_dedup,
+    )
+
+    sink = drain_to_memory_sink(
+        spark, stream_dedup(read_event_stream(spark, d2)), "vhs_staletest_", "append"
+    )
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert sink.select("user_id", "event_type").distinct().count() == want
