@@ -288,3 +288,31 @@ def test_co_supply_slice_cap_equals_bruteforce_topk(spark, parts, cap):
         for r in co_supply_capped_edges(df, adj_cap=cap, part_cap=10_000).collect()
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.one_of(st.none(), keys), st.integers(0, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    cap=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_drop_hot_keys_equals_bruteforce_filter(spark, rows, cap):
+    """Guard law (round 11): drop_hot_keys keeps exactly the rows whose
+    NON-NULL key has multiplicity <= cap — for any key multiset, any
+    cap, NULLs dropped entirely (the oracles' equi-rejoin mirror)."""
+    from velox_hadoop_spark.operators.dedup import drop_hot_keys
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "k int, v int, uid int",  # explicit: an all-NULL key column
+        # cannot be type-inferred
+    )
+    got = {r.uid for r in drop_hot_keys(df, ["k"], cap).collect()}
+    freq = Counter(k for k, _ in rows if k is not None)
+    want = {
+        i for i, (k, _) in enumerate(rows) if k is not None and freq[k] <= cap
+    }
+    assert got == want
