@@ -661,10 +661,13 @@ def test_band_tuning_single_documents_scan(spark):
     # count scan NODES (the details header "(n) Scan parquet"), not raw
     # substring hits — the formatted plan prints each node twice
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
-    # exactly one: the guard persists its keyed input, so both guard
+    # at most one: the guard persists its keyed input, so both guard
     # sides read the cached relation and the documents scan happens
-    # once — never per band-layout config, never per guard side
-    assert n_scans <= 1, f"expected 1 parquet scan, saw {n_scans}"
+    # once — never per band-layout config, never per guard side. Zero
+    # is legitimate when Spark's CacheManager substitutes a twin cached
+    # by an earlier test for the whole scan subtree; the
+    # InMemoryTableScan assertion pins the cached shape either way.
+    assert n_scans <= 1, f"expected <=1 parquet scan, saw {n_scans}"
     assert "InMemoryTableScan" in plan, plan
 
 

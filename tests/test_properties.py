@@ -310,7 +310,13 @@ def test_drop_hot_keys_equals_bruteforce_filter(spark, rows, cap):
         "k int, v int, uid int",  # explicit: an all-NULL key column
         # cannot be type-inferred
     )
-    got = {r.uid for r in drop_hot_keys(df, ["k"], cap).collect()}
+    # persist_input=False: the law is value-level, and the default's
+    # session-scoped cache would pile up one entry per hypothesis
+    # example (and make later plan-shape tests order-dependent)
+    got = {
+        r.uid
+        for r in drop_hot_keys(df, ["k"], cap, persist_input=False).collect()
+    }
     freq = Counter(k for k, _ in rows if k is not None)
     want = {
         i for i, (k, _) in enumerate(rows) if k is not None and freq[k] <= cap

@@ -209,7 +209,8 @@ def drop_hot_keys(
     corpus-sized spillable materialization — or that holds several
     such caches at once — passes ``persist_input=False`` for the
     2x-recompute form, which is the same rows through the same plan
-    minus the InMemoryRelation.
+    minus the InMemoryRelation (each public pair generator forwards
+    this as ``persist_guard_input``).
     """
     # NULL keys drop ENTIRELY (the round-11 review's catch, second
     # pass): the oracles mirror the cap as [cool = GROUP BY key HAVING
@@ -241,6 +242,7 @@ def lsh_candidate_pairs(
     id_col: str,
     max_bucket: int = MAX_KEY_DOC_FREQ,
     extra_group_cols: tuple[str, ...] = (),
+    persist_guard_input: bool = True,
 ) -> DataFrame:
     """Distinct id pairs (a < b) sharing at least one band bucket.
 
@@ -266,7 +268,7 @@ def lsh_candidate_pairs(
     extras = list(extra_group_cols)
     keys = [*extras, "band_id", "band_key"]
     grouped = (
-        drop_hot_keys(bands_df, keys, max_bucket)
+        drop_hot_keys(bands_df, keys, max_bucket, persist_guard_input)
         .groupBy(*keys)
         .agg(F.collect_list(id_col).alias("ids"))
         .where(F.size("ids") >= 2)
@@ -281,7 +283,10 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str, max_doc_freq: int = MAX_KEY_DOC_FREQ
+    shingles: DataFrame,
+    id_col: str,
+    max_doc_freq: int = MAX_KEY_DOC_FREQ,
+    persist_guard_input: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard for every pair sharing ≥ 1 (non-boilerplate) shingle.
 
@@ -302,7 +307,7 @@ def jaccard_pairs(
     table, persisted because both branches read it.
     """
     grouped = (
-        drop_hot_keys(shingles, ["shingle"], max_doc_freq)
+        drop_hot_keys(shingles, ["shingle"], max_doc_freq, persist_guard_input)
         .groupBy("shingle")
         .agg(F.collect_list(id_col).alias("ids"))
         .select(F.sort_array("ids").alias("ids"))
@@ -1076,6 +1081,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     max_bucket: int = MAX_KEY_DOC_FREQ,
+    persist_guard_input: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded pigeonhole.
 
@@ -1104,7 +1110,7 @@ def simhash_near_dup_pairs(
         ).alias("band_id", "band_key"),
     )
     grouped = (
-        drop_hot_keys(bands, ["band_id", "band_key"], max_bucket)
+        drop_hot_keys(bands, ["band_id", "band_key"], max_bucket, persist_guard_input)
         .groupBy("band_id", "band_key")
         .agg(
             F.collect_list(
@@ -1171,6 +1177,7 @@ def fuzzy_pairs_blocked(
     name_col: str,
     max_edit: int = 3,
     max_block: int = MAX_KEY_DOC_FREQ,
+    persist_guard_input: bool = True,
 ) -> DataFrame:
     """Fuzzy record linkage: (a, b, edit distance ≤ max_edit) pairs,
     blocked so the quadratic levenshtein never runs all-pairs.
@@ -1193,7 +1200,7 @@ def fuzzy_pairs_blocked(
         F.element_at(F.split(F.col(name_col), r"\s+"), -1).alias("blk"),
     )
     grouped = (
-        drop_hot_keys(keyed, ["blk"], max_block)
+        drop_hot_keys(keyed, ["blk"], max_block, persist_guard_input)
         .groupBy("blk")
         .agg(
             F.collect_list(
