@@ -55,24 +55,45 @@ _BOOST = ()
 # evidence. Round 10's 13 names all re-greened in CORRECTNESS_r10 and
 # were dropped; repopulated with round 11's semantic/oracle rewrites:
 _REVERIFY = (
-    # streaming dedup runner now emits per-key SINK ROW COUNTS (oracle
-    # pins n_rows = 1 per key) instead of a post-sink distinct, so a
-    # dropDuplicatesWithinWatermark regression that emits duplicates
-    # fails the driver gate too (round-10 ADVICE item):
+    # ROUND-12 riders — plan/contract changes to green rows, all
+    # re-gated value-identical at sf0.01 + sf0.1 before landing:
+    #
+    # (a) the streaming dedup runner now PINS a single-batch drain
+    # (maxFilesPerTrigger far above the runner-owned source's file
+    # count), making its n_rows = 1 oracle sound by construction
+    # instead of by the current availableNow default (round-12 ADVICE
+    # medium item; batching contract tests in
+    # tests/test_round12_parity.py):
     "streaming_dedup_runner",
-    # the broadened lint_oracles class 3 (CAST wrappers, avg, un-ROUNDed
-    # money sums — round-10 ADVICE) caught 7 stragglers; all converted
-    # to exact integer-cent / 1e4-grid / exact-moment folds, mirrored in
-    # each oracle, value-identical at sf0.01 + sf0.1 (re-gated). The
-    # 8th hit (window_customer_orders, a bounded 3-row frame) is
-    # whitelisted with rationale in scripts/lint_oracles.py:
-    "tpch_q14_promo_revenue",
-    "stateful_sessions_batch_twin",
-    "event_value_outliers",
-    "winsorized_mean_value",
-    "welch_z_by_event_type",
-    "grouped_locf_daily_fill",
-    "weekday_hour_heatmap",
+    # (b) the LAST buffer-before-filter aggregates (r11 verdict's one
+    # weak finding) closed: co_supply_capped_edges routes its part cap
+    # through drop_hot_keys BEFORE the grouped collect_set and merges
+    # adjacency via a staged top-k instead of an unbounded
+    # flatten(collect_list); the neighbor_jaccard wedge build guards
+    # the same way (degrees now fold from the distinct edge frame —
+    # no arrays on the uncapped path). Oracles unchanged; hot-part +
+    # mega-hot fixtures and plan-shape tests added:
+    "supplier_triangle_counts",
+    "neighbor_jaccard_links",
+    "degree_assortativity_suppliers",
+    "clustering_coefficient_suppliers",
+    # (c) IVF assignment rewritten as an in-row argmax over the
+    # driver-local literal codebook (session-cached per corpus content
+    # state, r11 verdict follow-on #3): same scoring expression and
+    # tiebreak — bit-equal sims — but no crossJoin, no window, no
+    # K x N-row shuffle; cold/warm parity pinned in
+    # tests/test_round12_parity.py:
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_hard_negatives",
+    "ann_recall_budget_curve",
+    # (d) the DoReMi |sources|-row base histogram is session-cached
+    # driver-local (content-fingerprinted, MAX_SOURCES-guarded; r11
+    # verdict follow-on #4) — the iteration arithmetic is the shared
+    # _doremi_iterate either way, cold/warm parity pinned in tests:
+    "doremi_mixture_reweight",
+    "doremi_weighted_resample",
+    "doremi_resample_report",
 )
 
 
@@ -80,73 +101,19 @@ _REVERIFY = (
 # rewrites — all re-gated at sf0.01 AND sf0.1 with identical results.
 # They re-enter the queue BEHIND the never-verified group: fresh driver
 # evidence is desirable but must not displace a new registration's
-# FIRST row (the every-query-has-a-row invariant). Round-11 state: the
-# r09 sample reached 24 of the 55 round-10 tail names (re-greened,
-# dropped); the 31 names below re-queue at the FRONT of the tail, in
-# the same wait-order. Round 11 registers few new queries so the
-# ~50-slot budget reaches ALL of them (restoring the r8 invariant
-# "every registry query has a current green row").
+# FIRST row (the every-query-has-a-row invariant). Round-12 state: the
+# r11 sample re-greened all 31 old riders AND the first 6 round-11
+# riders (dropped below); the 20 names here are the round-11 riders
+# the sample did not reach (21 minus ann_recall_budget_curve, which
+# re-rides _REVERIFY above for the round-12 IVF rewrite), in the same
+# wait-order. Budget arithmetic: 12 _REVERIFY + 20 tail = 32 of ~50
+# slots -> every name below drains in round 12 provided new
+# registrations stay <= ~15 (they queue as never-verified ahead of the
+# tail but the total stays inside the budget).
 _REVERIFY_TAIL = (
-    # round-9/10 riders not reached by the r10 sample, oldest first —
-    # money-exactness conversions (exact integer-cent sums replacing
-    # ROUND(SUM(double))), −0.0 pins on the shared cosine/centroid
-    # kernels, and the A-ES zero-weight guard:
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_idle_rich_customers",
-    "window_customer_orders",
-    "window_trailing_30d_spend",
-    "embedding_near_dup",
-    "ann_bruteforce_topk",
-    "knn_top1_all",
-    "embedding_label_centroids",
-    "centroid_separation_matrix",
-    "ann_ivf_recall",
-    "ann_hard_negatives",
-    "weighted_sample_docs",
-    # round-10 value-neutral plan rewrites (staged windows, salted IVF
-    # cogroup, persist riders) — outputs byte-identical, re-gated at
-    # sf0.01 + sf0.1:
-    "ann_ivf_topk",
-    "pack_sequences",
-    "pack_overflow_stats",
-    "context_window_budget",
-    "curation_pack_report",
-    "capped_docs_per_source",
-    "inverted_index_tokens",
-    "key_skew_salting_plan",
-    # money-exactness COMPLETION batch (streaming-family, sources, and
-    # reshape modules), value-identical at sf0.01 + sf0.1 (re-gated),
-    # enforced registry-wide by lint_oracles class 3:
-    "events_json_props",
-    "events_segment_enriched",
-    "events_gap_fill_daily",
-    "jsonl_roundtrip_orders",
-    "orc_roundtrip_customer",
-    "partitioned_parquet_prune",
-    "dynamic_partition_prune_join",
-    "federated_format_union",
-    "grouping_sets_revenue",
-    "time_rollup_revenue",
-    "sql_q8_market_share",
-    # round-11 value-neutral plan rewrites: the grouped-array hot-bucket
-    # OOM class closed at ALL FIVE sites (lsh_candidate_pairs,
-    # jaccard_pairs, incremental_lsh_near_dup, simhash_near_dup_pairs,
-    # fuzzy_pairs_blocked) with drop_hot_keys — a count pre-pass +
-    # broadcast anti-join BEFORE the grouped collect_list; dropped
-    # buckets unchanged, every oracle unchanged. The 22 names below are
-    # the transitive riders of those shared helpers (AST call-graph
-    # audit), re-gated value-identical at sf0.01 + sf0.1. They queue
-    # BEHIND the 31 older riders above: the round-11 budget drains all
-    # 31 old names first; riders the sample does not reach re-queue in
-    # round 12 (the OOM-close brief item created more riders than the
-    # ~50-slot budget holds alongside the old drain — resolved in favor
-    # of closing the whole class, arithmetic in plans/ROUND12_NOTES.md).
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
-    "incremental_lsh_near_dup",
-    "simhash_near_dup_pairs",
-    "fuzzy_part_name_pairs",
-    "entity_resolution_parts",
+    # round-11 drop_hot_keys riders (grouped-array hot-bucket OOM class
+    # closed at all five dedup sites; dropped buckets and oracles
+    # unchanged; re-gated value-identical at sf0.01 + sf0.1):
     "minhash_jaccard_estimate",
     "minhash_containment_pairs",
     "minhash_estimate_error_audit",
@@ -163,36 +130,19 @@ _REVERIFY_TAIL = (
     "cross_source_neardup_matrix",
     "cross_snapshot_dedup_decay",
     "snapshot_novelty_rate",
-    # round-11 streaming-runner hygiene (round-10 ADVICE): deterministic
-    # per-sf stream-source dir + stale memory-sink drop via
-    # drain_to_memory_sink — sink contents and oracles unchanged for
-    # these two (the dedup runner's oracle DID change; it rides
-    # _REVERIFY above):
+    # round-11 streaming-runner hygiene (deterministic content-keyed
+    # stream-source dir + stale memory-sink drop; sink contents and
+    # oracles unchanged for these two — and the round-12 publication
+    # retry loop / GC age floor are value-neutral too):
     "streaming_tumbling_runner",
     "streaming_stateful_totals_runner",
-    # round-11 shared recall ground truth (VERDICT item 4): the exact
-    # baseline computes once per (session, sf_dir) and replays as a
-    # ~3k-row local relation — values identical (re-gated sf0.01 +
-    # sf0.1); ann_ivf_recall already rides the older batch above:
+    # round-11 shared recall ground truth (values identical, re-gated),
+    # now content-fingerprint-keyed (round-12 ADVICE low item):
     "ann_lsh_recall_at_k",
     "ann_multiprobe_recall",
-    "ann_recall_budget_curve",
 )
 
 
-# Queries added in the current round: they go to the BACK of the
-# never-verified group so each new registration extends the burn-down
-# queue instead of displacing older queries out of the driver's
-# per-round verification budget. Round 11: empty — registration order
-# queues the few additions last. Budget arithmetic: the 3 sketch
-# queries converted from rows-only to hash-oracled bounds-audits are
-# never-hash-green, so they sort into the never-verified front
-# automatically; front = 3 sketch conversions + new registrations +
-# 1 _REVERIFY (streaming_dedup_runner oracle change) ≈ 8 vs ~50 driver
-# slots, leaving ~42 for the tail — ALL 31 old riders drain (the r8
-# "every query has a current green row" invariant restored for the
-# inherited debt), then ~11 of the 22 round-11 OOM-fix riders; the
-# remainder re-queues in round 12.
 _DEFER = ()
 
 

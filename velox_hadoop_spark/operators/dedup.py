@@ -197,6 +197,17 @@ def drop_hot_keys(
     memory-bounded at ANY key skew. Value-identical to the old shape:
     both drop exactly the keys with more than ``cap`` rows.
 
+    Non-NULL-id precondition (round-12 advice): the pre-pass gates on
+    ``count(*)`` per key, where the replaced post-collect filter gated
+    on ``size(collect_list(id))`` — which SKIPS NULL ids. A key whose
+    ``cap`` rows include a NULL id would flip from kept to dropped, so
+    the value-identity claim holds only when the downstream-collected
+    id column is non-null. True at every call site (doc_id / pid /
+    supplier-key columns, all from non-null sources, and the oracles'
+    ``HAVING count(*) <= cap`` mirrors count rows the same way this
+    pre-pass does — NULL ids would diverge the ORACLE from the old
+    shape too, so count(*) is the side that matches the gate).
+
     Cost and ``persist_input``: the guard has TWO readers of the keyed
     table (the count pre-pass and the downstream grouped collect), so
     by default the NULL-filtered input persists spillably

@@ -34,6 +34,7 @@ from pyspark.storagelevel import StorageLevel
 
 from velox_hadoop_spark.functions.lineage import free_local_checkpoint, release
 from velox_hadoop_spark.functions.pairs import id_pairs
+from velox_hadoop_spark.functions.staged import staged_topk_per_group
 from velox_hadoop_spark.plans.registry import register
 
 DAMPING = 0.85
@@ -528,38 +529,63 @@ def co_supply_capped_edges(
     membership: DataFrame,
     adj_cap: int = TRIANGLE_ADJ_CAP,
     part_cap: int = TRIANGLE_PART_CAP,
+    persist_guard_input: bool = True,
 ) -> DataFrame:
     """Oriented (s1 < s2) co-supply edges from a (part, s) membership
     frame, degree-bounded on both axes: parts with more than
     ``part_cap`` distinct members are dropped, and each node keeps its
     ``adj_cap`` SMALLEST higher-id neighbors.
 
-    Single-shuffle edge build: ONE groupBy collects each part's
-    distinct member set in-row (collect_set dedups inside the
-    aggregate, so no upstream distinct() exchange) and the hot-part
-    cap is a free size filter on the grouped array. The adjacency cap
-    needs NO pair-level distinct + window: the global top-k smallest
-    is preserved by slicing each part's sorted contribution to k
-    BEFORE the shuffle — if s2 is among s1's k smallest global
-    neighbors then fewer than k neighbors precede it in ANY part they
-    share, so s2 survives every per-part slice (property-tested
-    against a brute-force reference in tests/test_properties.py).
-    One (part, s1) array row (<= k elements) replaces the C(deg,2)
-    exploded pair rows: Θ(Σ deg·k) shuffled elements instead of
-    Θ(Σ deg²) shuffled rows, and the dedup runs IN-ROW
-    (array_distinct) inside the s1 aggregate instead of as a
-    row-level distinct exchange. Phase-timed at sf0.1 (complete
-    1000-node co-supply graph): 8.7M pair rows + distinct + window
-    4.8s → 600k array rows 2.0s for the identical 61,920-edge set.
-    Per-s1 pre-distinct fan-in is bounded by k·parts(s1) elements
-    (collect_list merges map-side partials); the previous window
-    shape concentrated deg(s1) <= V distinct pair ROWS in one task —
-    same single-reducer class, strictly less data up to the
-    duplication factor, which the per-part k-slice bounds."""
+    Memory-bounded at ANY part/degree skew — the round-12 close of the
+    last buffer-before-filter aggregates (r11 verdict, graph.py):
+
+    * part cap: ``drop_hot_keys`` (count pre-pass + broadcast
+      anti-join, the one shared guard in dedup.py) removes over-cap
+      parts BEFORE the grouped ``collect_set``, so the aggregation
+      buffer holds at most ``part_cap`` member ids for ANY part. The
+      pre-pass counts rows of the DISTINCT (part, s) frame — a hash
+      aggregate with constant per-entry state, spillable — so
+      count(*) per part IS the distinct-member count the cap is
+      defined over (and exactly the oracles' ``pdeg`` CTE over the
+      DISTINCT ps). The round-5..11 shape instead filtered
+      ``size(ids) <= part_cap`` AFTER the collect: output-identical,
+      but a hot part's FULL member set transited the aggregation
+      buffer first — a task OOM on a power-law 100 TB graph where one
+      boilerplate part is supplied by 1e6+ suppliers.
+    * adjacency cap: each part's contribution is still sliced to its
+      ``adj_cap`` smallest higher-id neighbors IN-ROW (if s2 is among
+      s1's k smallest global neighbors then fewer than k neighbors
+      precede it in ANY shared part, so s2 survives every per-part
+      slice — property-tested in tests/test_properties.py), but the
+      per-node merge is now [explode → (s1, s2) hash-agg dedup →
+      ``staged_topk_per_group``] instead of
+      ``slice(array_distinct(flatten(collect_list(nbrs))))``: the old
+      merge buffered adj_cap × parts(s1) elements per node before its
+      post-hoc slice — unbounded in how many parts a hub supplies.
+      The dedup aggregate carries constant per-entry state; stage-1 of
+      the top-k is bounded by the scan partition, stage-2 by
+      adj_cap × n_partitions survivors per node.
+
+    Value-identical to the old shape on non-NULL keys (both drop
+    exactly the parts with more than ``part_cap`` distinct members and
+    keep each node's ``adj_cap`` smallest higher-id neighbors; hot-part
+    fixture in tests/test_round12_parity.py). NULL parts now drop
+    entirely — matching the oracles' ``JOIN pdeg ON part`` equi-join
+    mirror, which never matches NULL (the old groupBy kept a NULL-part
+    group the oracle CTEs never had). ``persist_guard_input`` forwards
+    to the guard: the distinct membership frame has two readers (count
+    pre-pass + grouped collect), so it persists spillably by default;
+    pass False for the 2×-recompute form (see drop_hot_keys)."""
+    from velox_hadoop_spark.operators.dedup import drop_hot_keys
+
+    distinct_mem = membership.select("part", "s").distinct()
+    guarded = drop_hot_keys(
+        distinct_mem, ["part"], part_cap, persist_input=persist_guard_input
+    )
     grouped = (
-        membership.groupBy("part")
+        guarded.groupBy("part")
         .agg(F.sort_array(F.collect_set("s")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= part_cap))
+        .where(F.size("ids") >= 2)
         .select("ids")
     )
     contrib = (
@@ -579,14 +605,13 @@ def co_supply_capped_edges(
         .select("c.s1", "c.nbrs")
         .where(F.size("nbrs") > 0)
     )
-    adj = contrib.groupBy("s1").agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("nbrs")))),
-            1,
-            adj_cap,
-        ).alias("nbrs")
+    cand = (
+        contrib.select("s1", F.explode("nbrs").alias("s2"))
+        .dropDuplicates(["s1", "s2"])
     )
-    return adj.select("s1", F.explode("nbrs").alias("s2"))
+    return staged_topk_per_group(cand, ["s1"], [F.asc("s2")], adj_cap).select(
+        "s1", "s2"
+    )
 
 
 @register(
@@ -697,35 +722,46 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Common neighbors come from a wedge join on the shared part;
     degrees come from the UNCAPPED edge set (exact denominators).
     Parts with > NBR_PART_CAP suppliers are excluded from the wedge
-    join only: a hot part contributes quadratic wedges but uniform,
+    side only: a hot part contributes quadratic wedges but uniform,
     signal-free overlap (the same density guard as the triangle census
     and dedup self-joins — bounded join fanout at any scale, exactly
     reproduced by the oracle). Top-k is TakeOrderedAndProject, no
-    total sort."""
+    total sort.
+
+    Round-12 rework (the r11 verdict's buffer-before-filter class):
+    the hot-part cap is enforced by ``drop_hot_keys`` on the DISTINCT
+    (s, part) edge frame BEFORE the grouped ``collect_set`` — the old
+    shape collected every part's full supplier set (uncapped, to share
+    one frame with the degree count) and size-filtered the array
+    afterwards, buffering a hot part's whole membership in the
+    aggregation buffer. Degrees now fold directly from the distinct
+    edge frame (hash aggregate, constant per-entry state — no arrays
+    anywhere on the uncapped path); only the guarded wedge side builds
+    per-part arrays, bounded by the cap at any skew. The distinct
+    frame is persisted once and feeds all three readers (degree count,
+    guard pre-pass, wedge collect), so ``persist_input=False`` on the
+    guard avoids a second cache of the same rows."""
+    from velox_hadoop_spark.operators.dedup import drop_hot_keys
     from velox_hadoop_spark.operators.sort import top_k
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # ONE groupBy replaces [distinct + degree shuffle + hot-part count +
-    # anti-join + two-sided wedge self-join]: each part's distinct
-    # supplier set is collected in-row (collect_set dedups inside the
-    # aggregate), the hot-part cap becomes a size filter on the array,
-    # wedge pairs are generated in-row from the sorted array, and the
-    # EXACT per-supplier degrees fall out of exploding the same grouped
-    # frame (uncapped — every part row, whatever its size).
-    grouped = (
-        li.groupBy(F.col("l_partkey").alias("part"))
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ids"))
+    e = (
+        li.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = (
-        grouped.select(F.explode("ids").alias("s"))
-        .groupBy("s")
-        .agg(F.count("*").alias("deg"))
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    grouped = (
+        drop_hot_keys(e, ["part"], NBR_PART_CAP, persist_input=False)
+        .groupBy("part")
+        .agg(F.sort_array(F.collect_set("s")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
     pair_structs = id_pairs(F.col("ids"), "s1", "s2")
     common = (
-        grouped.where((F.size("ids") >= 2) & (F.size("ids") <= NBR_PART_CAP))
-        .select(F.explode(pair_structs).alias("p"))
+        grouped.select(F.explode(pair_structs).alias("p"))
         .groupBy("p.s1", "p.s2")
         .agg(F.count("*").alias("n_common"))
     )

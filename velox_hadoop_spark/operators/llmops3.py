@@ -279,11 +279,11 @@ def q_ann_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-order prefix of the shared gate sample (see _CURVE_SAMPLE_N)
     sample = recall_query_sample(emb).limit(_CURVE_SAMPLE_N)
     qa = (
-        ivf_assign_probes(emb, nprobe=max(_PROBES))
+        ivf_assign_probes(emb, nprobe=max(_PROBES), sf_dir=sf_dir)
         .join(sample.select("vec_id"), "vec_id", "left_semi")
         .select(F.col("vec_id").alias("query_id"), "centroid_id", "probe_rank")
     )
-    na = ivf_assign(emb).select(
+    na = ivf_assign(emb, sf_dir=sf_dir).select(
         F.col("vec_id").alias("neighbor_id"), "centroid_id"
     )
     cand = (

@@ -436,80 +436,158 @@ def hyperplane_buckets(
     return emb.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
-def _ivf_scored_centroids(emb: DataFrame, n_centroids: int):
-    """Shared IVF quantizer core: every vector cosine-scored against the
-    deterministic codebook, plus the nearest-first probe window.
+# Session cache for the deterministic IVF codebook (r11 verdict
+# follow-on #3: ann_ivf_topk / ann_ivf_recall / ann_hard_negatives /
+# ann_recall_budget_curve each re-derived the centroid subquery).
+# Holds DRIVER-LOCAL rows only — n_centroids × dims doubles, module
+# constants at every call site, never SF-proportional — keyed like
+# recall_ground_truth on (applicationId, sf_dir, corpus content
+# fingerprint, k) so a rebuilt embeddings file at the same path gets a
+# fresh codebook and superseded states evict.
+_IVF_CODEBOOK_CACHE: dict = {}
 
-    The ONE home for the centroid rule, scoring, and tiebreak — both
-    ``ivf_assign`` (corpus side) and ``ivf_assign_probes`` (query side)
-    derive from it, so a future change to any of the three cannot make
-    the two sides of an IVF join silently disagree. Returns
-    ``(scored, window)`` where scored has vec_id / v / centroid_id /
-    sim; callers prune the columns they keep (Catalyst drops ``v`` from
-    the probe path for free)."""
-    from pyspark.sql import Window
 
+def ivf_codebook(
+    emb: DataFrame, n_centroids: int, sf_dir: str | None = None
+) -> list:
+    """The deterministic IVF codebook as driver-local rows:
+    ``[(centroid_id, vector)]`` for the ``n_centroids`` lowest vec_ids.
+
+    TRUE k-lowest ids, not ``vec_id < k`` (the shorthand under-fills
+    the codebook on any non-dense id space — same fix as
+    clustering.kmeans; the oracles mirror this rule with ORDER BY
+    vec_id LIMIT k). At 100 TB you would train centroids offline and
+    broadcast them identically — a codebook is driver-local by nature
+    (K × dims doubles); collecting it here is the sanctioned
+    constant-bounded class, and caching it per (session, sf_dir,
+    content state) makes the whole IVF family derive it once."""
+    spark = emb.sparkSession
+    key = None
+    if sf_dir is not None:
+        key = (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            _embeddings_fingerprint(sf_dir),
+            int(n_centroids),
+        )
+        hit = _IVF_CODEBOOK_CACHE.get(key)
+        if hit is not None:
+            return hit
+    rows = (
+        drop_degenerate_vectors(emb)
+        .select("vec_id", to_double(F.col("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    book = [(int(r.vec_id), list(r.v)) for r in rows]
+    if key is not None:
+        for stale in [
+            k
+            for k in _IVF_CODEBOOK_CACHE
+            if (k[0], k[1], k[3]) == (key[0], key[1], key[3]) and k[2] != key[2]
+        ]:
+            _IVF_CODEBOOK_CACHE.pop(stale)
+        _IVF_CODEBOOK_CACHE[key] = book
+    return book
+
+
+def _ivf_sorted_sims(book: list):
+    """Per-row ascending-sorted array of (sim, -centroid_id,
+    centroid_id) structs against the LITERAL codebook — the ONE home
+    for the IVF scoring + tiebreak, shared by ``ivf_assign`` and
+    ``ivf_assign_probes`` so the two sides of an IVF join cannot
+    silently disagree. ``element_at(-1)`` of the sorted array IS the
+    (desc sim, asc centroid_id) argmax the pre-round-12 window
+    computed: ascending struct order ends at the highest sim, and the
+    negated id breaks sim ties toward the SMALLEST centroid_id;
+    NULL sims (dimension-mismatched vectors) sort to the FRONT exactly
+    as desc-NULLS-LAST ranked them out of rn = 1.
+
+    The scoring expression is textually the old one — round(dot/(n ·
+    cn), 6) + 0.0 with ``dot``/``norm`` folds over the same doubles —
+    so results are bit-equal; what changed is the PLAN: an in-row
+    argmax over K literal vectors instead of [broadcast crossJoin ×K →
+    row_number window], removing a K·N-row shuffle + sort from every
+    IVF query at any scale."""
     from velox_hadoop_spark.functions.vectors import dot, norm
 
-    e = drop_degenerate_vectors(emb).select(
-        "vec_id", to_double(F.col("embedding")).alias("v")
-    ).withColumn("n", norm(F.col("v")))
-    # TRUE k-lowest ids, not `vec_id < k` (the shorthand under-fills the
-    # codebook on any non-dense id space — same fix as clustering.kmeans;
-    # the oracles mirror this rule with ORDER BY vec_id LIMIT k)
-    cents = e.orderBy("vec_id").limit(n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("cv"),
-        F.col("n").alias("cn"),
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "centroid_id",
-        (
-            F.round(dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6)
-            + F.lit(0.0)
-        ).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    return scored, w
+    structs = []
+    for cid, vec in book:
+        cv = F.array(*[F.lit(float(x)) for x in vec])
+        sim = F.round(
+            dot(F.col("v"), cv) / (F.col("n") * norm(cv)), 6
+        ) + F.lit(0.0)
+        structs.append(
+            F.struct(
+                sim.alias("sim"),
+                F.lit(-int(cid)).alias("neg"),
+                F.lit(int(cid)).alias("cid"),
+            )
+        )
+    return F.sort_array(F.array(*structs))
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
+def _ivf_input(emb: DataFrame) -> DataFrame:
+    from velox_hadoop_spark.functions.vectors import norm
+
+    return (
+        drop_degenerate_vectors(emb)
+        .select("vec_id", to_double(F.col("embedding")).alias("v"))
+        .withColumn("n", norm(F.col("v")))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 8, sf_dir: str | None = None
+) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid.
 
-    Centroids are the ``n_centroids`` lowest vec_ids — a deterministic
-    stand-in for a trained k-means codebook (at 100 TB you would train
-    centroids offline and broadcast them identically; the assignment
-    plan below — broadcast cross join + per-vector argmax — is the same
-    either way, and determinism keeps the DuckDB oracle exact).
-
-    One broadcast nested-loop (K rows) + one window per vector: no
-    shuffle of the corpus beyond the window's hash partition on vec_id.
-    """
-    scored, w = _ivf_scored_centroids(emb, n_centroids)
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "v")
+    The codebook is driver-local (``ivf_codebook`` — cached per
+    session/corpus state when ``sf_dir`` is given), so assignment is a
+    NARROW per-row argmax over K literal centroid vectors: no
+    broadcast join, no window, no shuffle of the corpus at all. Same
+    scoring/tiebreak as always (see ``_ivf_sorted_sims``)."""
+    book = ivf_codebook(emb, n_centroids, sf_dir)
+    e = _ivf_input(emb)
+    if not book:
+        return e.where(F.lit(False)).select(
+            "vec_id", F.lit(None).cast("long").alias("centroid_id"), "v"
+        )
+    best = F.element_at(_ivf_sorted_sims(book), -1)
+    return e.select(
+        "vec_id", best["cid"].cast("long").alias("centroid_id"), "v"
     )
 
 
 def ivf_assign_probes(
-    emb: DataFrame, n_centroids: int = 8, nprobe: int = 1
+    emb: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 1,
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """Multi-probe IVF query assignment: each vector's ``nprobe``
     nearest centroids with their probe rank (1 = nearest). Same
-    centroid rule, scoring, and tiebreak as ``ivf_assign`` — both are
-    thin cuts of ``_ivf_scored_centroids``; this one is the ``nprobe``
-    lowest probe ranks minus the vector column. Probing p cells
-    multiplies the candidate set ~p×: the recall-vs-cost budget curve
-    (``ann_recall_budget_curve``) measures what that buys."""
-    scored, w = _ivf_scored_centroids(emb, n_centroids)
-    return (
-        scored.withColumn("probe_rank", F.row_number().over(w))
-        .where(F.col("probe_rank") <= nprobe)
-        .select("vec_id", "centroid_id", "probe_rank")
+    literal-codebook scoring and tiebreak as ``ivf_assign`` — both are
+    thin cuts of ``_ivf_sorted_sims``; this one reverses the sorted
+    tail (best first) and explodes it with its 1-based position.
+    Probing p cells multiplies the candidate set ~p×: the
+    recall-vs-cost budget curve (``ann_recall_budget_curve``) measures
+    what that buys."""
+    book = ivf_codebook(emb, n_centroids, sf_dir)
+    e = _ivf_input(emb)
+    if not book:
+        return e.where(F.lit(False)).select(
+            "vec_id",
+            F.lit(None).cast("long").alias("centroid_id"),
+            F.lit(None).cast("int").alias("probe_rank"),
+        )
+    k = min(int(nprobe), len(book))
+    top = F.reverse(F.slice(_ivf_sorted_sims(book), len(book) - k + 1, k))
+    return e.select("vec_id", F.posexplode(top).alias("pos", "c")).select(
+        "vec_id",
+        F.col("c.cid").cast("long").alias("centroid_id"),
+        (F.col("pos") + 1).cast("int").alias("probe_rank"),
     )
 
 
@@ -694,7 +772,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    assign = ivf_assign(emb, n_centroids=8)
+    assign = ivf_assign(emb, n_centroids=8, sf_dir=sf_dir)
 
     QUERY_BLOCK = 4096  # peak kernel memory = QUERY_BLOCK x |cell| doubles
 
@@ -1184,7 +1262,8 @@ def recall_query_sample(emb: DataFrame) -> DataFrame:
 # Session cache for the recall audits' shared brute-force ground truth
 # (round-11 VERDICT item 4: the four audits re-derived the exact top-k
 # independently — the single most expensive corner of the registry).
-# Keyed by (applicationId, sf_dir); holds DRIVER-LOCAL data only —
+# Keyed by (applicationId, sf_dir, corpus content fingerprint — see
+# _embeddings_fingerprint); holds DRIVER-LOCAL data only —
 # (corpus count, normalized-corpus broadcast handle, the exact-top id
 # pairs, the ordered sample ids) — so it survives the harness's
 # spark.catalog.clearCache() between queries/runs, unlike a persisted
@@ -1195,13 +1274,40 @@ def recall_query_sample(emb: DataFrame) -> DataFrame:
 _RECALL_GT_CACHE: dict = {}
 
 
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of ``{sf_dir}/embeddings.parquet`` (per-file
+    size/mtime over a recursive walk — the same scheme as
+    ``streaming.events._stream_source_dir``): the degenerate/empty
+    sweeps rewrite corpora at FIXED paths in-session, so a cache keyed
+    on the path alone would serve stale ground truth and a stale
+    normalized-corpus broadcast for the rebuilt file (round-12
+    advice)."""
+    import os
+
+    from velox_hadoop_spark.catalog import content_fingerprint
+
+    return content_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+
+
 def recall_ground_truth(spark: SparkSession, sf_dir: str, emb: DataFrame):
     """(n, bc, exact_top_local, sample_ids) for the shared recall-gate
-    sample — the exact dgemm baseline runs ONCE per (session, sf_dir)
-    and every later audit (and every later warm re-run in the same
-    session) replays it as a ~3k-row local relation, which also turns
-    the recall join into a broadcast probe."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    sample — the exact dgemm baseline runs ONCE per (session, sf_dir,
+    corpus content state) and every later audit (and every later warm
+    re-run in the same session) replays it as a ~3k-row local
+    relation, which also turns the recall join into a broadcast
+    probe. The content fingerprint in the key invalidates the cache
+    when the embeddings file is rewritten at the same path; superseded
+    entries for the same (app, sf_dir) are evicted so a sweep that
+    rewrites the corpus repeatedly holds ONE ground truth + broadcast
+    at a time."""
+    fp = _embeddings_fingerprint(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    for stale in [
+        k for k in _RECALL_GT_CACHE if k[:2] == key[:2] and k[2] != fp
+    ]:
+        old = _RECALL_GT_CACHE.pop(stale)
+        if old[1] is not None:
+            old[1].unpersist()
     hit = _RECALL_GT_CACHE.get(key)
     if hit is None:
         sample = recall_query_sample(emb)
@@ -1642,7 +1748,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production ``ann_ivf_topk`` path uses."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sample = recall_query_sample(emb)
-    assign = ivf_assign(emb)
+    assign = ivf_assign(emb, sf_dir=sf_dir)
     qa = assign.join(sample.select("vec_id"), "vec_id", "left_semi").select(
         F.col("vec_id").alias("query_id"), "centroid_id"
     )
@@ -1718,7 +1824,7 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sample = recall_query_sample(emb)
-    assign = ivf_assign(emb)
+    assign = ivf_assign(emb, sf_dir=sf_dir)
     labels = emb.select("vec_id", "label")
     qa = (
         assign.join(sample.select("vec_id"), "vec_id", "left_semi")

@@ -99,8 +99,20 @@ def dedup_first_per_key(events: DataFrame) -> DataFrame:
 # --------------------------- streaming runners ---------------------------
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of event parquet (micro-batch per file group).
+
+    ``max_files_per_trigger`` pins the source's per-micro-batch rate
+    limit explicitly (availableNow honors it): tests pass 1 to force a
+    multi-batch drain, and the dedup runner pins a value far above any
+    file count so its one-row-per-key oracle is sound BY CONSTRUCTION
+    rather than by the current default batching (round-12 advice —
+    ``dropDuplicatesWithinWatermark`` state is evicted once the
+    watermark passes, so under a multi-batch drain a key recurring
+    beyond the horizon legitimately re-emits). None leaves the source
+    default untouched.
 
     Handles the same TIMESTAMP(NANOS) seam as ``catalog.read_table``:
     the canonical events.parquet stores ns timestamps, which Spark's
@@ -118,6 +130,11 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """
     from velox_hadoop_spark.catalog import ts_stored_as_nanos
 
+    def _opts(reader):
+        if max_files_per_trigger is not None:
+            return reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader
+
     if ts_stored_as_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         long_ts = T.StructType(
@@ -126,9 +143,9 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
                 for f in EVENT_SCHEMA.fields
             ]
         )
-        raw = spark.readStream.schema(long_ts).parquet(path)
+        raw = _opts(spark.readStream.schema(long_ts)).parquet(path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    return _opts(spark.readStream.schema(EVENT_SCHEMA)).parquet(path)
 
 
 def stream_tumbling_counts(
@@ -487,25 +504,47 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     tok = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
     tmp = tempfile.gettempdir()
     d = os.path.join(tmp, f"vhs_stream_src_{tok}")
-    if not os.path.isfile(os.path.join(d, "_SUCCESS")):
-        scratch = f"{d}.tmp.{os.getpid()}"
+    # Publication loop: every attempt goes through scratch + atomic
+    # os.rename — NEVER a direct write into the shared target (the
+    # round-11 fallback wrote mode('overwrite') into d when the rename
+    # lost, so two concurrent losers could interleave writes into d —
+    # exactly the race the scratch scheme exists to prevent; round-12
+    # advice). A broken/foreign squatter at d (no _SUCCESS — rename
+    # needs the target absent) is evicted and the rename retried with
+    # a fresh _SUCCESS check; a loser whose rival published a GOOD copy
+    # exits on that check. The worst interleaving — B evicts the dir A
+    # just published, then installs its own — swaps one complete copy
+    # for an identical one (same content fingerprint ⇒ same corpus) in
+    # a single atomic rename.
+    for attempt in range(3):
+        if os.path.isfile(os.path.join(d, "_SUCCESS")):
+            break
+        scratch = f"{d}.tmp.{os.getpid()}.{attempt}"
         read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(scratch)
+        if os.path.isfile(os.path.join(d, "_SUCCESS")):
+            shutil.rmtree(scratch, ignore_errors=True)
+            break
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
         try:
             os.rename(scratch, d)
+            break
         except OSError:
             shutil.rmtree(scratch, ignore_errors=True)
-            if not os.path.isfile(os.path.join(d, "_SUCCESS")):
-                # a broken/foreign dir squats at d (rename needs the
-                # target absent): repair in place — the pre-round-11
-                # behavior — instead of returning a half-written dir
-                read_table(spark, sf_dir, "events").write.mode(
-                    "overwrite"
-                ).parquet(d)
+    else:
+        if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+            raise RuntimeError(
+                f"could not publish stream source copy at {d} after 3 attempts"
+            )
     # GC superseded corpus states so repeated sweep/bench runs do not
     # re-accumulate one events copy per rewrite (the round-10 ADVICE
     # this function exists to fix): keep the 8 most-recently-used
     # published dirs (concurrent sf_dirs in one test session stay
-    # live), drop older ones and any orphaned rename scratch.
+    # live), drop older ones and any orphaned rename scratch. An AGE
+    # FLOOR (only collect published dirs untouched for > 1 h) keeps a
+    # concurrent process that is actively streaming a 9th live corpus
+    # state safe (round-12 advice): every use refreshes mtime via
+    # os.utime below, and no availableNow drain runs for an hour.
     try:
         import time
 
@@ -530,7 +569,10 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
             key=lambda p: os.stat(p).st_mtime_ns,
             reverse=True,
         )
-        for p in stale + published[7:]:
+        old_enough = [
+            p for p in published[7:] if os.stat(p).st_mtime_ns < hour_ago_ns
+        ]
+        for p in stale + old_enough:
             shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
@@ -546,9 +588,14 @@ def drain_to_memory_sink(
     the same runner first: memory-sink tables live in driver memory
     for the session's life, so without the drop a bench/driver sweep
     that re-invokes a runner N times holds N sink copies (round-10
-    ADVICE). The per-invocation uuid suffix keeps the returned frame
-    decoupled from any still-unconsumed older result a caller holds —
-    the drop only reclaims OUR prior prefix-mates."""
+    ADVICE). Re-invocation contract (round-12 advice): the drop
+    INVALIDATES any still-held DataFrame from a PRIOR invocation of
+    the same runner — ``spark.table(name)`` resolves lazily by view
+    name, so the uuid suffix only keeps the view names distinct (the
+    drop targets exactly our prefix-mates, nothing else); it does not
+    keep an old frame readable past the next invocation. Callers that
+    need a prior result across re-invocations must materialize it
+    (collect / write) before re-invoking."""
     import uuid
 
     for tbl in spark.catalog.listTables():
@@ -617,8 +664,23 @@ def q_streaming_dedup_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     could only catch missing keys (round-10 ADVICE). This is the
     exactly-once ingest-dedup topology (sink-side state keyed on the
     id within the watermark horizon) run end-to-end under the driver
-    gate."""
-    stream = read_event_stream(spark, _stream_source_dir(spark, sf_dir))
+    gate.
+
+    The n_rows = 1 pin is sound only for a SINGLE-batch drain:
+    ``dropDuplicatesWithinWatermark`` evicts per-key state once the
+    watermark passes, so under a multi-batch drain a key recurring
+    beyond the 2h horizon legitimately re-emits (and because the file
+    source is not event-time-ordered, even a narrow key can straddle
+    an eviction). Rather than weakening the oracle to a key-set check,
+    the runner PINS the batching: ``maxFilesPerTrigger`` far above any
+    possible file count of the runner-owned source copy guarantees
+    availableNow drains in one micro-batch at any future source
+    default (round-12 advice). tests/test_round12_parity.py asserts
+    both the single-batch execution here and the key-set contract that
+    survives a forced maxFilesPerTrigger=1 multi-batch drain."""
+    stream = read_event_stream(
+        spark, _stream_source_dir(spark, sf_dir), max_files_per_trigger=1_000_000
+    )
     sink = drain_to_memory_sink(spark, stream_dedup(stream), "vhs_dedup_", "append")
     return sink.groupBy("user_id", "event_type").agg(
         F.count("*").alias("n_rows")
