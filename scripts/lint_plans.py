@@ -98,7 +98,6 @@ WHITELIST = {
     ("operators/llmops9.py", "cents"): (1, "k centroid rows (k is a parameter)"),
     ("operators/llmops9.py", "tot"): (1, "one scalar total-kept row (doremi_resample_report)"),
     ("operators/similarity.py", "q"): (1, "fixed-count md5-ordered query sample"),
-    ("operators/similarity.py", "cents"): (1, "k centroid rows"),
     ("operators/similarity.py", "cent"): (1, "k centroid rows"),
     ("operators/similarity.py", "na"): (1, "per-label norms: label domain enum-bounded"),
     ("operators/similarity.py", "nb"): (1, "per-label norms: label domain enum-bounded"),

@@ -1,0 +1,182 @@
+"""Round-12 observability-audit queries: independent recomputes.
+
+Oracle parity is blind to formula errors both engines share (playbook
+rule 3), so each new audit is re-derived here in plain Python from raw
+collected inputs — no Spark aggregate, no SQL — and compared exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    from velox_hadoop_spark.plans.registry import queries
+
+    return queries()[name](spark, SF)
+
+
+def test_ivf_cell_balance_matches_python_recompute(spark):
+    from velox_hadoop_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(emb).select("vec_id", "centroid_id").collect()
+    }
+    total = len(assign)
+    by_cell: dict = {}
+    for cid in assign.values():
+        by_cell[cid] = by_cell.get(cid, 0) + 1
+    got = {
+        r.centroid_id: (r.n_members, r.share)
+        for r in _q(spark, "ivf_cell_balance_report").collect()
+    }
+    assert set(got) == set(by_cell)
+    for cid, n in by_cell.items():
+        assert got[cid][0] == n
+        assert got[cid][1] == pytest.approx(round(n / total, 6), abs=1e-9)
+
+
+def test_embedding_corpus_health_matches_python_recompute(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    n_rows = len(emb)
+    n_null = sum(1 for r in emb if r.embedding is None)
+    nonnull = [r.embedding for r in emb if r.embedding is not None]
+    n_empty = sum(1 for v in nonnull if len(v) == 0)
+    n_nonfinite = sum(
+        1 for v in nonnull if any(not math.isfinite(float(x)) for x in v)
+    )
+    n_usable = sum(
+        1
+        for v in nonnull
+        if sum(float(x) * float(x) for x in v) > 0
+    )
+    dims = {len(v) for v in nonnull}
+    row = _q(spark, "embedding_corpus_health").collect()[0]
+    assert row.n_rows == n_rows
+    assert row.n_null == n_null
+    assert row.n_empty == n_empty
+    assert row.n_nonfinite == n_nonfinite
+    assert row.n_usable == n_usable
+    assert row.n_dims_distinct == len(dims)
+    assert row.min_dim == (min(dims) if dims else None)
+    assert row.max_dim == (max(dims) if dims else None)
+
+
+def test_hot_key_guard_report_matches_python_recompute(spark):
+    from velox_hadoop_spark.operators.dedup import (
+        MAX_KEY_DOC_FREQ,
+        _docs_par,
+        shingle_set,
+    )
+    from velox_hadoop_spark.operators.graph import TRIANGLE_PART_CAP
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ps = {
+        (r.l_partkey, r.l_suppkey)
+        for r in li.select("l_partkey", "l_suppkey").collect()
+    }
+    pc: dict = {}
+    for part, _ in ps:
+        pc[part] = pc.get(part, 0) + 1
+    sh = [
+        (r.doc_id, r.shingle)
+        for r in shingle_set(_docs_par(spark, SF), "doc_id", "text").collect()
+    ]
+    scnt: dict = {}
+    for _, s in sh:
+        scnt[s] = scnt.get(s, 0) + 1
+    got = {r.domain: r for r in _q(spark, "hot_key_guard_report").collect()}
+
+    def check(row, counts, cap):
+        assert row.cap == cap
+        assert row.n_keys == len(counts)
+        over = [c for c in counts.values() if c > cap]
+        assert row.n_keys_over_cap == len(over)
+        assert row.rows_over_cap == sum(over)
+
+    check(got["co_supply_part"], pc, TRIANGLE_PART_CAP)
+    check(got["shingle_doc_freq"], scnt, MAX_KEY_DOC_FREQ)
+
+
+def test_doremi_mixture_shift_matches_python_recompute(spark):
+    """Entropy/KL/L1 re-derived in pure Python from the (r11-recomputed)
+    w0/w2 weights with the same integer-grid pins — the NEW logic here
+    is everything after the weights."""
+    from velox_hadoop_spark.operators.llmops9 import (
+        _docs,
+        doremi_weight_frames,
+    )
+
+    base, wh = doremi_weight_frames(_docs(spark, SF), sf_dir=SF)
+    w0s = {r.source: r.w0 for r in base.select("source", "w0").collect()}
+    w2s = {r.source: r.w2 for r in wh[-1].collect()}
+    w = {s: (w0s[s], w2s[s]) for s in w0s}
+
+    def ln6(x):
+        return math.floor(math.log(x) * 1e6 + 0.5)
+
+    sh0 = sum(
+        math.floor(w0 * (ln6(w0) / 1e6) * 1e9 + 0.5)
+        for w0, _ in w.values()
+        if w0 > 0
+    )
+    sh2 = sum(
+        math.floor(w2 * (ln6(w2) / 1e6) * 1e9 + 0.5)
+        for _, w2 in w.values()
+        if w2 > 0
+    )
+    skl = sum(
+        math.floor(w2 * ((ln6(w2) - ln6(w0)) / 1e6) * 1e9 + 0.5)
+        for w0, w2 in w.values()
+        if w0 > 0 and w2 > 0
+    )
+    sl1 = sum(
+        math.floor(abs(w2 - w0) * 1e9 + 0.5) for w0, w2 in w.values()
+    )
+    row = _q(spark, "doremi_mixture_shift_report").collect()[0]
+    assert row.n_sources == len(w)
+    assert row.entropy_w0 == pytest.approx(round(-sh0 / 1e9, 6), abs=1e-9)
+    assert row.entropy_w2 == pytest.approx(round(-sh2 / 1e9, 6), abs=1e-9)
+    assert row.kl_w2_w0 == pytest.approx(round(skl / 1e9, 6), abs=1e-9)
+    assert row.l1_shift == pytest.approx(round(sl1 / 1e9, 6), abs=1e-9)
+    # sanity: entropies positive for a multi-source mixture, KL >= 0
+    assert row.entropy_w0 > 0 and row.entropy_w2 > 0
+    assert row.kl_w2_w0 >= 0
+
+
+def test_lsh_bucket_load_profile_matches_python_recompute(spark):
+    from velox_hadoop_spark.operators.dedup import (
+        MAX_KEY_DOC_FREQ,
+        _docs_par,
+        lsh_bands,
+        minhash_signature_inline,
+    )
+
+    bands = [
+        (r.band_id, r.band_key)
+        for r in lsh_bands(
+            minhash_signature_inline(_docs_par(spark, SF), "doc_id", "text"),
+            "doc_id",
+        ).collect()
+    ]
+    loads: dict = {}
+    for bid, key in bands:
+        loads[(bid, key)] = loads.get((bid, key), 0) + 1
+    per_band: dict = {}
+    for (bid, _), c in loads.items():
+        b = per_band.setdefault(bid, [])
+        b.append(c)
+    got = {r.band_id: r for r in _q(spark, "lsh_bucket_load_profile").collect()}
+    assert set(got) == set(per_band)
+    for bid, cs in per_band.items():
+        r = got[bid]
+        assert r.n_buckets == len(cs)
+        assert r.n_rows == sum(cs)
+        assert r.max_load == max(cs)
+        assert r.n_buckets_over_cap == sum(1 for c in cs if c > MAX_KEY_DOC_FREQ)

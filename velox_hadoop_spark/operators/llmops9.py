@@ -961,6 +961,111 @@ def q_doremi_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mixture-shift report: how far DoReMi moved the mixture
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doremi_mixture_shift_report",
+    oracle=f"""
+        WITH {_DOREMI_CTES},
+        j AS (
+            SELECT base.source, base.w0, s2.w AS w2
+            FROM base JOIN s2 USING (source)
+        ),
+        terms AS (
+            SELECT
+                CASE WHEN w0 > 0 THEN CAST(floor(
+                    w0 * (floor(ln(w0) * 1e6 + 0.5) / 1e6) * 1e9 + 0.5
+                ) AS BIGINT) ELSE 0 END AS h0,
+                CASE WHEN w2 > 0 THEN CAST(floor(
+                    w2 * (floor(ln(w2) * 1e6 + 0.5) / 1e6) * 1e9 + 0.5
+                ) AS BIGINT) ELSE 0 END AS h2,
+                CASE WHEN w2 > 0 AND w0 > 0 THEN CAST(floor(
+                    w2 * ((floor(ln(w2) * 1e6 + 0.5)
+                           - floor(ln(w0) * 1e6 + 0.5)) / 1e6) * 1e9 + 0.5
+                ) AS BIGINT) ELSE 0 END AS klt,
+                CAST(floor(abs(w2 - w0) * 1e9 + 0.5) AS BIGINT) AS l1t
+            FROM j
+        )
+        SELECT CAST((SELECT count(*) FROM j) AS BIGINT) AS n_sources,
+               ROUND(-CAST(sum(h0) AS DOUBLE) / 1e9, 6) + 0.0 AS entropy_w0,
+               ROUND(-CAST(sum(h2) AS DOUBLE) / 1e9, 6) + 0.0 AS entropy_w2,
+               ROUND(CAST(sum(klt) AS DOUBLE) / 1e9, 6) + 0.0 AS kl_w2_w0,
+               ROUND(CAST(sum(l1t) AS DOUBLE) / 1e9, 6) AS l1_shift
+        FROM terms
+    """,
+    tags=("llm-pipeline", "doremi", "mixture", "report", "extension"),
+)
+def q_doremi_mixture_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row summary of how far the DoReMi update moved the mixture:
+    entropy of w0 and w2, KL(w2 ‖ w0), and the L1 shift Σ|w2 − w0| —
+    the numbers a mixture owner checks before adopting a reweight (a
+    large KL against a flat-entropy w2 means the update concentrated
+    mass; L1 near 0 means the reweight was a no-op).
+
+    Numeric discipline: weights arrive on the exact 1e-9 grid from the
+    shared ``doremi_weight_frames`` pipeline (cached base histogram —
+    this report costs |sources|-row arithmetic on a warm session);
+    ln() is pinned to the 1e-6 grid (the funcs2 _fix6 convention,
+    applied to log), every cross-source term is a BIGINT on the 1e-9
+    grid, and the only doubles displayed are final ROUND-6 ratios
+    (+0.0 pins the −0.0 class on the negated entropy sums). KL terms
+    are defined over the shared support (w2 > 0 AND w0 > 0 — w0 > 0
+    always holds for present sources); entropy terms use the x·ln x → 0
+    limit at w = 0."""
+    base, w_hist = doremi_weight_frames(_docs(spark, sf_dir), sf_dir=sf_dir)
+    j = base.select("source", "w0").join(
+        w_hist[-1].select("source", F.col(f"w{DOREMI_ITERS}").alias("w2")),
+        "source",
+    )
+
+    def ln6(c):
+        # integer 1e-6-grid pin of ln(c); divided back to a double only
+        # AFTER differencing so the KL term subtracts exact integers
+        return F.floor(F.log(c) * F.lit(1e6) + F.lit(0.5))
+
+    w0, w2 = F.col("w0"), F.col("w2")
+    h0 = F.when(
+        w0 > 0,
+        F.floor(w0 * (ln6(w0) / F.lit(1e6)) * F.lit(1e9) + F.lit(0.5)),
+    ).otherwise(F.lit(0)).cast("long")
+    h2 = F.when(
+        w2 > 0,
+        F.floor(w2 * (ln6(w2) / F.lit(1e6)) * F.lit(1e9) + F.lit(0.5)),
+    ).otherwise(F.lit(0)).cast("long")
+    klt = F.when(
+        (w2 > 0) & (w0 > 0),
+        F.floor(
+            w2 * ((ln6(w2) - ln6(w0)) / F.lit(1e6)) * F.lit(1e9) + F.lit(0.5)
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    l1t = F.floor(F.abs(w2 - w0) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    terms = j.select(
+        h0.alias("h0"), h2.alias("h2"), klt.alias("klt"), l1t.alias("l1t")
+    )
+    n = j.agg(F.count("*").alias("n_sources"))
+    return terms.agg(
+        F.sum("h0").alias("sh0"),
+        F.sum("h2").alias("sh2"),
+        F.sum("klt").alias("skl"),
+        F.sum("l1t").alias("sl1"),
+    ).crossJoin(n).select(
+        "n_sources",
+        (
+            F.round(-F.col("sh0").cast("double") / F.lit(1e9), 6) + F.lit(0.0)
+        ).alias("entropy_w0"),
+        (
+            F.round(-F.col("sh2").cast("double") / F.lit(1e9), 6) + F.lit(0.0)
+        ).alias("entropy_w2"),
+        (
+            F.round(F.col("skl").cast("double") / F.lit(1e9), 6) + F.lit(0.0)
+        ).alias("kl_w2_w0"),
+        F.round(F.col("sl1").cast("double") / F.lit(1e9), 6).alias("l1_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster re-assignment suggestions from the silhouette drill-down
 # ---------------------------------------------------------------------------
 

@@ -185,6 +185,7 @@ def _ensure_loaded() -> None:
     import velox_hadoop_spark.operators.llmops8  # noqa: F401
     import velox_hadoop_spark.operators.llmops9  # noqa: F401
     import velox_hadoop_spark.operators.layout  # noqa: F401
+    import velox_hadoop_spark.operators.pipeline_audit  # noqa: F401
 
 
 def specs() -> dict[str, QuerySpec]:
