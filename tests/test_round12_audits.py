@@ -51,11 +51,16 @@ def test_embedding_corpus_health_matches_python_recompute(spark):
     n_nonfinite = sum(
         1 for v in nonnull if any(not math.isfinite(float(x)) for x in v)
     )
-    n_usable = sum(
-        1
-        for v in nonnull
-        if sum(float(x) * float(x) for x in v) > 0
-    )
+    # Engine semantics, not IEEE: Spark AND DuckDB evaluate NaN > 0 as
+    # TRUE (NaN sorts above every number in both), so a NaN-component
+    # vector passes the sq > 0 usability predicate in the query and the
+    # oracle alike — the recompute must pin THAT shared contract, not
+    # Python's NaN > 0 == False (round-12 review).
+    def _usable(v):
+        s = sum(float(x) * float(x) for x in v)
+        return math.isnan(s) or s > 0
+
+    n_usable = sum(1 for v in nonnull if _usable(v))
     dims = {len(v) for v in nonnull}
     row = _q(spark, "embedding_corpus_health").collect()[0]
     assert row.n_rows == n_rows
@@ -66,6 +71,48 @@ def test_embedding_corpus_health_matches_python_recompute(spark):
     assert row.n_dims_distinct == len(dims)
     assert row.min_dim == (min(dims) if dims else None)
     assert row.max_dim == (max(dims) if dims else None)
+
+
+def test_embedding_corpus_health_pathological_fixture(spark, tmp_path):
+    """NaN / Inf / zero / empty / NULL vectors in one corpus: the Spark
+    row, the DuckDB oracle on the SAME parquet, and the hand-computed
+    expectation must all agree — this is the population the dormant
+    recompute semantics (NaN > 0 is TRUE in both engines) actually
+    bind on (round-12 review)."""
+    import duckdb
+
+    from velox_hadoop_spark.plans.registry import oracles, queries
+
+    rows = [
+        (0, [1.0, 2.0], 0),
+        (1, None, 0),
+        (2, [], 0),
+        (3, [float("nan"), 1.0], 0),
+        (4, [0.0, 0.0], 0),
+        (5, [float("inf"), 1.0], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = queries()["embedding_corpus_health"](spark, str(tmp_path)).collect()[0]
+    expect = {
+        "n_rows": 6,
+        "n_null": 1,
+        "n_empty": 1,
+        "n_nonfinite": 2,   # the NaN vector and the Inf vector
+        "n_usable": 3,      # [1,2]; NaN-sq (NaN>0 is TRUE); Inf-sq
+        "n_dims_distinct": 2,  # {0, 2}
+        "min_dim": 0,
+        "max_dim": 2,
+    }
+    assert {k: getattr(got, k) for k in expect} == expect
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    orc = con.sql(oracles()["embedding_corpus_health"]).fetchone()
+    assert tuple(orc) == tuple(got)
 
 
 def test_hot_key_guard_report_matches_python_recompute(spark):

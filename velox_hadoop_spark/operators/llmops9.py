@@ -205,6 +205,11 @@ def doremi_weight_frames(docs: DataFrame, sf_dir: str | None = None):
     runs once per (session, corpus state) and every later DoReMi query
     or warm re-run replays base as a local relation. The iteration
     arithmetic is identical either way — it only ever reads base.
+    PRECONDITION when passing ``sf_dir``: ``docs`` must be the
+    canonical documents table of that directory (the cache key covers
+    the file state, not the DataFrame — a filtered frame with sf_dir
+    set would be served the full corpus's histogram); derived-corpus
+    callers pass ``sf_dir=None``.
 
     Cache lifetime: the persisted intermediates (token explode,
     vocab counts, base) follow the dedup.py contract — a lazy-returning

@@ -105,12 +105,24 @@ def q_ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n_null,
                CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = 0
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
-               CAST(sum(CASE WHEN embedding IS NOT NULL
-                              AND len(list_filter(CAST(embedding AS DOUBLE[]),
+               -- multi-branch CASE, not `IS NOT NULL AND f(list)`: a
+               -- parquet chunk whose list column is all-NULL or
+               -- all-empty reaches DuckDB's list_dot_product as a
+               -- constant-/empty-child vector the kernel REJECTS even
+               -- under an AND guard (vectorized, not lazy); CASE
+               -- branches are evaluated on selection vectors, so the
+               -- NULL and len=0 branches keep those chunks out of the
+               -- kernel (round-12 pathological-fixture catch, one row
+               -- per part file; value-identical — dot([]) is 0,
+               -- never > 0)
+               CAST(sum(CASE WHEN embedding IS NULL THEN 0
+                             WHEN len(embedding) = 0 THEN 0
+                             WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
                                                   x -> NOT isfinite(x))) > 0
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
-               CAST(sum(CASE WHEN embedding IS NOT NULL
-                              AND list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(sum(CASE WHEN embedding IS NULL THEN 0
+                             WHEN len(embedding) = 0 THEN 0
+                             WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
                                                    CAST(embedding AS DOUBLE[])) > 0
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_usable,
                CAST(count(DISTINCT CASE WHEN embedding IS NOT NULL

@@ -460,7 +460,13 @@ def ivf_codebook(
     broadcast them identically — a codebook is driver-local by nature
     (K × dims doubles); collecting it here is the sanctioned
     constant-bounded class, and caching it per (session, sf_dir,
-    content state) makes the whole IVF family derive it once."""
+    content state) makes the whole IVF family derive it once.
+
+    PRECONDITION when passing ``sf_dir``: ``emb`` must be the CANONICAL
+    embeddings table of that directory (the cache key covers the file
+    state, not the DataFrame — a filtered/derived frame with sf_dir set
+    would be served the full corpus's codebook). Callers deriving from
+    a subset pass ``sf_dir=None`` for the uncached per-call path."""
     spark = emb.sparkSession
     key = None
     if sf_dir is not None:
@@ -504,19 +510,31 @@ def _ivf_sorted_sims(book: list):
     NULL sims (dimension-mismatched vectors) sort to the FRONT exactly
     as desc-NULLS-LAST ranked them out of rn = 1.
 
-    The scoring expression is textually the old one — round(dot/(n ·
-    cn), 6) + 0.0 with ``dot``/``norm`` folds over the same doubles —
-    so results are bit-equal; what changed is the PLAN: an in-row
-    argmax over K literal vectors instead of [broadcast crossJoin ×K →
-    row_number window], removing a K·N-row shuffle + sort from every
-    IVF query at any scale."""
-    from velox_hadoop_spark.functions.vectors import dot, norm
+    The scoring expression is the old one — round(dot/(n · cn), 6) +
+    0.0 over the same doubles — so results are bit-equal; what changed
+    is the PLAN: an in-row argmax over K literal vectors instead of
+    [broadcast crossJoin ×K → row_number window], removing a K·N-row
+    shuffle + sort from every IVF query at any scale. The centroid
+    norm cn is a compile-time CONSTANT and ships as a literal: Catalyst
+    does not constant-fold higher-order functions, so a norm(cv)
+    expression would re-fold each literal array per corpus row
+    (round-12 review) — the Python fold below is the identical
+    left-to-right IEEE sequence (acc += x·x, then sqrt) the Spark
+    ``norm`` fold executes, so the literal is the same double the old
+    cents-frame cn column held."""
+    import math
+
+    from velox_hadoop_spark.functions.vectors import dot
 
     structs = []
     for cid, vec in book:
         cv = F.array(*[F.lit(float(x)) for x in vec])
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        cn = math.sqrt(acc)
         sim = F.round(
-            dot(F.col("v"), cv) / (F.col("n") * norm(cv)), 6
+            dot(F.col("v"), cv) / (F.col("n") * F.lit(cn)), 6
         ) + F.lit(0.0)
         structs.append(
             F.struct(

@@ -478,64 +478,75 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     just the path, means a rebuilt corpus at the same path (the
     degenerate/empty sweeps rewrite fixed paths every run) gets a fresh
     copy — the round-11 review's staleness catch. Publication is
-    atomic: the copy lands in a per-PID scratch dir and os.rename()s
-    into place, so two concurrent processes never interleave writes —
-    whoever renames second just discards its scratch."""
-    import hashlib
+    serialized by an O_EXCL lock file + scratch-dir atomic os.rename:
+    exactly one process writes per corpus state, rivals wait on the
+    lock holder's _SUCCESS, and NOTHING ever deletes a directory that
+    carries _SUCCESS (the round-12 review's TOCTOU catch: the previous
+    retry loop could rmtree a rival's just-published good copy between
+    its own _SUCCESS check and the eviction)."""
     import os
     import shutil
     import tempfile
+    import time
 
-    # RECURSIVE content fingerprint (review pass 2): a partitioned
-    # directory source rewrites nested part files without changing the
-    # top-level listing, so the walk covers every file at any depth.
+    from velox_hadoop_spark.catalog import content_fingerprint
+
+    # RECURSIVE content fingerprint — the shared
+    # catalog.content_fingerprint helper (this function's round-11
+    # inline walk was its origin; one home now, round-12 review).
     src = os.path.join(sf_dir, "events.parquet")
-    sig_parts = [sf_dir]
-    if os.path.isdir(src):
-        for root, dirs, files in os.walk(src):
-            dirs.sort()
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                rel = os.path.relpath(os.path.join(root, f), src)
-                sig_parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    tok = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
+    tok = content_fingerprint(src)
     tmp = tempfile.gettempdir()
     d = os.path.join(tmp, f"vhs_stream_src_{tok}")
-    # Publication loop: every attempt goes through scratch + atomic
-    # os.rename — NEVER a direct write into the shared target (the
-    # round-11 fallback wrote mode('overwrite') into d when the rename
-    # lost, so two concurrent losers could interleave writes into d —
-    # exactly the race the scratch scheme exists to prevent; round-12
-    # advice). A broken/foreign squatter at d (no _SUCCESS — rename
-    # needs the target absent) is evicted and the rename retried with
-    # a fresh _SUCCESS check; a loser whose rival published a GOOD copy
-    # exits on that check. The worst interleaving — B evicts the dir A
-    # just published, then installs its own — swaps one complete copy
-    # for an identical one (same content fingerprint ⇒ same corpus) in
-    # a single atomic rename.
-    for attempt in range(3):
-        if os.path.isfile(os.path.join(d, "_SUCCESS")):
-            break
-        scratch = f"{d}.tmp.{os.getpid()}.{attempt}"
-        read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(scratch)
-        if os.path.isfile(os.path.join(d, "_SUCCESS")):
-            shutil.rmtree(scratch, ignore_errors=True)
-            break
-        if os.path.isdir(d):
-            shutil.rmtree(d, ignore_errors=True)
-        try:
-            os.rename(scratch, d)
-            break
-        except OSError:
-            shutil.rmtree(scratch, ignore_errors=True)
-    else:
-        if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+    lock = f"{d}.lock"
+    deadline = time.time() + 300
+    attempt = 0
+    while not os.path.isfile(os.path.join(d, "_SUCCESS")):
+        if time.time() > deadline:
             raise RuntimeError(
-                f"could not publish stream source copy at {d} after 3 attempts"
+                f"could not publish stream source copy at {d} within 300s"
             )
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another process holds publication for this corpus state:
+            # wait for its _SUCCESS; break the lock only when its
+            # holder is provably gone (mtime far older than any live
+            # write could be)
+            try:
+                lock_stale = time.time() - os.stat(lock).st_mtime > 600
+            except OSError:
+                lock_stale = False
+            if lock_stale:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+            else:
+                time.sleep(1.0)
+            continue
+        try:
+            if os.path.isfile(os.path.join(d, "_SUCCESS")):
+                break  # rival finished between our check and the open
+            scratch = f"{d}.tmp.{os.getpid()}.{attempt}"
+            attempt += 1
+            read_table(spark, sf_dir, "events").write.mode(
+                "overwrite"
+            ).parquet(scratch)
+            # under the lock: only a BROKEN dir (no _SUCCESS) can sit
+            # at d — evicting it cannot delete a good copy
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+            try:
+                os.rename(scratch, d)
+            except OSError:
+                shutil.rmtree(scratch, ignore_errors=True)
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
     # GC superseded corpus states so repeated sweep/bench runs do not
     # re-accumulate one events copy per rewrite (the round-10 ADVICE
     # this function exists to fix): keep the 8 most-recently-used
@@ -546,8 +557,6 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     # state safe (round-12 advice): every use refreshes mtime via
     # os.utime below, and no availableNow drain runs for an hour.
     try:
-        import time
-
         sibs = [
             p
             for f in os.listdir(tmp)
@@ -576,7 +585,10 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
             shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
-    os.utime(d)
+    try:
+        os.utime(d)  # LRU refresh; d is guaranteed published above
+    except OSError:
+        pass
     return d
 
 
