@@ -91,9 +91,13 @@ def test_embedding_corpus_health_pathological_fixture(spark, tmp_path):
         (4, [0.0, 0.0], 0),
         (5, [float("inf"), 1.0], 0),
     ]
+    # repartition(6) pins ONE ROW PER PART FILE regardless of the
+    # session's parallelism — the all-NULL and all-EMPTY single-row
+    # chunks are exactly the DuckDB kernel-rejection condition this
+    # test exists to exercise (round-12 review pass 2)
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label long"
-    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    ).repartition(6).write.parquet(f"{tmp_path}/embeddings.parquet")
     got = queries()["embedding_corpus_health"](spark, str(tmp_path)).collect()[0]
     expect = {
         "n_rows": 6,

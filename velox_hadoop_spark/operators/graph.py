@@ -578,7 +578,20 @@ def co_supply_capped_edges(
     pass False for the 2×-recompute form (see drop_hot_keys)."""
     from velox_hadoop_spark.operators.dedup import drop_hot_keys
 
-    distinct_mem = membership.select("part", "s").distinct()
+    # ONE exchange for the whole part-side pipeline: HashPartitioning
+    # on `part` satisfies every downstream ClusteredDistribution whose
+    # keys include it, so the (part, s) distinct, the guard's count
+    # pre-pass, AND the grouped collect_set all run exchange-free on
+    # this layout (a naive .distinct() hashes on (part, s) and forces
+    # the guard + collect to re-shuffle on part). A mega-hot part
+    # concentrates its raw rows in one task here, but through
+    # constant-per-entry spillable hash aggregates — time skew at
+    # worst, never the array-buffer OOM this rewrite closed.
+    distinct_mem = (
+        membership.select("part", "s")
+        .repartition("part")
+        .dropDuplicates(["part", "s"])
+    )
     guarded = drop_hot_keys(
         distinct_mem, ["part"], part_cap, persist_input=persist_guard_input
     )
@@ -745,11 +758,16 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from velox_hadoop_spark.operators.sort import top_k
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # repartition by part ONCE (same single-exchange layout argument
+    # as co_supply_capped_edges): the distinct, the guard pre-pass,
+    # and the wedge collect all consume HashPartitioning(part); only
+    # the degree count re-shuffles (it groups on s)
     e = (
         li.select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("part")
         )
-        .distinct()
+        .repartition("part")
+        .dropDuplicates(["s", "part"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = e.groupBy("s").agg(F.count("*").alias("deg"))

@@ -478,12 +478,19 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     just the path, means a rebuilt corpus at the same path (the
     degenerate/empty sweeps rewrite fixed paths every run) gets a fresh
     copy — the round-11 review's staleness catch. Publication is
-    serialized by an O_EXCL lock file + scratch-dir atomic os.rename:
-    exactly one process writes per corpus state, rivals wait on the
-    lock holder's _SUCCESS, and NOTHING ever deletes a directory that
-    carries _SUCCESS (the round-12 review's TOCTOU catch: the previous
-    retry loop could rmtree a rival's just-published good copy between
-    its own _SUCCESS check and the eviction)."""
+    serialized by ``fcntl.flock`` on a persistent per-state lock file
+    + scratch-dir atomic os.rename: exactly one process writes per
+    corpus state, rivals wait on the lock (re-checking _SUCCESS while
+    they poll), and NOTHING ever deletes a directory that carries
+    _SUCCESS. flock, not O_EXCL-create: the kernel releases the lock
+    when the holder dies — kill -9 mid-write cannot strand a stale
+    lock, so there is no unlink-based staleness-breaking path at all
+    (the round-12 second review pass showed every unlink scheme
+    reopens the dual-publisher TOCTOU it tries to close). The lock
+    FILE persists (bytes, reaped never — it is the identity rivals
+    flock on; unlinking it would let two processes lock different
+    inodes at the same path)."""
+    import fcntl
     import os
     import shutil
     import tempfile
@@ -498,55 +505,46 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     tok = content_fingerprint(src)
     tmp = tempfile.gettempdir()
     d = os.path.join(tmp, f"vhs_stream_src_{tok}")
+    success = os.path.join(d, "_SUCCESS")
     lock = f"{d}.lock"
     deadline = time.time() + 300
     attempt = 0
-    while not os.path.isfile(os.path.join(d, "_SUCCESS")):
+    while not os.path.isfile(success):
         if time.time() > deadline:
             raise RuntimeError(
                 f"could not publish stream source copy at {d} within 300s"
             )
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # another process holds publication for this corpus state:
-            # wait for its _SUCCESS; break the lock only when its
-            # holder is provably gone (mtime far older than any live
-            # write could be)
             try:
-                lock_stale = time.time() - os.stat(lock).st_mtime > 600
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             except OSError:
-                lock_stale = False
-            if lock_stale:
-                try:
-                    os.unlink(lock)
-                except OSError:
-                    pass
-            else:
-                time.sleep(1.0)
-            continue
-        try:
-            if os.path.isfile(os.path.join(d, "_SUCCESS")):
-                break  # rival finished between our check and the open
+                # a live holder is publishing: poll — its _SUCCESS (or
+                # death, which auto-releases the flock) ends the wait
+                time.sleep(0.5)
+                continue
+            if os.path.isfile(success):
+                break  # rival finished between our check and the lock
+            if attempt >= 3:
+                raise RuntimeError(
+                    f"stream source publication at {d} failed "
+                    f"{attempt} times (rename target not clearable?)"
+                )
             scratch = f"{d}.tmp.{os.getpid()}.{attempt}"
             attempt += 1
-            read_table(spark, sf_dir, "events").write.mode(
-                "overwrite"
-            ).parquet(scratch)
-            # under the lock: only a BROKEN dir (no _SUCCESS) can sit
-            # at d — evicting it cannot delete a good copy
-            if os.path.isdir(d):
-                shutil.rmtree(d, ignore_errors=True)
             try:
+                read_table(spark, sf_dir, "events").write.mode(
+                    "overwrite"
+                ).parquet(scratch)
+                # under the lock: only a BROKEN dir (no _SUCCESS) can
+                # sit at d — evicting it cannot delete a good copy
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
                 os.rename(scratch, d)
             except OSError:
                 shutil.rmtree(scratch, ignore_errors=True)
         finally:
-            os.close(fd)
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            os.close(fd)  # closes → kernel releases any flock held
     # GC superseded corpus states so repeated sweep/bench runs do not
     # re-accumulate one events copy per rewrite (the round-10 ADVICE
     # this function exists to fix): keep the 8 most-recently-used
