@@ -106,10 +106,9 @@ _REVERIFY = (
 # riders (dropped below); the 20 names here are the round-11 riders
 # the sample did not reach (21 minus ann_recall_budget_curve, which
 # re-rides _REVERIFY above for the round-12 IVF rewrite), in the same
-# wait-order. Budget arithmetic: 12 _REVERIFY + 20 tail = 32 of ~50
-# slots -> every name below drains in round 12 provided new
-# registrations stay <= ~15 (they queue as never-verified ahead of the
-# tail but the total stays inside the budget).
+# wait-order. Budget arithmetic: 12 _REVERIFY + 20 tail + 7 round-12
+# registrations (never-verified, queued ahead of the tail) = 39 of
+# ~50 slots -> every name below drains in round 12.
 _REVERIFY_TAIL = (
     # round-11 drop_hot_keys riders (grouped-array hot-bucket OOM class
     # closed at all five dedup sites; dropped buckets and oracles

@@ -201,6 +201,61 @@ def test_doremi_mixture_shift_matches_python_recompute(spark):
     assert row.kl_w2_w0 >= 0
 
 
+def test_co_supply_degree_histogram_matches_python_recompute(spark):
+    from velox_hadoop_spark.operators.graph import co_supply_capped_edges
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    edges = [
+        (r.s1, r.s2)
+        for r in co_supply_capped_edges(
+            li.select(
+                F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("s")
+            )
+        ).collect()
+    ]
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    hist: dict = {}
+    for d in deg.values():
+        b = math.floor(math.log2(d))
+        hist.setdefault(b, []).append(d)
+    got = {r.bucket: r for r in _q(spark, "co_supply_degree_histogram").collect()}
+    assert set(got) == set(hist)
+    for b, ds in hist.items():
+        assert got[b].lo == 2 ** b
+        assert got[b].n_nodes == len(ds)
+        assert got[b].max_degree == max(ds)
+
+
+def test_embedding_norm_profile_matches_python_recompute(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    norms = []
+    for r in emb:
+        v = r.embedding
+        if v is None or len(v) == 0:
+            continue
+        acc = 0.0
+        for x in v:
+            acc += float(x) * float(x)
+        norms.append(math.sqrt(acc))
+    finite = [n for n in norms if math.isfinite(n)]
+    row = _q(spark, "embedding_norm_profile").collect()[0]
+    assert row.n_vectors == len(norms)
+    assert row.n_zero_norm == sum(1 for n in norms if n == 0)
+    assert row.n_nonfinite_norm == len(norms) - len(finite)
+    assert row.n_unit_norm == sum(1 for n in finite if abs(n - 1.0) <= 0.001)
+    assert row.min_norm == pytest.approx(min(round(n, 6) for n in finite))
+    assert row.max_norm == pytest.approx(max(round(n, 6) for n in finite))
+    grid = sum(math.floor(n * 1e6 + 0.5) for n in finite)
+    assert row.avg_norm == pytest.approx(
+        round(grid / len(finite) / 1e6, 6), abs=1e-9
+    )
+
+
 def test_lsh_bucket_load_profile_matches_python_recompute(spark):
     from velox_hadoop_spark.operators.dedup import (
         MAX_KEY_DOC_FREQ,

@@ -28,7 +28,11 @@ from velox_hadoop_spark.operators.dedup import (
     minhash_signature_inline,
     shingle_set,
 )
-from velox_hadoop_spark.operators.graph import TRIANGLE_PART_CAP
+from velox_hadoop_spark.operators.graph import (
+    TRIANGLE_PART_CAP,
+    co_supply_capped_edges,
+)
+from velox_hadoop_spark.operators.graph2 import _EDGE_CTES
 from velox_hadoop_spark.operators.similarity import ivf_assign
 from velox_hadoop_spark.plans.registry import register
 
@@ -298,4 +302,130 @@ def q_lsh_bucket_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("max_load").cast("long").alias("max_load"),
         "n_buckets_over_cap",
+    )
+
+
+@register(
+    "co_supply_degree_histogram",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        deg AS (
+            SELECT v, count(*) AS d FROM (
+                SELECT s1 AS v FROM e UNION ALL SELECT s2 FROM e
+            ) GROUP BY v
+        )
+        SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket,
+               CAST(pow(2, floor(log2(d))) AS BIGINT) AS lo,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(max(d) AS BIGINT) AS max_degree
+        FROM deg GROUP BY 1, 2
+    """,
+    tags=("graph", "observability", "extension"),
+)
+def q_co_supply_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the capped co-supply graph
+    — the power-law read-out that motivates every cap in the graph
+    family (a heavy tail here is the hub/clique hazard
+    ``TRIANGLE_ADJ_CAP`` bounds; the histogram shows how hard the cap
+    binds as the corpus grows). Degrees are exact integers from the
+    SAME oriented edge build as the triangle census (one shared CTE
+    restated in the oracle); log2 boundaries are exact at powers of
+    two in both engines, so the bucket assignment is deterministic."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = co_supply_capped_edges(
+        li.select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("s"))
+    )
+    deg = (
+        e.select(F.col("s1").alias("v"))
+        .unionAll(e.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    bucket = F.floor(F.log2("d"))
+    return deg.groupBy(
+        bucket.cast("long").alias("bucket"),
+        F.pow(F.lit(2.0), bucket).cast("long").alias("lo"),
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+
+
+@register(
+    "embedding_norm_profile",
+    oracle="""
+        WITH norms AS (
+            SELECT CASE WHEN embedding IS NULL THEN NULL
+                        WHEN len(embedding) = 0 THEN NULL
+                        ELSE sqrt(list_dot_product(
+                                 CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])))
+                   END AS nrm
+            FROM embeddings
+        ),
+        nn AS (SELECT nrm FROM norms WHERE nrm IS NOT NULL)
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_norm,
+               CAST(sum(CASE WHEN NOT isfinite(nrm) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nonfinite_norm,
+               CAST(sum(CASE WHEN isfinite(nrm) AND abs(nrm - 1.0) <= 0.001
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unit_norm,
+               min(CASE WHEN isfinite(nrm) THEN ROUND(nrm, 6) END)
+                   AS min_norm,
+               max(CASE WHEN isfinite(nrm) THEN ROUND(nrm, 6) END)
+                   AS max_norm,
+               ROUND(CAST(sum(CASE WHEN isfinite(nrm) THEN
+                                 CAST(floor(nrm * 1e6 + 0.5) AS BIGINT)
+                              END) AS DOUBLE)
+                     / sum(CASE WHEN isfinite(nrm) THEN 1 ELSE 0 END)
+                     / 1e6, 6) AS avg_norm
+        FROM nn
+    """,
+    tags=("similarity", "data-quality", "observability", "extension"),
+)
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm profile of the embedding corpus: count, zero-norm /
+    non-finite tallies, how many vectors are unit-norm (|‖v‖−1| ≤
+    1e-3 — the first thing to check before cosine vs dot-product
+    mixups), and min/avg/max norms. Complements
+    ``embedding_corpus_health``: that row says what the kernels can
+    USE, this one says whether the corpus was normalized.
+
+    Numeric discipline: norms ride the same sqrt(Σx²) float path as
+    every cosine oracle pair; min/max compare 6dp-rounded values, the
+    mean folds 1e-6-grid BIGINTs (free-order-safe), and non-finite
+    norms are excluded from all three by CASE (floor(NaN) casts
+    differently across engines — Spark saturates, DuckDB raises). The
+    oracle's norm CTE uses the multi-branch CASE form (NULL, len=0
+    branches) per the round-12 DuckDB list-kernel rule."""
+    from velox_hadoop_spark.functions.vectors import norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding")
+    nrm = F.when(
+        v.isNotNull() & (F.size(v) > 0), norm(to_double(v))
+    ).alias("nrm")
+    nn = emb.select(nrm).where(F.col("nrm").isNotNull())
+    finite = ~(F.isnan("nrm") | (F.abs("nrm") == F.lit(float("inf"))))
+    return nn.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero_norm"),
+        F.sum(F.when(~finite, 1).otherwise(0)).alias("n_nonfinite_norm"),
+        F.sum(
+            F.when(finite & (F.abs(F.col("nrm") - 1.0) <= 0.001), 1).otherwise(0)
+        ).alias("n_unit_norm"),
+        F.min(F.when(finite, F.round("nrm", 6))).alias("min_norm"),
+        F.max(F.when(finite, F.round("nrm", 6))).alias("max_norm"),
+        F.round(
+            F.sum(
+                F.when(
+                    finite,
+                    F.floor(F.col("nrm") * F.lit(1e6) + F.lit(0.5)).cast("long"),
+                )
+            ).cast("double")
+            / F.sum(F.when(finite, 1).otherwise(0))
+            / F.lit(1e6),
+            6,
+        ).alias("avg_norm"),
     )
