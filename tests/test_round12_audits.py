@@ -90,17 +90,26 @@ def test_embedding_corpus_health_pathological_fixture(spark, tmp_path):
         (3, [float("nan"), 1.0], 0),
         (4, [0.0, 0.0], 0),
         (5, [float("inf"), 1.0], 0),
+        (6, [None, 1.0], 0),  # NULL ELEMENT inside the vector
     ]
-    # repartition(6) pins ONE ROW PER PART FILE regardless of the
-    # session's parallelism — the all-NULL and all-EMPTY single-row
-    # chunks are exactly the DuckDB kernel-rejection condition this
-    # test exists to exercise (round-12 review pass 2)
+    # maxRecordsPerFile=1 on a single partition pins ONE ROW PER PART
+    # FILE deterministically — a column-less repartition(n) is
+    # round-robin with a random per-partition start, so it does NOT
+    # guarantee singleton files (round-12 review pass 3). The all-NULL
+    # and all-EMPTY single-row chunks are exactly the DuckDB
+    # kernel-rejection condition this test exists to exercise.
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label long"
-    ).repartition(6).write.parquet(f"{tmp_path}/embeddings.parquet")
+    ).coalesce(1).write.option("maxRecordsPerFile", 1).parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    import glob
+
+    n_files = len(glob.glob(f"{tmp_path}/embeddings.parquet/*.parquet"))
+    assert n_files == len(rows), n_files
     got = queries()["embedding_corpus_health"](spark, str(tmp_path)).collect()[0]
     expect = {
-        "n_rows": 6,
+        "n_rows": 7,
         "n_null": 1,
         "n_empty": 1,
         "n_nonfinite": 2,   # the NaN vector and the Inf vector
@@ -117,6 +126,15 @@ def test_embedding_corpus_health_pathological_fixture(spark, tmp_path):
     )
     orc = con.sql(oracles()["embedding_corpus_health"]).fetchone()
     assert tuple(orc) == tuple(got)
+    # norm profile on the SAME pathological corpus, Spark vs oracle:
+    # norms = sqrt5, NaN, 0, Inf (NULL / empty / NULL-element drop)
+    prof = queries()["embedding_norm_profile"](spark, str(tmp_path)).collect()[0]
+    assert prof.n_vectors == 4
+    assert prof.n_zero_norm == 1
+    assert prof.n_nonfinite_norm == 2
+    assert prof.n_unit_norm == 0
+    orc_prof = con.sql(oracles()["embedding_norm_profile"]).fetchone()
+    assert tuple(orc_prof) == tuple(prof)
 
 
 def test_hot_key_guard_report_matches_python_recompute(spark):
@@ -242,17 +260,29 @@ def test_embedding_norm_profile_matches_python_recompute(spark):
         for x in v:
             acc += float(x) * float(x)
         norms.append(math.sqrt(acc))
+    # round through the repo's half-away helper, not Python round():
+    # Spark F.round is HALF_UP on the shortest decimal repr while
+    # round() is banker's on the exact binary value — the .5-tie flake
+    # class functions/vectors.round_half_away exists for (round-12
+    # review pass 3)
+    from velox_hadoop_spark.functions.vectors import round_half_away
+
     finite = [n for n in norms if math.isfinite(n)]
+    grid_ok = [n for n in finite if n <= 9e12]
     row = _q(spark, "embedding_norm_profile").collect()[0]
     assert row.n_vectors == len(norms)
     assert row.n_zero_norm == sum(1 for n in norms if n == 0)
     assert row.n_nonfinite_norm == len(norms) - len(finite)
     assert row.n_unit_norm == sum(1 for n in finite if abs(n - 1.0) <= 0.001)
-    assert row.min_norm == pytest.approx(min(round(n, 6) for n in finite))
-    assert row.max_norm == pytest.approx(max(round(n, 6) for n in finite))
-    grid = sum(math.floor(n * 1e6 + 0.5) for n in finite)
+    assert row.min_norm == pytest.approx(
+        min(round_half_away(n, 6) for n in finite)
+    )
+    assert row.max_norm == pytest.approx(
+        max(round_half_away(n, 6) for n in finite)
+    )
+    grid = sum(math.floor(n * 1e6 + 0.5) for n in grid_ok)
     assert row.avg_norm == pytest.approx(
-        round(grid / len(finite) / 1e6, 6), abs=1e-9
+        round_half_away(grid / len(grid_ok) / 1e6, 6), abs=1e-9
     )
 
 

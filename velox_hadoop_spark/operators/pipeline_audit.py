@@ -36,6 +36,11 @@ from velox_hadoop_spark.operators.graph2 import _EDGE_CTES
 from velox_hadoop_spark.operators.similarity import ivf_assign
 from velox_hadoop_spark.plans.registry import register
 
+# Magnitude bound for the norm-profile 1e-6 grid: floor(x*1e6 + 0.5)
+# must stay inside BIGINT in BOTH engines (Spark cast saturates,
+# DuckDB raises). 9e12 * 1e6 = 9e18 < 2^63-1.
+_NORM_GRID_MAX = 9e12
+
 # The assignment CTE chain shared with ann_ivf_recall / ann_hard_
 # negatives (restated so this module's oracles stay independently
 # auditable, same convention as graph2._EDGE_CTES).
@@ -124,8 +129,14 @@ def q_ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                              WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
                                                   x -> NOT isfinite(x))) > 0
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+               -- the extra NULL-ELEMENT branch: list_dot_product also
+               -- rejects a list CONTAINING null elements; Spark's
+               -- fold gives sq = NULL there, NULL > 0 is not-true →
+               -- 0, so THEN 0 is the exact mirror
                CAST(sum(CASE WHEN embedding IS NULL THEN 0
                              WHEN len(embedding) = 0 THEN 0
+                             WHEN len(list_filter(embedding,
+                                                  x -> x IS NULL)) > 0 THEN 0
                              WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
                                                    CAST(embedding AS DOUBLE[])) > 0
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_usable,
@@ -331,10 +342,15 @@ def q_co_supply_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME oriented edge build as the triangle census (one shared CTE
     restated in the oracle); log2 boundaries are exact at powers of
     two in both engines, so the bucket assignment is deterministic."""
+    from pyspark.storagelevel import StorageLevel
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # persisted: both unionAll branches read the full edge build (the
+    # r8 re-execution anti-pattern check — graph2's deg computation
+    # persists the identical two-consumer shape)
     e = co_supply_capped_edges(
         li.select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("s"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         e.select(F.col("s1").alias("v"))
         .unionAll(e.select(F.col("s2").alias("v")))
@@ -353,10 +369,16 @@ def q_co_supply_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_norm_profile",
-    oracle="""
+    oracle=f"""
         WITH norms AS (
+            -- NULL-element branch mirrors Spark's fold (acc + NULL
+            -- gives NULL → the row drops out below), and keeps the
+            -- NULL-containing list out of list_dot_product, which
+            -- REJECTS it (same kernel rule as corpus_health)
             SELECT CASE WHEN embedding IS NULL THEN NULL
                         WHEN len(embedding) = 0 THEN NULL
+                        WHEN len(list_filter(embedding,
+                                             x -> x IS NULL)) > 0 THEN NULL
                         ELSE sqrt(list_dot_product(
                                  CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[])))
@@ -375,10 +397,19 @@ def q_co_supply_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS min_norm,
                max(CASE WHEN isfinite(nrm) THEN ROUND(nrm, 6) END)
                    AS max_norm,
-               ROUND(CAST(sum(CASE WHEN isfinite(nrm) THEN
+               -- the grid fold carries a MAGNITUDE bound next to the
+               -- finiteness guard: a finite norm near 1e13 puts
+               -- nrm*1e6 past BIGINT, where Spark's cast saturates
+               -- silently and DuckDB raises (the DoReMi clip-bound
+               -- rule applied here); min/max above stay unbounded
+               -- (ROUND of any double is safe)
+               ROUND(CAST(sum(CASE WHEN isfinite(nrm)
+                                    AND nrm <= {_NORM_GRID_MAX!r} THEN
                                  CAST(floor(nrm * 1e6 + 0.5) AS BIGINT)
                               END) AS DOUBLE)
-                     / sum(CASE WHEN isfinite(nrm) THEN 1 ELSE 0 END)
+                     / sum(CASE WHEN isfinite(nrm)
+                                 AND nrm <= {_NORM_GRID_MAX!r}
+                                THEN 1 ELSE 0 END)
                      / 1e6, 6) AS avg_norm
         FROM nn
     """,
@@ -396,9 +427,15 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     every cosine oracle pair; min/max compare 6dp-rounded values, the
     mean folds 1e-6-grid BIGINTs (free-order-safe), and non-finite
     norms are excluded from all three by CASE (floor(NaN) casts
-    differently across engines — Spark saturates, DuckDB raises). The
-    oracle's norm CTE uses the multi-branch CASE form (NULL, len=0
-    branches) per the round-12 DuckDB list-kernel rule."""
+    differently across engines — Spark saturates, DuckDB raises), and
+    the 1e-6-grid mean additionally bounds magnitude at
+    ``_NORM_GRID_MAX`` (a FINITE norm near 1e13 overflows the BIGINT
+    grid the same divergent way; the DoReMi clip-bound rule applied
+    here). A vector containing NULL elements folds to a NULL norm and
+    drops out — mirrored by an explicit NULL-element branch in the
+    oracle's norm CTE (the DuckDB list kernel rejects NULL elements
+    outright). The oracle's norm CTE uses the multi-branch CASE form
+    per the round-12 list-kernel rule."""
     from velox_hadoop_spark.functions.vectors import norm
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -408,6 +445,7 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("nrm")
     nn = emb.select(nrm).where(F.col("nrm").isNotNull())
     finite = ~(F.isnan("nrm") | (F.abs("nrm") == F.lit(float("inf"))))
+    gridable = finite & (F.col("nrm") <= F.lit(_NORM_GRID_MAX))
     return nn.agg(
         F.count("*").alias("n_vectors"),
         F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero_norm"),
@@ -420,11 +458,11 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(
                 F.when(
-                    finite,
+                    gridable,
                     F.floor(F.col("nrm") * F.lit(1e6) + F.lit(0.5)).cast("long"),
                 )
             ).cast("double")
-            / F.sum(F.when(finite, 1).otherwise(0))
+            / F.sum(F.when(gridable, 1).otherwise(0))
             / F.lit(1e6),
             6,
         ).alias("avg_norm"),

@@ -481,8 +481,11 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     serialized by ``fcntl.flock`` on a persistent per-state lock file
     + scratch-dir atomic os.rename: exactly one process writes per
     corpus state, rivals wait on the lock (re-checking _SUCCESS while
-    they poll), and NOTHING ever deletes a directory that carries
-    _SUCCESS. flock, not O_EXCL-create: the kernel releases the lock
+    they poll), and the PUBLICATION path never deletes a directory
+    that carries _SUCCESS (the GC below may still reap a published
+    dir, but only one superseded past the 8-dir LRU AND untouched for
+    an hour — the age-floor condition, not an absolute never-delete
+    rule). flock, not O_EXCL-create: the kernel releases the lock
     when the holder dies — kill -9 mid-write cannot strand a stale
     lock, so there is no unlink-based staleness-breaking path at all
     (the round-12 second review pass showed every unlink scheme
@@ -514,7 +517,15 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
             raise RuntimeError(
                 f"could not publish stream source copy at {d} within 300s"
             )
-        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        # mode 0o666 + read-only fallback: on a shared /tmp the lock
+        # file may be owned by ANOTHER user (it persists by design);
+        # flock works on a read-only descriptor, so EACCES on the
+        # read-write open degrades instead of crashing (round-12
+        # review pass 3)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o666)
+        except PermissionError:
+            fd = os.open(lock, os.O_RDONLY)
         try:
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
