@@ -407,13 +407,16 @@ def bfs_levels(
         return F.broadcast(df) if n_rows <= BFS_BROADCAST_NODES else df
 
     for lvl in range(1, max_levels + 1):
-        neigh = (
+        # anti-join BEFORE the distinct: the visited check is a
+        # broadcast probe (no exchange) while the dedup is the level's
+        # one shuffle, so filtering first shrinks the shuffled bytes —
+        # at late levels almost every matched dst is already visited
+        # (guide: drop rows before the exchange, not after)
+        new_frontier = (
             und.join(_maybe_bc(frontier.select(F.col("node").alias("src")), n_frontier), "src")
             .select(F.col("dst").alias("node"))
+            .join(_maybe_bc(visited.select("node"), n_visited), "node", "left_anti")
             .distinct()
-        )
-        new_frontier = (
-            neigh.join(_maybe_bc(visited.select("node"), n_visited), "node", "left_anti")
             .select("node", F.lit(lvl).cast("int").alias("lvl"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -983,11 +986,19 @@ def _large_star(e: DataFrame) -> DataFrame:
     edges cannot change the small-star pass that always consumes this
     output (its mins are duplicate-insensitive and its own final
     distinct dedups the emission), so the extra exchange per pass
-    would buy nothing."""
+    would buy nothing.
+
+    The per-node min rides a count-window over the symmetric frame —
+    ONE exchange per pass annotates every row, exactly the PageRank
+    degree-annotation trade (graph.py pagerank): the former
+    groupBy+join shape paid a second |V|-row exchange (or an AQE
+    broadcast build) per pass, and LSS runs O(log² n) passes.
+    WindowExec buffers one u-group at a time in a spill-backed array,
+    so a power-law hot node costs disk, never memory."""
     sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    w = Window.partitionBy("u")
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .where(F.col("v") > F.col("u"))
         .select(F.col("m").alias("u"), F.col("v"))
         .where(F.col("u") < F.col("v"))
@@ -996,16 +1007,21 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star pass: every node u connects its SMALLER neighbors
-    and itself to m = min of those neighbors."""
+    and itself to m = min of those neighbors. Same single-exchange
+    window shape as ``_large_star``; the self-link recovers the
+    one-row-per-u emission of the former groupBy+join form as the
+    rows WHERE v = m (duplicates collapse in the final distinct the
+    pass already pays)."""
     sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     smaller = sym.where(F.col("v") < F.col("u"))
-    mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
-    rewired = (
-        smaller.join(mins, "u")
-        .where(F.col("v") != F.col("m"))
-        .select(F.col("m").alias("u"), F.col("v"))
+    w = Window.partitionBy("u")
+    sm = smaller.withColumn("m", F.min("v").over(w))
+    rewired = sm.where(F.col("v") != F.col("m")).select(
+        F.col("m").alias("u"), F.col("v")
     )
-    self_link = mins.select(F.col("m").alias("u"), F.col("u").alias("v"))
+    self_link = sm.where(F.col("v") == F.col("m")).select(
+        F.col("m").alias("u"), F.col("u").alias("v")
+    )
     return (
         rewired.union(self_link)
         .where(F.col("u") < F.col("v"))
@@ -1014,7 +1030,11 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
-    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # one action, not two: at the fixed point (the only caller's hot
+    # path) BOTH excepts are empty, so the former short-circuit `and`
+    # always ran both jobs anyway — the union halves the driver round
+    # trips of every convergence check
+    return a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
 
 
 def connected_components_lss(

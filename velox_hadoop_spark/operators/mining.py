@@ -439,12 +439,21 @@ _KCORE_K = 20  # minimum degree kept on BOTH sides of the bipartite graph
 def _peel_once(edges: DataFrame, k: int) -> DataFrame:
     """One peel round: recompute both side degrees over the surviving
     edge set and keep edges whose endpoints both still have degree ≥ k.
-    Two grouped counts + two joins on the (shrinking) edge set."""
-    sdeg = edges.groupBy("s").agg(F.count("*").alias("sd"))
-    pdeg = edges.groupBy("part").agg(F.count("*").alias("pd"))
+
+    Each side's degree rides a count-window over the edge frame — two
+    exchanges per round total, each annotating every edge in place.
+    The former two-groupBy-plus-two-join shape paid the same two |E|
+    exchanges PLUS a |V|-row aggregate/join per side (broadcastable
+    locally, a third and fourth exchange at 100 TB where node counts
+    outgrow any broadcast). WindowExec buffers one key group at a time
+    in a spill-backed array, so a hot part costs disk, never memory —
+    the same trade as the PageRank degree annotation (graph.py)."""
+    sd = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    pd = F.count(F.lit(1)).over(Window.partitionBy("part"))
     return (
-        edges.join(sdeg.where(F.col("sd") >= k), "s")
-        .join(pdeg.where(F.col("pd") >= k), "part")
+        edges.withColumn("sd", sd)
+        .withColumn("pd", pd)
+        .where((F.col("sd") >= k) & (F.col("pd") >= k))
         .select("s", "part")
     )
 
