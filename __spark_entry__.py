@@ -55,45 +55,24 @@ _BOOST = ()
 # evidence. Round 10's 13 names all re-greened in CORRECTNESS_r10 and
 # were dropped; repopulated with round 11's semantic/oracle rewrites:
 _REVERIFY = (
-    # ROUND-12 riders — plan/contract changes to green rows, all
-    # re-gated value-identical at sf0.01 + sf0.1 before landing:
+    # ROUND-13 riders (optimization round) — value-neutral PLAN
+    # rewrites to green rows, all re-gated identical against the
+    # DuckDB oracle at sf0.001 + sf0.01 before landing (the full
+    # driver-contract /verify pass this round read 412/412 MATCH):
     #
-    # (a) the streaming dedup runner now PINS a single-batch drain
-    # (maxFilesPerTrigger far above the runner-owned source's file
-    # count), making its n_rows = 1 oracle sound by construction
-    # instead of by the current availableNow default (round-12 ADVICE
-    # medium item; batching contract tests in
-    # tests/test_round12_parity.py):
-    "streaming_dedup_runner",
-    # (b) the LAST buffer-before-filter aggregates (r11 verdict's one
-    # weak finding) closed: co_supply_capped_edges routes its part cap
-    # through drop_hot_keys BEFORE the grouped collect_set and merges
-    # adjacency via a staged top-k instead of an unbounded
-    # flatten(collect_list); the neighbor_jaccard wedge build guards
-    # the same way (degrees now fold from the distinct edge frame —
-    # no arrays on the uncapped path). Oracles unchanged; hot-part +
-    # mega-hot fixtures and plan-shape tests added:
-    "supplier_triangle_counts",
-    "neighbor_jaccard_links",
-    "degree_assortativity_suppliers",
-    "clustering_coefficient_suppliers",
-    # (c) IVF assignment rewritten as an in-row argmax over the
-    # driver-local literal codebook (session-cached per corpus content
-    # state, r11 verdict follow-on #3): same scoring expression and
-    # tiebreak — bit-equal sims — but no crossJoin, no window, no
-    # K x N-row shuffle; cold/warm parity pinned in
-    # tests/test_round12_parity.py:
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_hard_negatives",
-    "ann_recall_budget_curve",
-    # (d) the DoReMi |sources|-row base histogram is session-cached
-    # driver-local (content-fingerprinted, MAX_SOURCES-guarded; r11
-    # verdict follow-on #4) — the iteration arithmetic is the shared
-    # _doremi_iterate either way, cold/warm parity pinned in tests:
-    "doremi_mixture_reweight",
-    "doremi_weighted_resample",
-    "doremi_resample_report",
+    # (a) large-star/small-star per-node mins now ride a window over
+    # the symmetric edge frame (one exchange per star pass instead of
+    # groupBy + join-back), and the fixed-point equality check runs as
+    # one job:
+    "connected_components_lss",
+    # (b) k-core peel rounds annotate both side degrees with count
+    # windows and filter in place (two |E| exchanges per round, no
+    # |V|-row aggregate/join per side):
+    "kcore_suppliers",
+    # (c) BFS levels anti-join the visited set (broadcast probe)
+    # BEFORE the per-level distinct, so visited neighbors never enter
+    # the level's one shuffle:
+    "bfs_levels_from_min_supplier",
 )
 
 
@@ -101,45 +80,14 @@ _REVERIFY = (
 # rewrites — all re-gated at sf0.01 AND sf0.1 with identical results.
 # They re-enter the queue BEHIND the never-verified group: fresh driver
 # evidence is desirable but must not displace a new registration's
-# FIRST row (the every-query-has-a-row invariant). Round-12 state: the
-# r11 sample re-greened all 31 old riders AND the first 6 round-11
-# riders (dropped below); the 20 names here are the round-11 riders
-# the sample did not reach (21 minus ann_recall_budget_curve, which
-# re-rides _REVERIFY above for the round-12 IVF rewrite), in the same
-# wait-order. Budget arithmetic: 12 _REVERIFY + 20 tail + 7 round-12
-# registrations (never-verified, queued ahead of the tail) = 39 of
-# ~50 slots -> every name below drains in round 12.
-_REVERIFY_TAIL = (
-    # round-11 drop_hot_keys riders (grouped-array hot-bucket OOM class
-    # closed at all five dedup sites; dropped buckets and oracles
-    # unchanged; re-gated value-identical at sf0.01 + sf0.1):
-    "minhash_jaccard_estimate",
-    "minhash_containment_pairs",
-    "minhash_estimate_error_audit",
-    "minhash_band_tuning_report",
-    "near_dup_verified_pairs",
-    "near_dup_cluster_size_histogram",
-    "lsh_dedup_recall_gate",
-    "dedup_clusters",
-    "dedup_cluster_source_span",
-    "dedup_threshold_sweep",
-    "dedup_survivorship_golden",
-    "intra_cluster_jaccard_audit",
-    "cluster_split_assign",
-    "cross_source_neardup_matrix",
-    "cross_snapshot_dedup_decay",
-    "snapshot_novelty_rate",
-    # round-11 streaming-runner hygiene (deterministic content-keyed
-    # stream-source dir + stale memory-sink drop; sink contents and
-    # oracles unchanged for these two — and the round-12 publication
-    # retry loop / GC age floor are value-neutral too):
-    "streaming_tumbling_runner",
-    "streaming_stateful_totals_runner",
-    # round-11 shared recall ground truth (values identical, re-gated),
-    # now content-fingerprint-keyed (round-12 ADVICE low item):
-    "ann_lsh_recall_at_k",
-    "ann_multiprobe_recall",
-)
+# FIRST row (the every-query-has-a-row invariant). Round-13 state:
+# every round-12 rider (12 _REVERIFY + 20 tail) re-greened in
+# CORRECTNESS_r12 and was dropped (r12 verdict item 2 — as written
+# they would have burned round-13's slots re-verifying already-current
+# rows). Empty this round: the three round-13 plan rewrites ride
+# _REVERIFY above; everything else in the registry is hash-green with
+# evidence that postdates its last code change.
+_REVERIFY_TAIL = ()
 
 
 _DEFER = ()
