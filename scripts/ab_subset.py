@@ -3,8 +3,8 @@
 subset. One process = one arm pass (every query once, noop-forced);
 alternate arms across processes so host-load waves hit both arms:
 
-    python scripts/ab_subset.py A            # arm A: repo defaults
-    python scripts/ab_subset.py B k=v [k=v]  # arm B: defaults + overrides
+    python scripts/ab_subset.py A [--sf DIR]            # arm A: repo defaults
+    python scripts/ab_subset.py B [--sf DIR] k=v [k=v]   # arm B: defaults + overrides
 
 Prints per-query seconds as one JSON line; pair the outputs offline.
 """
@@ -12,15 +12,16 @@ Prints per-query seconds as one JSON line; pair the outputs offline.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from velox_hadoop_spark.plans import registry  # noqa: E402
 from velox_hadoop_spark.session import get_spark  # noqa: E402
 
-SF = "/root/testdata/sf0.1"
+SF_DEFAULT = "/root/testdata/sf0.1"
 
 SUBSET = [
     "wordcount", "grep", "tpch_q1_pricing_summary", "sort_rank",
@@ -40,16 +41,21 @@ SUBSET = [
 
 def main() -> None:
     arm = sys.argv[1]
-    extra = dict(kv.split("=", 1) for kv in sys.argv[2:])
+    args = sys.argv[2:]
+    sf = SF_DEFAULT
+    if args and args[0] == "--sf":
+        sf = args[1]
+        args = args[2:]
+    extra = dict(kv.split("=", 1) for kv in args)
     spark = get_spark(app_name=f"ab-{arm}", extra_conf=extra or None)
     def force(df):
         df.write.format("noop").mode("overwrite").save()
-    force(spark.read.parquet(f"{SF}/region.parquet"))
+    force(spark.read.parquet(f"{sf}/region.parquet"))
     qs = registry.queries()
     out = {}
     for name in SUBSET:
         t0 = time.perf_counter()
-        force(qs[name](spark, SF))
+        force(qs[name](spark, sf))
         out[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
     print(json.dumps({"arm": arm, "conf": extra, "total": round(sum(out.values()), 2), "queries": out}))
