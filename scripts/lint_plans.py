@@ -125,7 +125,7 @@ WHITELIST = {
     ("operators/llmops3.py", "n"): (1, "one scalar count row (doc_quality_deciles n_total)"),
     ("operators/llmops4.py", "n"): (2, "one scalar count row each (decile_lift n_total, vocab_growth max_doc)"),
     ("operators/llmops4.py", "tot"): (2, "one scalar totals row each (decile_lift, context_window_budget)"),
-    ("operators/llmops3.py", "nh"): (1, "one scalar hit-count row per budget point"),
+    ("operators/llmops3.py", "stats"): (1, "one scalar totals row (budget-curve n_queries/n_exact)"),
     ("operators/llmops3.py", "tot"): (2, "one scalar totals row (KS + AUC)"),
     ("operators/llmops3.py", "prior"): (1, "per-cents-bucket prefix counts: bounded bucket list"),
 }

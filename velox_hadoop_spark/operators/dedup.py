@@ -1450,6 +1450,36 @@ _MH_EQ = " + ".join(
 )
 
 
+def minhash_estimate(cand: DataFrame, sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature-agreement estimate for a candidate frame: the fraction
+    of equal MinHash components per (id_a, id_b) pair. The ONE home of
+    the estimator expression, shared by ``q_minhash_jaccard_estimate``
+    and the calibration audit (``minhash_estimate_error_audit``) so the
+    estimator a gate thresholds on and the estimator the audit scores
+    can never drift — and so the audit can feed BOTH sides from one
+    materialized signature/candidate chain instead of re-deriving it."""
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(MINHASH_SEEDS)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(MINHASH_SEEDS)]
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(MINHASH_SEEDS)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_eq.cast("long").alias("n_equal"),
+            F.round(n_eq / float(MINHASH_SEEDS), 6).alias("jaccard_est"),
+        )
+    )
+
+
 @register(
     "minhash_jaccard_estimate",
     oracle=_duck_minhash_cte()
@@ -1499,26 +1529,7 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     cand = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
-    sa = sig.select(
-        F.col("doc_id").alias("id_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(MINHASH_SEEDS)]
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("id_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(MINHASH_SEEDS)]
-    )
-    n_eq = sum(
-        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-        for s in range(MINHASH_SEEDS)
-    )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            n_eq.cast("long").alias("n_equal"),
-            F.round(n_eq / float(MINHASH_SEEDS), 6).alias("jaccard_est"),
-        )
-    )
+    return minhash_estimate(cand, sig)
 
 
 # ---------------------------------------------------------------------------

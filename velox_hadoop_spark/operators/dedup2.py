@@ -339,7 +339,21 @@ def q_intra_cluster_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     intersection join runs only over the clustered docs' shingles
     (semi-join pruned), with the same hot-shingle frequency cap the
     recall gate uses. A plain-Python set recompute pins the Jaccard
-    values independently of the mirrored oracle."""
+    values independently of the mirrored oracle.
+
+    Shape (round 14, guide §2.4): the frequency cap applies as the
+    shared ``drop_hot_keys`` broadcast anti-join (no corpus-shingle
+    shuffle to meet the cool-shingle table — same survivors: shingles
+    are non-null and each is in exactly one class), and the pairwise
+    intersection groups the member shingles into per-shingle sorted id
+    arrays with in-row pair generation (the ``jaccard_pairs`` shape:
+    ONE exchange on shingle + the pair aggregate) instead of a
+    row-level self-join that shuffled the member-shingle frame twice
+    and joined. Group width is cap-bounded by the anti-join, so the
+    collect buffer is safe at any skew."""
+    from velox_hadoop_spark.functions.pairs import id_pairs
+    from velox_hadoop_spark.operators.dedup import drop_hot_keys
+
     docs = _docs(spark, sf_dir)
     sig = minhash_signature_inline(docs, "doc_id", "text")
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
@@ -359,30 +373,27 @@ def q_intra_cluster_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     b = members.select(F.col("cluster_id"), F.col("doc_id").alias("id_b"))
     mpairs = a.join(b, "cluster_id").where(F.col("id_a") < F.col("id_b"))
 
-    # persist: the corpus shingle explode feeds BOTH the frequency cap
-    # and the capped member-shingle frame — unpersisted it would run
-    # the full-corpus explode twice (verify_candidate_jaccard's
-    # documented shape, same reason)
+    # persist: the corpus shingle explode feeds BOTH the frequency-cap
+    # count pre-pass and the capped member-shingle frame — unpersisted
+    # it would run the full-corpus explode twice
     sh0 = shingle_set(docs, "doc_id", "text", SHINGLE_K).persist()
-    cool = (
-        sh0.groupBy("shingle")
-        .agg(F.count("*").alias("__c"))
-        .where(F.col("__c") <= MAX_KEY_DOC_FREQ)
-        .select("shingle")
-    )
     member_ids = members.select(F.col("doc_id")).distinct()
-    shc = sh0.join(cool, "shingle").join(member_ids, "doc_id", "semi")
+    # hot-shingle cap as the shared broadcast anti-join (sh0 already
+    # persisted, so the guard's own persist is skipped), then prune to
+    # audited members before anything is grouped or shuffled
+    shc = drop_hot_keys(
+        sh0, ["shingle"], MAX_KEY_DOC_FREQ, persist_input=False
+    ).join(member_ids, "doc_id", "semi")
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    grouped = (
+        shc.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.sort_array("ids").alias("ids"))
+    )
     inter = (
-        shc.alias("a")
-        .join(
-            shc.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        grouped.select(F.explode(id_pairs(F.col("ids"), "id_a", "id_b")).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
     )
     pj = (

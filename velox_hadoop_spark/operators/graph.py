@@ -1034,7 +1034,7 @@ def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
     # path) BOTH excepts are empty, so the former short-circuit `and`
     # always ran both jobs anyway — the union halves the driver round
     # trips of every convergence check
-    return a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
+    return a.exceptAll(b).union(b.exceptAll(a)).isEmpty()
 
 
 def connected_components_lss(

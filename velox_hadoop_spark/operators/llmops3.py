@@ -260,9 +260,21 @@ def q_ann_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment (nprobe=1 cells), one 4-probe query assignment, ONE
     exact-cosine scoring of the widest candidate set (narrower budgets
     are probe_rank filters over it — candidates nest), one exact
-    baseline; the scored/ baseline frames are persisted so the three
-    budget branches share them instead of recomputing the dgemm three
-    times. Nothing SF-proportional is broadcast or collected."""
+    baseline. Nothing SF-proportional is broadcast or collected.
+
+    Shape (round 14, guide §2.4): the three budget arms ride ONE
+    exploded frame — each scored candidate fans out to exactly the
+    nprobe budgets that admit it (probe_rank ≤ p; candidates nest, so
+    the fanout equals the row volume the old three per-arm windows
+    re-read from the persisted scored frame) — then ONE window over
+    (nprobe, query_id) ranks all arms together and ONE grouped count
+    against the (local-relation) exact baseline yields every arm's hit
+    count. Replaces 3 windows + 3 hit aggregates + a 3-branch union
+    with 1 window + 1 aggregate. The persist moves from the wide
+    scored frame (now single-consumer) to the small candidate frame
+    (two consumers: the scorer and the probe_rank re-attach), so the
+    ann family leans less on cached-plan partitioning (the r14
+    cached-plan-flag A/B measured a 5-15% ann tax from exactly that)."""
     from pyspark.storagelevel import StorageLevel
 
     from velox_hadoop_spark.operators.similarity import (
@@ -272,7 +284,6 @@ def q_ann_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_ground_truth,
         recall_query_sample,
         score_pairs_exact,
-        topk_per_query,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -286,10 +297,13 @@ def q_ann_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = ivf_assign(emb, sf_dir=sf_dir).select(
         F.col("vec_id").alias("neighbor_id"), "centroid_id"
     )
+    # persist: the candidate frame feeds the exact scorer's input AND
+    # the probe_rank re-attach join below
     cand = (
         qa.join(na, "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "probe_rank")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # The session-cached ground truth (recall_ground_truth) supplies the
     # size probe, the (below-budget) normalized-corpus broadcast, AND
@@ -302,42 +316,66 @@ def q_ann_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = score_pairs_exact(
         emb, cand.select("query_id", "neighbor_id"), n=n, bc=bc
-    ).join(cand, ["query_id", "neighbor_id"]).persist(StorageLevel.MEMORY_AND_DISK)
+    ).join(cand, ["query_id", "neighbor_id"])
+    # Fan each candidate out to exactly the budgets that admit it
+    # (probe_rank ≤ p) and rank all arms in ONE window — same rows per
+    # arm as the old per-p windows over probe_rank filters.
+    budgets = F.array(*[F.lit(int(p)) for p in _PROBES])
+    fanned = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cos",
+        F.explode(
+            F.filter(budgets, lambda p: p >= F.col("probe_rank"))
+        ).alias("nprobe"),
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    tops = (
+        fanned.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _RECALL_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
     exact_top = gt_full.join(curve_ids, "query_id", "left_semi")
+    # both sides are unique on (query_id, neighbor_id) within an arm,
+    # so this semi-joined grouped count equals the old per-arm
+    # |exact_top ∩ top_p| counts
+    hits = (
+        tops.join(exact_top, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
     stats = exact_top.agg(
         F.countDistinct("query_id").alias("n_queries"),
         F.count("*").alias("n_exact"),
     )
-    out = None
-    for p in _PROBES:
-        top = topk_per_query(
-            scored.where(F.col("probe_rank") <= p).select(
-                "query_id", "neighbor_id", "cos"
-            ),
-            _RECALL_K,
-        ).select("query_id", "neighbor_id")
-        nh = exact_top.join(top, ["query_id", "neighbor_id"], "left_semi").agg(
-            F.count("*").alias("n_hits")
-        )
-        row = stats.crossJoin(F.broadcast(nh)).select(
-            F.lit(p).cast("long").alias("nprobe"),
+    # literal arm frame keeps a zero-hit budget's row (a grouped count
+    # alone would drop it where the old per-arm agg emitted 0)
+    probes = spark.createDataFrame([(int(p),) for p in _PROBES], "nprobe int")
+    return (
+        probes.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
             "n_queries",
             "n_exact",
-            "n_hits",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
             # NULL recall on an empty exact baseline, like the oracle —
             # ANSI double division by zero raises (same guard as
             # _recall_vs_exact / lsh_dedup_recall_gate)
             F.when(
                 F.col("n_exact") > 0,
                 F.floor(
-                    F.col("n_hits") / F.col("n_exact").cast("double") * F.lit(1e6)
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.col("n_exact").cast("double")
+                    * F.lit(1e6)
                     + F.lit(0.5)
                 )
                 / F.lit(1e6),
             ).alias("recall"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -332,22 +332,41 @@ def q_minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFram
     text. Candidates without any surviving shared shingle score exact
     Jaccard 0 (LEFT join, the LSH false-positive case the estimator
     must be audited against). Errors are micro-unit quantized before
-    the mean so the reduction is an exact integer sum."""
+    the mean so the reduction is an exact integer sum.
+
+    Shape (round 14): ONE signature pipeline and ONE LSH candidate
+    frame feed BOTH sides — the estimator reads (cand, sig) through
+    the shared ``minhash_estimate`` kernel, the exact side reads the
+    same ``cand`` through ``verify_candidate_jaccard``. The previous
+    form called the registered ``minhash_jaccard_estimate`` query AND
+    re-derived sig/cand locally, running the 8-seed MinHash over every
+    shingle and the band self-join twice per audit (guide §1.2/§2.4:
+    don't compute the same thing twice; the estimator values are
+    bit-equal — same kernel expressions, same inputs)."""
+    from pyspark.storagelevel import StorageLevel
+
     from velox_hadoop_spark.operators.dedup import (
+        _docs_par,
         lsh_bands,
         lsh_candidate_pairs,
+        minhash_estimate,
         minhash_signature_inline,
         shingle_set,
         verify_candidate_jaccard,
     )
-    from velox_hadoop_spark.plans.registry import specs
 
-    est = specs()["minhash_jaccard_estimate"].fn(spark, sf_dir).select(
-        "id_a", "id_b", "jaccard_est"
+    docs = _docs_par(spark, sf_dir)
+    # persist: the signature table feeds the band explode AND both
+    # per-side probes of the estimator join
+    sig = minhash_signature_inline(docs, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    docs = _docs(spark, sf_dir)
-    sig = minhash_signature_inline(docs, "doc_id", "text")
-    cand = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    # persist: the candidate frame feeds the estimator join, the exact
+    # verification, and the zero-overlap restoration below
+    cand = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    est = minhash_estimate(cand, sig).select("id_a", "id_b", "jaccard_est")
     sh = shingle_set(docs, "doc_id", "text")
     exact = verify_candidate_jaccard(cand, sh, "doc_id")
     # verify_candidate_jaccard inner-joins through shared shingles, so

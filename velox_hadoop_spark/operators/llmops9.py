@@ -235,36 +235,38 @@ def doremi_weight_frames(docs: DataFrame, sf_dir: str | None = None):
             rows, schema = hit
             return _doremi_iterate(spark.createDataFrame(rows, schema))
 
-    # persist: the token explode feeds the frequency table, the
-    # surprisal join, AND the corpus total — one materialization
-    # instead of three corpus passes (the quality.py ADVICE class)
-    t = (
+    # ONE corpus-proportional shuffle (round 14, guide §2.3/§5): the
+    # token explode pre-aggregates to per-(source, token) counts before
+    # anything is materialized or joined. The old shape persisted the
+    # FULL token explode (|tokens| rows) and joined it row-by-row with
+    # the vocab table; every downstream number only needs the counts —
+    # a source's surprisal sum is Σ_tok cnt·sq(tok), exactly the same
+    # integers (sq is constant per token, and long sums are
+    # order-free). Persists drop from three to two, and the persisted
+    # frame shrinks from the token multiset to |sources × vocab| rows.
+    stc = (
         docs.select("source", F.explode(F.split("text", r"\s+")).alias("tok"))
         .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # persist: the frequency table feeds the corpus total (twice, via
-    # base's crossJoin) and the surprisal join — |vocab| rows, one
-    # grouped shuffle instead of three
-    tc = t.groupBy("tok").agg(F.count("*").alias("c")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # corpus vocab counts and total both roll up from the persisted
+    # per-source counts — no second corpus pass
+    tc = stc.groupBy("tok").agg(F.sum("cs").alias("c"))
+    n = stc.agg(F.sum("cs").cast("long").alias("n_total"))
+    sq = F.floor(
+        (-F.log(F.col("c").cast("double") / F.col("n_total"))) * F.lit(1e6)
+        + F.lit(0.5)
     )
-    # corpus total from the (small) frequency table, not a fourth scan
-    n = tc.agg(F.sum("c").cast("long").alias("n_total"))
-    q = (
-        t.join(tc, "tok")
+    src = (
+        stc.join(tc, "tok")
         .crossJoin(n)
-        .select(
-            "source",
-            F.floor(
-                (-F.log(F.col("c").cast("double") / F.col("n_total")))
-                * F.lit(1e6)
-                + F.lit(0.5)
-            ).alias("sq"),
+        .groupBy("source")
+        .agg(
+            F.sum("cs").alias("ns"),
+            F.sum(F.col("cs") * sq).alias("ls"),
         )
-    )
-    src = q.groupBy("source").agg(
-        F.count("*").alias("ns"), F.sum("sq").alias("ls")
     )
     # persist: every iteration scalar (b, z) and the final joins re-read
     # this |sources|-row frame; without a materialization point each

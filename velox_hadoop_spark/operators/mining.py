@@ -448,11 +448,11 @@ def _peel_once(edges: DataFrame, k: int) -> DataFrame:
     outgrow any broadcast). WindowExec buffers one key group at a time
     in a spill-backed array, so a hot part costs disk, never memory —
     the same trade as the PageRank degree annotation (graph.py)."""
-    sd = F.count(F.lit(1)).over(Window.partitionBy("s"))
-    pd = F.count(F.lit(1)).over(Window.partitionBy("part"))
+    sdeg = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    pdeg = F.count(F.lit(1)).over(Window.partitionBy("part"))
     return (
-        edges.withColumn("sd", sd)
-        .withColumn("pd", pd)
+        edges.withColumn("sd", sdeg)
+        .withColumn("pd", pdeg)
         .where((F.col("sd") >= k) & (F.col("pd") >= k))
         .select("s", "part")
     )
