@@ -79,10 +79,11 @@ def test_cume_dist_bounds_and_top_decile(spark):
 
 
 def test_skyline_multi_matches_bruteforce(spark):
-    """The rewritten d>=3 kernel (persisted phase 1 + sort-based
-    O(n·k) global frontier scan) must match an O(n²) dominance scan on
-    adversarial data: small value domains (many partial ties), mixed
-    minimize/maximize directions, several partitions."""
+    """The rewritten d>=3 kernel (single bounded-collect phase 1 +
+    sort-based O(n·k) global frontier scan) must match an O(n²)
+    dominance scan on adversarial data: small value domains (many
+    partial ties), mixed minimize/maximize directions, several
+    partitions."""
     from velox_hadoop_spark.operators.skyline import skyline_multi
 
     rows = [

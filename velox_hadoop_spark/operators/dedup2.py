@@ -171,10 +171,12 @@ def q_cross_snapshot_dedup_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawls (tie → lowest doc_id). The decay is exact integer per-mille
     arithmetic in both engines, so keeper membership never rides a
     float. Output is the per-snapshot retention report. Keeper
-    selection is a max_by inside one cluster-keyed aggregate, joined
-    back as a group-count-bounded keeper table — the single-shuffle
-    keeper shape of dedup_keep_policy_matrix (llmops3.py), extended
-    with the snapshot dimension and the near-dup group base."""
+    selection is a row_number over the cluster-keyed (weight DESC,
+    doc_id ASC) window — rank 1 IS max_by(doc_id, (weight, -doc_id))
+    because doc_id is unique, so the round-13 aggregate+join-back
+    (which evaluated the weighted frame twice and shuffled it plus a
+    keeper-table join) collapses to ONE |docs| exchange (guide §2.4,
+    the snapshot_novelty_rate/LSS window trick)."""
     snap = F.expr(H.spark_bucket("doc_id", SNAP_SEED, N_SNAPSHOTS))
     weighted = (
         _cluster_labels(spark, sf_dir)
@@ -182,14 +184,12 @@ def q_cross_snapshot_dedup_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "cluster_id", snap.alias("snapshot"))
         .withColumn("weight", F.col("n_chars") * _decay_col(F.col("snapshot")))
     )
-    keepers = weighted.groupBy("cluster_id").agg(
-        F.max_by(
-            "doc_id", F.struct(F.col("weight"), (-F.col("doc_id")).alias("nid"))
-        ).alias("keep_id")
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.desc("weight"), F.asc("doc_id")
     )
-    kept = F.col("doc_id") == F.col("keep_id")
+    kept = F.col("__rk") == 1
     return (
-        weighted.join(keepers, "cluster_id")
+        weighted.withColumn("__rk", F.row_number().over(wk))
         .groupBy("snapshot")
         .agg(
             F.count("*").alias("n_docs"),
@@ -830,19 +830,22 @@ def q_snapshot_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose near-dup cluster FIRST appeared in that snapshot — i.e.
     content the crawl genuinely added vs re-crawls of something an
     older snapshot already had. The number that decides whether the
-    next crawl of a source is worth its cost. One aggregate over the
-    shared LSH→CC labels plus a cluster-keyed min ("first seen" = the
-    oldest snapshot holding a member), joined back group-bounded."""
+    next crawl of a source is worth its cost. "First seen" (= the
+    oldest snapshot holding a member, index max) annotates each row as
+    a cluster-keyed max-WINDOW over the shared LSH→CC labels — ONE
+    |docs| exchange, where the round-13 shape aggregated first_snap
+    into a cluster table and joined it back (a second evaluation of
+    the labeled frame feeding the aggregate, plus the join). Same
+    r13 window-min trick as the LSS star passes (guide §2.4); group
+    width is cluster size, spill-bounded like every window here."""
     snap = F.expr(H.spark_bucket("doc_id", SNAP_SEED, N_SNAPSHOTS))
     snapped = _cluster_labels(spark, sf_dir).select(
         "doc_id", "cluster_id", snap.alias("snapshot")
     )
-    first_seen = snapped.groupBy("cluster_id").agg(
-        F.max("snapshot").alias("first_snap")
-    )
+    first_seen = F.max("snapshot").over(Window.partitionBy("cluster_id"))
     new_c = F.col("first_snap") == F.col("snapshot")
     return (
-        snapped.join(first_seen, "cluster_id")
+        snapped.withColumn("first_snap", first_seen)
         .groupBy("snapshot")
         .agg(
             F.count("*").alias("n_docs"),

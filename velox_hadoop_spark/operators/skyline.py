@@ -203,8 +203,9 @@ def skyline_multi(
          keeps a running Pareto set across Arrow batches (a point the
          local frontier dominates can never be in the global skyline,
          because dominance is transitive). The candidate frame is
-         ``persist()``-ed so the cap probe and the collect share ONE
-         execution of this phase.
+         collected through ONE bounded ``limit(cap + 1)`` action that
+         doubles as the cap probe (round 14) — no persist, no separate
+         take-probe job.
       2. GLOBAL re-check — the union of local frontiers (bounded by a
          limit-probe at ``_CANDIDATE_CAP``, the dedup_clusters
          precedent) is collected once and pruned by a sort-based
@@ -253,22 +254,22 @@ def skyline_multi(
         if front_raw is not None:
             yield front_raw
 
-    cand = coords.mapInPandas(local_frontier, schema).persist()
-    try:
-        # Bounded probe BEFORE the collect: the driver never holds more
-        # than cap+1 rows before committing to the toPandas; persist()
-        # makes the probe and the collect share ONE phase-1 execution.
-        if (
-            len(cand.limit(_CANDIDATE_CAP + 1).take(_CANDIDATE_CAP + 1))
-            > _CANDIDATE_CAP
-        ):
-            raise ValueError(
-                f"skyline_multi: candidate frontier exceeds {_CANDIDATE_CAP} "
-                "rows; raise the cap or pre-aggregate the dimensions"
-            )
-        cand_pdf = cand.toPandas()
-    finally:
-        cand.unpersist()
+    cand = coords.mapInPandas(local_frontier, schema)
+    # Bounded collect: limit(cap + 1) IS the cap probe — the driver
+    # never holds more than cap+1 rows, and when the frontier is within
+    # the cap the limit returns every candidate row, so ONE action
+    # replaces the previous persist + take-probe + toPandas pair (one
+    # fewer job and no cache materialization; phase 1 still executes
+    # exactly once). Row ORDER from a limit is nondeterministic, which
+    # is fine: the lexsort below re-orders candidates totally (tuples
+    # are distinct), so the pruned SET is order-independent, and the
+    # caller's join consumes it as an unordered relation.
+    cand_pdf = cand.limit(_CANDIDATE_CAP + 1).toPandas()
+    if len(cand_pdf) > _CANDIDATE_CAP:
+        raise ValueError(
+            f"skyline_multi: candidate frontier exceeds {_CANDIDATE_CAP} "
+            "rows; raise the cap or pre-aggregate the dimensions"
+        )
     spark = df.sparkSession
     m = cand_pdf[dims].to_numpy(dtype="float64") * signs
     # Lexicographic DESCENDING sort in all-maximize space: lexsort's
