@@ -55,24 +55,37 @@ _BOOST = ()
 # evidence. Round 10's 13 names all re-greened in CORRECTNESS_r10 and
 # were dropped; repopulated with round 11's semantic/oracle rewrites:
 _REVERIFY = (
-    # ROUND-13 riders (optimization round) — value-neutral PLAN
+    # ROUND-14 riders (optimization round 2) — value-neutral PLAN
     # rewrites to green rows, all re-gated identical against the
-    # DuckDB oracle at sf0.001 + sf0.01 before landing (the full
-    # driver-contract /verify pass this round read 412/412 MATCH):
+    # DuckDB oracle at sf0.001 + sf0.01 (most also at sf0.1) before
+    # landing, and the full driver contract re-ran 412/412 MATCH at
+    # sf0.01 TWICE this round (once per landed batch). The three
+    # round-13 riders all re-greened in CORRECTNESS_r13 and are
+    # dropped (the r12-verdict queue discipline).
     #
-    # (a) large-star/small-star per-node mins now ride a window over
-    # the symmetric edge frame (one exchange per star pass instead of
-    # groupBy + join-back), and the fixed-point equality check runs as
-    # one job:
-    "connected_components_lss",
-    # (b) k-core peel rounds annotate both side degrees with count
-    # windows and filter in place (two |E| exchanges per round, no
-    # |V|-row aggregate/join per side):
-    "kcore_suppliers",
-    # (c) BFS levels anti-join the visited set (broadcast probe)
-    # BEFORE the per-level distinct, so visited neighbors never enter
-    # the level's one shuffle:
-    "bfs_levels_from_min_supplier",
+    # (a) budget arms ride one exploded frame: ONE window + ONE hit
+    # aggregate replace 3 windows + 3 aggregates + union; persist
+    # moved from the wide scored frame to the candidate frame:
+    "ann_recall_budget_curve",
+    # (b) hot-shingle cap as the shared drop_hot_keys broadcast
+    # anti-join; member intersections via sorted-array in-row pair
+    # generation instead of a row-level self-join:
+    "intra_cluster_jaccard_audit",
+    # (c) one persisted signature/candidate chain feeds BOTH the
+    # estimator (shared minhash_estimate kernel) and the exact side —
+    # the 8-seed MinHash and band self-join no longer run twice:
+    "minhash_estimate_error_audit",
+    # (d) doremi_weight_frames pre-aggregates the token explode to
+    # per-(source, token) counts before persisting (3 persists -> 2;
+    # cached frame shrinks from token multiset to sources x vocab):
+    "doremi_mixture_shift_report",
+    # (e) per-cluster first-seen / keeper now annotate rows as ONE
+    # cluster-keyed window instead of aggregate + join-back:
+    "snapshot_novelty_rate",
+    "cross_snapshot_dedup_decay",
+    # (f) skyline phase-1 collect: limit(cap+1).toPandas() doubles as
+    # the cap probe (2 actions + persist -> 1 action):
+    "skyline_3d_parts",
 )
 
 
@@ -80,14 +93,17 @@ _REVERIFY = (
 # rewrites — all re-gated at sf0.01 AND sf0.1 with identical results.
 # They re-enter the queue BEHIND the never-verified group: fresh driver
 # evidence is desirable but must not displace a new registration's
-# FIRST row (the every-query-has-a-row invariant). Round-13 state:
-# every round-12 rider (12 _REVERIFY + 20 tail) re-greened in
-# CORRECTNESS_r12 and was dropped (r12 verdict item 2 — as written
-# they would have burned round-13's slots re-verifying already-current
-# rows). Empty this round: the three round-13 plan rewrites ride
-# _REVERIFY above; everything else in the registry is hash-green with
-# evidence that postdates its last code change.
-_REVERIFY_TAIL = ()
+# FIRST row (the every-query-has-a-row invariant). Round-14 tail:
+# value-identical SHARED-KERNEL riders of the _REVERIFY rewrites above
+# — the estimator expression moved into the minhash_estimate kernel
+# (same expressions, same inputs, bit-equal) and the other three
+# doremi queries read the rewritten doremi_weight_frames:
+_REVERIFY_TAIL = (
+    "minhash_jaccard_estimate",
+    "doremi_mixture_reweight",
+    "doremi_weighted_resample",
+    "doremi_resample_report",
+)
 
 
 _DEFER = ()
